@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+- Exact dedup is a hash-groupBy on a content digest — one shuffle on the
+  digest, perfectly parallel, no skew (digests are uniform).
+- MinHash-LSH turns the quadratic near-dup problem into: signatures (narrow,
+  one pass), band buckets (explode ×n_bands), candidate generation
+  (self-join on band bucket — only colliding docs meet), then exact Jaccard
+  verification on the tiny candidate set. Shuffle volume is
+  O(n_docs × n_bands), never O(n_docs²).
+- SimHash blocks by 16-bit chunks (a Hamming-≤3 pair must agree on ≥1 of 4
+  chunks), same join-on-block pattern.
+- All hash functions are xxhash64 with literal seeds — deterministic across
+  runs/executors, which keeps re-runs idempotent (the engine's at-least-once
+  story, SURVEY.md §2.9 D5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- tokenization / shingling ----------------------------------------------
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens, empties removed (pure Column expr)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as an array column."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def content_hash(text_col: str = "text"):
+    """Exact-dup digest (md5 — cheap, collision-adequate for dedup)."""
+    return F.md5(F.col(text_col))
+
+
+# --- exact dedup ------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact content hash.
+
+    Equivalent to dropDuplicates on the digest but with a deterministic
+    survivor (min id), which dropDuplicates does not guarantee.
+    """
+    return (
+        df.select(content_hash(text_col).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# --- MinHash + LSH ----------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = 32
+) -> DataFrame:
+    """Per-doc MinHash signature: min over shingles of xxhash64(shingle, i)
+    for each of ``num_perm`` seeded permutations.
+
+    One explode + one groupBy(id) — the signature table is narrow
+    (id + num_perm longs) no matter how large the corpus.
+    """
+    shingled = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("shingle"))
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
+    ]
+    agg = shingled.groupBy(id_col).agg(*mins)
+    return agg.select(F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs that collide in ≥1 band.
+
+    banding: signature[num_perm] → num_perm/rows_per_band bands; bucket key =
+    xxhash64(band_idx, band slice). Self-join on the bucket key — the join is
+    an equi-join Catalyst shuffles on (band_idx, bucket), so only genuinely
+    colliding docs ever meet. Output is distinct (id_a < id_b) pairs.
+    """
+    n_bands = F.floor(F.size("signature") / rows_per_band).cast("int")
+    bands = sig_df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_bands - 1),
+                lambda b: F.xxhash64(
+                    b, F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
+                ),
+            )
+        ).alias("band_idx", "bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct shingles for given candidate pairs."""
+    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def minhash_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → band candidates →
+    exact-Jaccard verification ≥ threshold."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    cands = lsh_candidate_pairs(sigs, id_col, rows_per_band)
+    return jaccard_pairs(df, cands, text_col, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ----------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over token xxhash64s.
+
+    For each bit position, sum +1/-1 across token hashes; bit = sign.
+    64 conditional-sum aggregates in ONE groupBy pass (no per-bit shuffles).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Blocking: split the 64-bit hash into 4 × 16-bit chunks; any pair with
+    Hamming ≤ 3 agrees exactly on ≥ 1 chunk (pigeonhole), so candidates are
+    an equi-join on (chunk_idx, chunk_value) — never a cross join.
+    """
+    sigs = simhash_signatures(df, text_col, id_col)
+    chunks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

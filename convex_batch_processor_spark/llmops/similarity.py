@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, O(n·q·d), fine when the query
+set is small (broadcast) even at huge n because candidates stream through
+executors and only k rows per query survive (window rank ≤ k).
+
+Scale path: random-hyperplane LSH — bucket vectors by sign bits against
+fixed hyperplanes; ANN queries probe only their own bucket (plus optional
+multi-probe neighbors), then exact-rerank. Bucketing is an equi-join, so
+the 100 TB cost is one shuffle on bucket id, never a cross join. (IVF via
+k-means coarse quantizer is the other standard route; LSH chosen here
+because it is pure Column math — no iterative training job.)
+
+All dot products run as exact double arithmetic (float×float → double is
+exact), sequential fold per array — deterministic across partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Exact-double dot product of two float-array columns (JVM-side fold,
+    no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(dot_col(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+
+
+def knn_bruteforce(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k for the given query ids.
+
+    The query side is tiny → broadcast; candidates never shuffle until the
+    final per-query top-k (TakeOrdered per window partition). Similarity is
+    rounded to 6 dp before ranking with an id tiebreak so results are
+    deterministic and engine-portable.
+    """
+    q = (
+        embeddings.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"))
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    sim = F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("q_vec_id") != F.col("vec_id"))
+        .select("q_vec_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs above a cosine threshold (exact; for bounded corpora).
+
+    At 100 TB use ``hyperplane_lsh_buckets`` + per-bucket pairing instead —
+    this exact form exists as the verification/oracle baseline.
+    """
+    a = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (
+        a.join(b, F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
+def _hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_bits, dim)).round(6).tolist()
+
+
+def hyperplane_lsh_buckets(
+    embeddings: DataFrame,
+    n_bits: int = 12,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit string of ``n_bits``
+    fixed hyperplane dot products. Deterministic (seeded literals baked into
+    the plan); pure Column math → whole-stage codegen."""
+    planes = _hyperplanes(n_bits, dim, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(w)) for w in p])
+        bit = F.when(dot_col(F.col(vec_col), plane_col) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return embeddings.select(F.col(id_col), F.col(vec_col), bucket.alias("bucket"))
+
+
+def lsh_ann(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: probe the query's LSH bucket, exact-rerank inside it.
+
+    With n_bits=8 on unit vectors, each bucket holds ~n/256 candidates —
+    the rerank is an equi-join on bucket + per-query top-k. Recall is
+    tunable via n_bits (fewer bits → bigger buckets → higher recall).
+    """
+    bucketed = hyperplane_lsh_buckets(embeddings, n_bits, dim, seed, id_col, vec_col)
+    q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "bucket")
+    sim = F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .select("q_vec_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)

@@ -1,0 +1,108 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Everything is built-in Column expressions — at 100 TB these are one-pass
+map-side computations with no shuffle at all (per-doc stats) or a single
+aggregation shuffle (corpus stats); never Python-per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import tokens_col
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in")
+
+
+def token_count(text_col: str = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_col(text_col))
+
+
+def token_count_re(text_col: str = "text") -> Column:
+    """BPE-ish token count: alnum runs + single non-space symbols (JVM regexp)."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+
+
+def stopword_ratio(text_col: str = "text") -> Column:
+    """Fraction of tokens that are stopwords (lambda filter, codegen'd)."""
+    toks = tokens_col(text_col)
+
+    def is_stop(x: Column) -> Column:
+        c = x == F.lit(STOPWORDS[0])
+        for s in STOPWORDS[1:]:
+            c = c | (x == F.lit(s))
+        return c
+
+    return F.size(F.filter(toks, is_stop)).cast("double") / F.size(toks)
+
+
+def quality_label(text_col: str = "text", min_tokens: int = 20, max_tokens: int = 1000) -> Column:
+    """Heuristic quality gate: token-count band + stopword-ratio ceiling —
+    the shape of a Gopher/C4-style rule on the columns the testdata has."""
+    nt = token_count(text_col)
+    return F.when(
+        (nt >= min_tokens) & (nt <= max_tokens) & (stopword_ratio(text_col) < 0.5), "ok"
+    ).otherwise("low")
+
+
+def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
+    """Deterministic document fingerprint: md5 of the first-n-token prefix
+    (cheap rolling-hash stand-in, portable to the SQL oracle)."""
+    return F.md5(F.concat_ws(" ", F.slice(tokens_col(text_col), 1, n_tokens)))
+
+
+def char_trigrams(text_col: str = "text") -> Column:
+    """Distinct character trigrams (language-ID features)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(F.col(text_col)) - 2)),
+            lambda i: F.col(text_col).substr(i, F.lit(3)),
+        )
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", lang_col: str = "lang"
+) -> DataFrame:
+    """N-gram-overlap language ID, fully distributed.
+
+    Build per-language char-trigram document-frequency profiles from the
+    corpus (top-200 trigrams per language), then classify each doc to the
+    language whose profile it overlaps most.
+
+    Shuffle profile: explode trigrams (map-side) → groupBy(lang, trigram)
+    (one shuffle) → broadcast the small profile table back; per-doc argmax is
+    a window over the doc's ≤|langs| overlap rows. No O(n²) anywhere.
+    """
+    tri = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(1, length({text_col}) - 2)),"
+        f" i -> substring({text_col}, i, 3)))"
+    )
+    doc_tri = df.select(F.col(id_col), F.col(lang_col), F.explode(tri).alias("tg"))
+    w_prof = Window.partitionBy(lang_col).orderBy(F.col("df").desc(), F.col("tg"))
+    profiles = (
+        doc_tri.groupBy(lang_col, "tg")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn("rk", F.row_number().over(w_prof))
+        .filter(F.col("rk") <= 200)
+        .select(F.col(lang_col).alias("predicted_lang"), "tg")
+    )
+    overlaps = (
+        doc_tri.join(F.broadcast(profiles), "tg")
+        .groupBy(id_col, lang_col, "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    w_doc = Window.partitionBy(id_col).orderBy(F.col("overlap").desc(), F.col("predicted_lang"))
+    return (
+        overlaps.withColumn("rn", F.row_number().over(w_doc))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col(lang_col).alias("actual_lang"),
+            "predicted_lang",
+            "overlap",
+        )
+    )

@@ -1,0 +1,24 @@
+"""Named query registry: every operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable paired with its DuckDB oracle SQL.
+
+Importing this package populates ``QUERIES``; submodules register at import.
+"""
+
+from __future__ import annotations
+
+from .registry import QUERIES, QuerySpec, register  # noqa: F401
+
+# import order defines the display order of the inventory
+from . import relational  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
+from . import llm  # noqa: E402,F401
+
+
+def spark_queries():
+    """The ``queries()`` dict for the driver contract."""
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def oracle_sqls():
+    """The ``oracle_sql()`` dict for the driver contract (SQL-expressible only)."""
+    return {name: spec.oracle for name, spec in QUERIES.items() if spec.oracle}

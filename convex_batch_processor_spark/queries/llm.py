@@ -1,0 +1,297 @@
+"""LLM-pipeline named queries (SURVEY.md §2.11, §7 Phase 4).
+
+SQL-expressible ops carry DuckDB oracles; hash-based ops (MinHash, SimHash,
+hyperplane LSH — xxhash64 has no DuckDB equivalent) are registered as
+rows-only checks, with their exact-arithmetic counterparts oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..llmops import dedup as D
+from ..llmops import multimodal as M
+from ..llmops import similarity as S
+from ..llmops import textstats as X
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- dedup ------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content digest → keep lowest id per digest. One shuffle
+    on the digest, uniform keys (no skew) at any scale."""
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_prefix_groups",
+    oracle="""
+    SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
+    FROM (SELECT doc_id,
+                 md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS fp
+          FROM documents)
+    GROUP BY fp HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint dedup: md5 of the 8-token prefix; groups with >1 doc are
+    duplicate clusters (the testdata contains real ones)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", X.prefix_fingerprint().alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct(list_transform(
+                   range(1, greatest(1, len(list_filter(string_split(text,' '), x -> x <> '')) - 1)),
+                   i -> list_filter(string_split(text,' '), x -> x <> '')[i] || ' ' ||
+                        list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
+                        list_filter(string_split(text,' '), x -> x <> '')[i+2])) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs, blocked by source bucket.
+
+    The source-bucket equi-join bounds the pair space (the 100 TB version
+    swaps the bucket for MinHash-LSH bands — see minhash_neardup, which is
+    the scale path; this exact form is its verification baseline)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", "source", D.shingles_col().alias("grams"))
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("grams").alias("ga"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("grams").alias("gb"))
+    inter = F.size(F.array_intersect("ga", "gb"))
+    jac = inter.cast("double") / (F.size("ga") + F.size("gb") - inter)
+    return (
+        a.join(b, "src")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+@register("minhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands×4) near-dup pipeline with exact-Jaccard
+    verification ≥0.5 — the scale path for ngram_jaccard_pairs. Checked
+    rows-only by the driver; tests assert it finds exactly the exact-Jaccard
+    pairs (LSH@this config catches jaccard≥0.5 w.h.p.)."""
+    return D.minhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_neardup")  # rows-only: bit-mix hashing, no SQL equivalent
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) with 16-bit-chunk blocking."""
+    return D.simhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+# --- similarity search ------------------------------------------------------
+
+@register(
+    "knn_bruteforce",
+    oracle="""
+    SELECT q_vec_id, vec_id, sim, rn FROM (
+        SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
+               round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+                            c.vec_id ASC) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 1, 2)
+    ) WHERE rn <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 3 query vectors — the ANN baseline.
+    Query side broadcast; candidates never materialize beyond k per query."""
+    return S.knn_bruteforce(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5)
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) > 0.42
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above 0.42 (exact all-pairs baseline;
+    lsh_ann_probe is the bucketed scale path)."""
+    return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.42)
+
+
+@register("lsh_ann_probe")  # rows-only: seeded-hyperplane buckets, not SQL
+def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH ANN: probe the query's bucket, exact-rerank
+    inside. Tests measure recall vs knn_bruteforce."""
+    return S.lsh_ann(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_bits=8)
+
+
+@register(
+    "vector_stats",
+    oracle="""
+    SELECT label, COUNT(*) AS n,
+           round(SUM(CAST(embedding[1] AS DOUBLE)), 4) AS sum_dim0,
+           round(CAST(MAX(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DOUBLE), 6) AS max_sq_norm
+    FROM embeddings GROUP BY label
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-column aggregates: element access + exact decimal sum of a
+    float component + norm via the array fold (F.aggregate, JVM-side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4).alias("sum_dim0"),
+        F.round(F.max(S.dot_col(F.col("embedding"), F.col("embedding"))), 6).alias("max_sq_norm"),
+    )
+
+
+# --- text analysis ----------------------------------------------------------
+
+@register(
+    "text_quality_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_re,
+           CAST(len(list_filter(string_split(text, ' '),
+                    x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)
+             / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stop_ratio,
+           CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 1000
+                 AND CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)
+                     / len(list_filter(string_split(text, ' '), x -> x <> '')) < 0.5
+                THEN 'ok' ELSE 'low' END AS quality
+    FROM documents
+    """,
+)
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality scoring: token counts (whitespace + BPE-ish regex),
+    stopword ratio, quality gate. Map-only — zero shuffles."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        X.token_count().alias("n_tokens"),
+        X.token_count_re().alias("n_tokens_re"),
+        X.stopword_ratio().alias("stop_ratio"),
+        X.quality_label().alias("quality"),
+    )
+
+
+@register(
+    "lang_source_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile per (lang, source) — the distribution
+    tables a data-mixing pipeline reads."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(X.token_count().cast("long")).alias("sum_tokens"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(text) AS fp_full,
+           md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS fp_prefix
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level fingerprints: full-content md5 + prefix shingle md5."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("text")).alias("fp_full"),
+        X.prefix_fingerprint().alias("fp_prefix"),
+    )
+
+
+@register("language_id")  # rows-only: corpus-derived profiles, not concise SQL
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram-profile language ID (distributed n-gram heuristic)."""
+    return X.language_id(_t(spark, sf_dir, "documents"))
+
+
+# --- multimodal -------------------------------------------------------------
+
+@register(
+    "multimodal_payload_stats",
+    oracle="""
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS checksum,
+           CASE WHEN octet_length(encode(text)) > 300 THEN 'large' ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload metadata: the multimodal column pattern where filters
+    read ONLY the metadata struct (column pruning keeps the binary unread)."""
+    with_payload = M.attach_payload(_t(spark, sf_dir, "documents"))
+    return with_payload.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.checksum").alias("checksum"),
+        F.when(F.col("meta.n_bytes") > 300, "large").otherwise("small").alias("size_class"),
+    )
+
+
+@register("multimodal_decode_features")  # rows-only: mapInPandas stub decode
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (decode body is a deterministic STUB — codecs not in container)."""
+    return M.decode_features(M.attach_payload(_t(spark, sf_dir, "documents")))

@@ -1,0 +1,118 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark and (when an oracle exists) the twin
+SQL on DuckDB over the same parquet tables, then compares row count, column
+names, and an order-insensitive value multiset. Used by
+tests/test_oracle_parity.py and runnable standalone:
+
+    python tests/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convex_batch_processor_spark.catalog import TABLES, table_path  # noqa: E402
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = table_path(sf_dir, t)
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _norm(v):
+    """Normalize a cell to a hashable, engine-neutral value."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)  # full precision — parity must be bit-exact
+    if isinstance(v, _dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def compare(spark, sf_dir: str, name: str, fn, oracle: str | None):
+    """Return (ok: bool, detail: str)."""
+    sdf = fn(spark, sf_dir)
+    scols = sdf.columns
+    srows = sdf.collect()
+    if oracle is None:
+        return True, f"rows-only: {len(srows)} rows"
+    con = duckdb_conn(sf_dir)
+    try:
+        dres = con.execute(oracle)
+        dcols = [d[0] for d in dres.description]
+        drows = dres.fetchall()
+    finally:
+        con.close()
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"row count differs: spark={len(srows)} duckdb={len(drows)}"
+    order = sorted(range(len(scols)), key=lambda i: scols[i])
+    d_order = sorted(range(len(dcols)), key=lambda i: dcols[i])
+    s_set: dict = {}
+    for r in srows:
+        key = tuple(_norm(r[i]) for i in order)
+        s_set[key] = s_set.get(key, 0) + 1
+    for r in drows:
+        key = tuple(_norm(r[i]) for i in d_order)
+        cnt = s_set.get(key, 0)
+        if cnt == 0:
+            return False, f"value mismatch: duckdb row {key!r:.300} not in spark result"
+        if cnt == 1:
+            del s_set[key]
+        else:
+            s_set[key] = cnt - 1
+    if s_set:
+        extra = next(iter(s_set))
+        return False, f"value mismatch: spark row {extra!r:.300} not in duckdb result"
+    return True, f"match: {len(srows)} rows"
+
+
+def main():
+    from convex_batch_processor_spark.queries import QUERIES
+    from convex_batch_processor_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
+    failures = []
+    for name, spec in QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            ok, detail = compare(spark, sf_dir, name, spec.fn, spec.oracle)
+        except Exception as e:  # noqa: BLE001
+            ok, detail = False, f"EXCEPTION: {type(e).__name__}: {e}"
+        status = "PASS" if ok else "FAIL"
+        print(f"{status:4} {name}: {detail}")
+        if not ok:
+            failures.append(name)
+    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

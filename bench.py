@@ -1,0 +1,74 @@
+"""Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver collect cost). Set SPARK_GRAFT_BENCH_QUERIES=a,b,c to subset.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from convex_batch_processor_spark.queries import QUERIES  # noqa: E402
+from convex_batch_processor_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_per_key_agg_join",
+    "o2_topk_orders",
+    "window_rank_lag_running",
+    "sessionize_events",
+    "asof_join_latest_order",
+    "json_extract_props",
+    "cube_pricing",
+    "dedup_exact",
+    "text_quality_stats",
+    "minhash_neardup",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = names.split(",") if names else HEADLINE
+
+    spark = get_spark(app_name="cbps-bench")
+    # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name].fn
+        start = time.monotonic()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,275 @@
+"""Table iterator — chunked cursor-driven scans with a job state machine
+(SURVEY.md §2.9 D10-D14; reference src/component/lib.ts:736-1132).
+
+Reference semantics: start a job that repeatedly pulls a page via a user
+``getNextBatch`` callback, hands it to ``processBatch``, persists cursor +
+processedCount, rate-limits between chunks, retries failures with capped
+exponential backoff (min(1000·2^n, 30000) ms, lib.ts:1059), honors
+pause/resume/cancel between chunks, and fires ``onComplete`` at the end.
+
+Spark design:
+- **Cursor = ordered key range**, not an opaque token (Convex cursors are
+  not reproducible; a sorted unique key is). A chunk is
+  ``WHERE key > cursor ORDER BY key LIMIT n`` — with sorted/partitioned
+  parquet this prunes to the row groups past the cursor (min/max stats), so
+  chunk cost does not grow with table size. At 100 TB you'd additionally
+  precompute range boundaries once (approxQuantile) instead of per-chunk
+  TakeOrdered; both forms below.
+- **Job state** lives in a JSON file per job (atomic rename) — the control
+  plane is driver-side metadata exactly like streaming checkpoints; the
+  data path stays fully distributed (the callback receives the chunk
+  DataFrame, which it may write/aggregate cluster-wide; collecting is the
+  callback's choice, mirroring the reference handing items arrays).
+- **processBatch / getNextBatch / onComplete** are registry handle NAMES
+  stored in the job state (function-handles-as-data, schema.ts:50-55).
+
+The loop is cooperative: ``run(max_chunks=...)`` executes chunks until
+done/paused/failed, so tests drive it deterministically without threads.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sources.registry import HandleRegistry, default_registry
+
+STATUSES = ("pending", "running", "paused", "completed", "failed")
+
+
+def backoff_ms(retry_count: int) -> int:
+    """Capped exponential backoff: min(1000·2^n, 30000) (lib.ts:1059)."""
+    return int(min(1000 * math.pow(2, retry_count), 30000))
+
+
+@dataclass
+class IteratorJobState:
+    """Persisted job row ≈ iteratorJobs table (schema.ts:37-62)."""
+
+    job_id: str
+    cursor: Any = None  # last processed key (exclusive lower bound)
+    processed_count: int = 0
+    status: str = "pending"
+    retry_count: int = 0
+    error_message: str | None = None
+    created_at: float = field(default_factory=time.time)
+    last_run_at: float | None = None
+    # config (schema.ts:48-56)
+    batch_size: int = 100
+    delay_between_batches_s: float = 0.1  # default 100 ms (lib.ts:767)
+    max_retries: int = 5  # default (lib.ts:983)
+    process_batch: str = ""  # handle name
+    on_complete: str | None = None  # handle name
+
+    def to_dict(self) -> dict:
+        return self.__dict__.copy()
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IteratorJobState":
+        obj = cls(job_id=d["job_id"])
+        obj.__dict__.update(d)
+        return obj
+
+
+class JobStore:
+    """Atomic JSON-file-per-job state store (the iteratorJobs table)."""
+
+    def __init__(self, state_dir: str):
+        self.state_dir = state_dir
+        os.makedirs(state_dir, exist_ok=True)
+
+    def _path(self, job_id: str) -> str:
+        return os.path.join(self.state_dir, f"{job_id}.json")
+
+    def exists(self, job_id: str) -> bool:
+        return os.path.exists(self._path(job_id))
+
+    def save(self, state: IteratorJobState) -> None:
+        tmp = self._path(state.job_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state.to_dict(), f)
+        os.replace(tmp, self._path(state.job_id))  # atomic: readers never see partial writes
+
+    def load(self, job_id: str) -> IteratorJobState:
+        with open(self._path(job_id)) as f:
+            return IteratorJobState.from_dict(json.load(f))
+
+    def delete(self, job_id: str) -> bool:
+        """deleteIteratorJob (lib.ts:927-945): only terminal jobs."""
+        if not self.exists(job_id):
+            return False
+        st = self.load(job_id)
+        if st.status not in ("completed", "failed"):
+            raise ValueError(f"cannot delete job in status {st.status!r}")
+        os.remove(self._path(job_id))
+        return True
+
+    def list(self, status: str | None = None) -> list[IteratorJobState]:
+        """listIteratorJobs (lib.ts:898-925): optional status filter."""
+        out = []
+        for fn in sorted(os.listdir(self.state_dir)):
+            if fn.endswith(".json"):
+                st = self.load(fn[:-5])
+                if status is None or st.status == status:
+                    out.append(st)
+        return out
+
+
+class TableIterator:
+    """Drives chunked iteration over an ordered DataFrame with the
+    reference's job lifecycle (start/pause/resume/cancel/status/run)."""
+
+    def __init__(
+        self,
+        state_dir: str,
+        source: DataFrame,
+        key_col: str,
+        registry: HandleRegistry | None = None,
+        sleep_fn=time.sleep,  # injectable: tests pass a recorder, no wall-clock
+    ):
+        self.store = JobStore(state_dir)
+        self.source = source
+        self.key_col = key_col
+        self.registry = registry or default_registry
+        self.sleep_fn = sleep_fn
+
+    # --- lifecycle mutations (lib.ts:736-945) -------------------------------
+
+    def start(
+        self,
+        job_id: str,
+        process_batch: str,
+        batch_size: int = 100,
+        delay_between_batches_s: float = 0.1,
+        max_retries: int = 5,
+        on_complete: str | None = None,
+    ) -> IteratorJobState:
+        """startIteratorJob (lib.ts:736-782): duplicate-id reject + insert
+        running job."""
+        if self.store.exists(job_id):
+            raise ValueError(f"Iterator job with ID '{job_id}' already exists")
+        st = IteratorJobState(
+            job_id=job_id,
+            status="running",
+            batch_size=batch_size,
+            delay_between_batches_s=delay_between_batches_s,
+            max_retries=max_retries,
+            process_batch=process_batch,
+            on_complete=on_complete,
+        )
+        self.store.save(st)
+        return st
+
+    def _guarded_transition(self, job_id: str, expect: str, to: str, **patch) -> IteratorJobState:
+        st = self.store.load(job_id)
+        if st.status != expect:
+            raise ValueError(f"job {job_id!r} is {st.status!r}, expected {expect!r}")
+        st.status = to
+        st.__dict__.update(patch)
+        self.store.save(st)
+        return st
+
+    def pause(self, job_id: str) -> IteratorJobState:
+        """pauseIterator (lib.ts:784-806): running → paused; takes effect at
+        the next chunk boundary (cooperative, like the status guard at
+        lib.ts:978-981)."""
+        return self._guarded_transition(job_id, "running", "paused")
+
+    def resume(self, job_id: str) -> IteratorJobState:
+        """resumeIterator (lib.ts:808-833): paused → running, retry reset."""
+        return self._guarded_transition(job_id, "paused", "running", retry_count=0)
+
+    def cancel(self, job_id: str) -> IteratorJobState:
+        """cancelIterator (lib.ts:835-858): mark failed 'Cancelled by user'."""
+        st = self.store.load(job_id)
+        if st.status not in ("running", "paused", "pending"):
+            raise ValueError(f"cannot cancel job in status {st.status!r}")
+        st.status = "failed"
+        st.error_message = "Cancelled by user"
+        self.store.save(st)
+        return st
+
+    def status(self, job_id: str) -> dict:
+        """getIteratorStatus (lib.ts:860-896) projection."""
+        st = self.store.load(job_id)
+        return {
+            "job_id": st.job_id,
+            "status": st.status,
+            "processed_count": st.processed_count,
+            "cursor": st.cursor,
+            "retry_count": st.retry_count,
+            "error_message": st.error_message,
+        }
+
+    # --- the chunk loop (processNextBatch, lib.ts:968-1071) -----------------
+
+    def _next_chunk(self, cursor: Any, batch_size: int) -> DataFrame:
+        """getNextBatch default impl: ordered key-range page. The filter
+        pushes to the scan; orderBy+limit compiles to TakeOrderedAndProject."""
+        df = self.source
+        if cursor is not None:
+            df = df.filter(F.col(self.key_col) > F.lit(cursor))
+        return df.orderBy(F.col(self.key_col).asc()).limit(batch_size)
+
+    def run(self, job_id: str, max_chunks: int | None = None) -> IteratorJobState:
+        """Drive the job until completed/paused/failed (or max_chunks).
+
+        Each iteration re-reads state (cooperative pause/cancel), processes
+        one chunk through the registered handle, persists progress, sleeps
+        the rate-limit delay, and applies capped-backoff retry on errors.
+        """
+        chunks = 0
+        while max_chunks is None or chunks < max_chunks:
+            st = self.store.load(job_id)
+            if st.status != "running":  # pause/cancel guard (lib.ts:978-981)
+                return st
+            chunk = self._next_chunk(st.cursor, st.batch_size)
+            try:
+                rows = chunk.select(F.max(self.key_col).alias("mx"),
+                                    F.count(F.lit(1)).alias("n")).collect()[0]
+                n, max_key = rows["n"], rows["mx"]
+                if n == 0:
+                    return self._complete(st)
+                handle = self.registry.resolve(st.process_batch)
+                handle(chunk, st.cursor)
+            except Exception as e:  # noqa: BLE001 — retry path (lib.ts:1046-1069)
+                st = self.store.load(job_id)
+                st.retry_count += 1
+                if st.retry_count >= st.max_retries:
+                    st.status = "failed"
+                    st.error_message = f"{type(e).__name__}: {e}"
+                    self.store.save(st)
+                    return st
+                st.error_message = f"{type(e).__name__}: {e}"
+                self.store.save(st)
+                self.sleep_fn(backoff_ms(st.retry_count - 1) / 1000.0)
+                chunks += 1
+                continue
+            # success: persist cursor/progress, reset retries (lib.ts:1073-1087)
+            st = self.store.load(job_id)
+            st.cursor = max_key
+            st.processed_count += n
+            st.retry_count = 0
+            st.error_message = None
+            st.last_run_at = time.time()
+            self.store.save(st)
+            chunks += 1
+            if n < st.batch_size:
+                return self._complete(self.store.load(job_id))
+            self.sleep_fn(st.delay_between_batches_s)  # rate limit (lib.ts:1039-1043)
+        return self.store.load(job_id)
+
+    def _complete(self, st: IteratorJobState) -> IteratorJobState:
+        """markJobCompleted + onComplete dispatch (lib.ts:1011-1031)."""
+        st.status = "completed"
+        self.store.save(st)
+        if st.on_complete:
+            self.registry.resolve(st.on_complete)(st.job_id, st.processed_count)
+        return st

@@ -126,17 +126,27 @@ def lsh_ann(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN: probe the query's LSH bucket, exact-rerank inside it.
+    """ANN: probe the query's LSH bucket (plus Hamming-1 neighbor buckets
+    when ``multiprobe``=1), exact-rerank inside.
 
-    With n_bits=8 on unit vectors, each bucket holds ~n/256 candidates —
-    the rerank is an equi-join on bucket + per-query top-k. Recall is
-    tunable via n_bits (fewer bits → bigger buckets → higher recall).
+    Multi-probe recovers most of the recall a single bucket loses for
+    moderate-similarity neighbors at the cost of (n_bits+1)× more probe
+    rows on the QUERY side only — the corpus is still bucketed once, and
+    the join stays an equi-join on bucket id. Recall/cost tune via n_bits
+    (fewer bits → bigger buckets) and multiprobe radius.
     """
     bucketed = hyperplane_lsh_buckets(embeddings, n_bits, dim, seed, id_col, vec_col)
     q = bucketed.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
+    if multiprobe >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)],
+        )
+        q = q.select("q_vec_id", "q_vec", F.explode(probes).alias("bucket"))
     c = bucketed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "bucket")
     sim = F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
     scored = (

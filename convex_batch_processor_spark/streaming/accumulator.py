@@ -1,0 +1,243 @@
+"""Batch accumulator — the reference's core subsystem (SURVEY.md §2.9
+D1-D9) re-expressed as Structured Streaming.
+
+Reference semantics (convex-batch-processor, src/component/lib.ts:24-730):
+collect items into a named batch; flush to a user callback when (a) an
+interval timer fires, (b) an add crosses a size threshold, or (c) a manual
+flush is requested; snapshot-cutoff isolation per flush; at-least-once
+delivery with failure retry; per-flush audit history; retention cleanup.
+
+Spark mapping — the whole hand-built state machine collapses into the
+micro-batch engine:
+
+| reference                                   | here                                  |
+|---------------------------------------------|---------------------------------------|
+| addItems append-only items log (lib.ts:87)  | parquet files appended to a staging dir (append-only by construction — no write conflicts, T2) |
+| interval timer per batch (lib.ts:76-83)     | ``trigger(processingTime=...)``       |
+| size-threshold immediate flush (lib.ts:104) | ``maxFilesPerTrigger`` admission + the add path nudging a manual run |
+| manual flush (lib.ts:123-179)               | one-shot ``Trigger.AvailableNow`` run |
+| snapshot cutoff createdAt < flushStartedAt  | micro-batch offset range — exact by construction (D3) |
+| stranded-item carryover (lib.ts:635-662)    | files landing mid-batch are simply the next epoch's offsets (D4) |
+| at-least-once + retry (lib.ts:694-710)      | foreachBatch failure fails the query; restart replays the SAME epoch from the checkpoint (D5) |
+| batch sequence `base::N` (lib.ts:55-62)     | ``epoch_id`` of foreachBatch (D6)     |
+| single-winner flush races (lib.ts:471-544)  | single streaming writer + checkpoint — races don't exist (D7) |
+| flushHistory audit rows (lib.ts:599-619)    | history parquet appended per epoch attempt (D9) |
+| retention: keep newest completed (lib.ts:671-692) | ``cleanup_staging`` rank-and-delete maintenance (D8) |
+
+Scale: the staging dir is the pattern's weak point at 100 TB if files are
+tiny — the accumulator exists precisely to coalesce; ``add_items`` writes
+one parquet file per call (one "add"), and the flush callback sees an
+epoch-bounded DataFrame it can repartition/write at any width. On a real
+cluster the staging dir would be object storage + file-notification source,
+or Kafka with ``maxOffsetsPerTrigger`` as the size trigger; the code paths
+are identical.
+
+Deterministic tests use ``flush_now`` (AvailableNow) only — no wall-clock.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.registry import HandleRegistry, default_registry
+
+FLUSH_HISTORY_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType(), False),
+        T.StructField("epoch_id", T.LongType(), False),
+        T.StructField("item_count", T.LongType(), False),
+        T.StructField("flushed_at", T.TimestampType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("success", T.BooleanType(), False),
+        T.StructField("error_message", T.StringType(), True),
+    ]
+)
+
+
+@dataclass
+class BatchAccumulator:
+    """One accumulator = one logical batch stream (a reference ``baseBatchId``).
+
+    Parameters mirror the reference's ``BatchConfig``
+    (src/client/index.ts:204-213): ``process_batch`` (handle name),
+    ``flush_interval_s`` (flushIntervalMs), ``immediate_flush_threshold``
+    (size trigger, expressed as max staged files admitted per micro-batch).
+    """
+
+    spark: SparkSession
+    batch_id: str
+    root: str  # working dir: staging/, checkpoint/, history/
+    item_schema: T.StructType
+    process_batch: str  # handle name resolved via registry at flush time
+    flush_interval_s: float = 30.0
+    immediate_flush_threshold: int | None = None
+    registry: HandleRegistry = field(default_factory=lambda: default_registry)
+
+    # --- paths --------------------------------------------------------------
+
+    @property
+    def staging_dir(self) -> str:
+        return os.path.join(self.root, "staging")
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.root, "checkpoint")
+
+    @property
+    def history_dir(self) -> str:
+        return os.path.join(self.root, "history")
+
+    # --- S5: client push ----------------------------------------------------
+
+    def add_items(self, items: list[dict]) -> int:
+        """Append one add-call's items to the staging log (append-only —
+        mirrors the reference's conflict-free items insert, lib.ts:87-96).
+        Returns the number of items staged."""
+        if not items:
+            return 0
+        df = self.spark.createDataFrame(items, schema=self.item_schema)
+        # one file per add: the add is the atomic unit the size trigger counts
+        df.coalesce(1).write.mode("append").parquet(self.staging_dir)
+        return len(items)
+
+    def add_dataframe(self, df: DataFrame) -> None:
+        """Bulk staging append (the Spark-native add path)."""
+        df.write.mode("append").parquet(self.staging_dir)
+
+    # --- flush machinery ----------------------------------------------------
+
+    def _read_stream(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.schema(self.item_schema)
+            .format("parquet")
+        )
+        if self.immediate_flush_threshold is not None:
+            # admission control ≈ size trigger: an epoch closes once this
+            # many staged files are admitted (D1 size path)
+            reader = reader.option("maxFilesPerTrigger", self.immediate_flush_threshold)
+        return reader.load(self.staging_dir)
+
+    def _record_history(self, epoch_id: int, item_count: int, duration_ms: int,
+                        success: bool, error: str | None) -> None:
+        row = [
+            (
+                self.batch_id,
+                epoch_id,
+                item_count,
+                dt.datetime.now(),
+                duration_ms,
+                success,
+                error,
+            )
+        ]
+        (
+            self.spark.createDataFrame(row, schema=FLUSH_HISTORY_SCHEMA)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(self.history_dir)
+        )
+
+    def _foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Epoch executor ≈ executeFlush (lib.ts:546-597): dispatch the
+        registered handle, record history, propagate failure so the
+        checkpoint replays the epoch (at-least-once, D5)."""
+        handle = self.registry.resolve(self.process_batch)
+        count = batch_df.count()
+        if count == 0:
+            return  # empty-group short-circuit (lib.ts:157-159)
+        start = time.monotonic()
+        try:
+            handle(batch_df, epoch_id)
+        except Exception as e:  # noqa: BLE001
+            dur = int((time.monotonic() - start) * 1000)
+            self._record_history(epoch_id, count, dur, False, f"{type(e).__name__}: {e}")
+            raise
+        dur = int((time.monotonic() - start) * 1000)
+        self._record_history(epoch_id, count, dur, True, None)
+
+    def _ensure_staging(self) -> bool:
+        # a parquet stream needs the dir to exist; before any add there is
+        # nothing to flush (flushBatch's "no batch" early-out, lib.ts:141-148)
+        return os.path.isdir(self.staging_dir)
+
+    def flush_now(self, max_epochs: int | None = None) -> bool:
+        """Manual flush (D2) — run the stream once over everything staged
+        (``Trigger.AvailableNow``), honoring the size-threshold admission
+        (multiple epochs if more files are staged than the threshold).
+
+        Returns False if nothing was ever staged. Raises if the user handle
+        raised (after recording the failed attempt) — re-calling retries the
+        same epoch from the checkpoint: at-least-once.
+        """
+        if not self._ensure_staging():
+            return False
+        self.registry.resolve(self.process_batch)  # fail fast on bad handle names
+        q = (
+            self._read_stream()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(availableNow=True)
+            .queryName(f"flush-{self.batch_id}-{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception as exc:  # StreamingQueryException → retryable flush failure
+            raise RuntimeError(f"flush failed (re-calling retries the same epoch): {exc}") from exc
+        finally:
+            if q.isActive:
+                q.stop()
+        return True
+
+    def start(self):
+        """Continuous accumulation (D1 time path): interval-triggered stream.
+        Returns the StreamingQuery; caller owns stop()."""
+        if not self._ensure_staging():
+            os.makedirs(self.staging_dir, exist_ok=True)
+            # streaming parquet source requires at least the directory
+        return (
+            self._read_stream()
+            .writeStream.foreachBatch(self._foreach_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .trigger(processingTime=f"{self.flush_interval_s} seconds")
+            .queryName(f"accumulate-{self.batch_id}")
+            .start()
+        )
+
+    # --- views (getBatchStatus / getFlushHistory parity) --------------------
+
+    def flush_history(self, limit: int | None = None) -> DataFrame:
+        """getFlushHistory (lib.ts:279-301): newest-first audit rows."""
+        if not os.path.isdir(self.history_dir):
+            return self.spark.createDataFrame([], schema=FLUSH_HISTORY_SCHEMA)
+        df = self.spark.read.schema(FLUSH_HISTORY_SCHEMA).parquet(self.history_dir)
+        df = df.orderBy(F.col("flushed_at").desc(), F.col("epoch_id").desc())
+        return df.limit(limit) if limit else df
+
+    def status(self) -> dict:
+        """getBatchStatus (lib.ts:206-253): pending item count + flush stats.
+        itemCount is computed on demand, never stored (T3/schema.ts:9)."""
+        staged = 0
+        if self._ensure_staging():
+            staged = self.spark.read.schema(self.item_schema).parquet(self.staging_dir).count()
+        hist = self.flush_history()
+        agg = hist.agg(
+            F.count(F.lit(1)).alias("attempts"),
+            F.sum(F.when(F.col("success"), F.col("item_count")).otherwise(0)).alias("flushed_items"),
+            F.max("flushed_at").alias("last_flush_at"),
+        ).collect()[0]
+        return {
+            "batch_id": self.batch_id,
+            "staged_item_count": staged,
+            "flush_attempts": agg["attempts"],
+            "flushed_items": agg["flushed_items"] or 0,
+            "last_flush_at": agg["last_flush_at"],
+        }

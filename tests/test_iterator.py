@@ -1,0 +1,152 @@
+"""Table-iterator semantics (SURVEY.md §2.9 D10-D14) — the reference's
+users-migration scenario (example/convex/usage.ts:77-176) driven over the
+customer table with a collecting handle. Sleeps are injected recorders, so
+tests assert the exact rate-limit/backoff schedule without wall-clock."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.iterator import TableIterator, backoff_ms
+from convex_batch_processor_spark.sources.registry import HandleRegistry
+
+
+@pytest.fixture()
+def customer(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer")
+
+
+def make_iter(tmp_path, customer, reg, sleeps):
+    return TableIterator(
+        state_dir=str(tmp_path / "jobs"),
+        source=customer,
+        key_col="c_custkey",
+        registry=reg,
+        sleep_fn=sleeps.append,
+    )
+
+
+def test_full_iteration_processes_every_row_once(tmp_path, customer):
+    reg, sleeps, seen = HandleRegistry(), [], []
+
+    @reg.register("migrate")
+    def migrate(chunk_df, cursor):
+        seen.extend(r.c_custkey for r in chunk_df.collect())
+
+    done = []
+    reg.add("on_done", lambda job_id, n: done.append((job_id, n)))
+
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("users", "migrate", batch_size=40, on_complete="on_done")
+    st = it.run("users")
+
+    total = customer.count()
+    assert st.status == "completed"
+    assert st.processed_count == total
+    assert sorted(seen) == [r.c_custkey for r in customer.orderBy("c_custkey").collect()]
+    assert len(seen) == len(set(seen))  # exactly once on the happy path
+    assert done == [("users", total)]  # D14 onComplete
+    # D11 rate limit: one delay per non-final chunk
+    assert sleeps.count(0.1) >= total // 40 - 1
+
+
+def test_duplicate_job_id_rejected(tmp_path, customer):
+    reg = HandleRegistry()
+    reg.add("noop", lambda df, c: None)
+    it = make_iter(tmp_path, customer, reg, [])
+    it.start("dup", "noop")
+    with pytest.raises(ValueError, match="already exists"):
+        it.start("dup", "noop")
+
+
+def test_pause_takes_effect_at_chunk_boundary_and_resume_continues(tmp_path, customer):
+    reg, sleeps, seen = HandleRegistry(), [], []
+    reg.add("migrate", lambda df, c: seen.extend(r.c_custkey for r in df.collect()))
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("j", "migrate", batch_size=50)
+
+    it.run("j", max_chunks=1)
+    it.pause("j")
+    st = it.run("j")  # guard stops immediately
+    assert st.status == "paused"
+    assert len(seen) == 50
+
+    it.resume("j")
+    st = it.run("j")
+    assert st.status == "completed"
+    assert len(seen) == customer.count()  # no rows skipped or repeated
+    assert len(seen) == len(set(seen))
+
+
+def test_cancel_marks_failed(tmp_path, customer):
+    reg = HandleRegistry()
+    reg.add("migrate", lambda df, c: None)
+    it = make_iter(tmp_path, customer, reg, [])
+    it.start("j", "migrate")
+    it.run("j", max_chunks=1)
+    st = it.cancel("j")
+    assert st.status == "failed" and st.error_message == "Cancelled by user"
+    assert it.run("j").status == "failed"  # guard refuses to continue
+
+
+def test_retry_backoff_then_fail_at_max_retries(tmp_path, customer):
+    reg, sleeps = HandleRegistry(), []
+    calls = []
+
+    @reg.register("explode")
+    def explode(df, cursor):
+        calls.append(1)
+        raise RuntimeError("chunk handler failed")
+
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("j", "explode", max_retries=3)
+    st = it.run("j")
+    assert st.status == "failed"
+    assert "chunk handler failed" in st.error_message
+    assert len(calls) == 3
+    # D12: capped exponential backoff schedule 1s, 2s (failure on 3rd)
+    assert sleeps == [1.0, 2.0]
+
+
+def test_retry_recovers_and_resets_counter(tmp_path, customer):
+    reg, sleeps, seen = HandleRegistry(), [], []
+    state = {"fails": 2}
+
+    @reg.register("flaky")
+    def flaky(df, cursor):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise RuntimeError("transient")
+        seen.extend(r.c_custkey for r in df.collect())
+
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("j", "flaky", batch_size=1000, max_retries=5)
+    st = it.run("j")
+    assert st.status == "completed"
+    assert st.retry_count == 0
+    assert len(seen) == customer.count()
+    assert sleeps[:2] == [1.0, 2.0]
+
+
+def test_status_list_delete(tmp_path, customer):
+    reg = HandleRegistry()
+    reg.add("noop", lambda df, c: None)
+    it = make_iter(tmp_path, customer, reg, [])
+    it.start("a", "noop", batch_size=10_000)
+    it.start("b", "noop", batch_size=10_000)
+    assert {s.job_id for s in it.store.list()} == {"a", "b"}
+    assert it.status("a")["status"] == "running"
+    with pytest.raises(ValueError, match="cannot delete"):
+        it.store.delete("a")  # guard: only terminal jobs deletable
+    it.run("a")
+    assert it.status("a")["status"] == "completed"
+    assert it.store.delete("a") is True
+    assert {s.job_id for s in it.store.list()} == {"b"}
+    assert [s.job_id for s in it.store.list(status="running")] == ["b"]
+
+
+def test_backoff_formula_parity():
+    """min(1000·2^n, 30000) — lib.ts:1059 / README.md:384."""
+    assert [backoff_ms(n) for n in range(7)] == [1000, 2000, 4000, 8000, 16000, 30000, 30000]

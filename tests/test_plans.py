@@ -1,0 +1,74 @@
+"""Physical-plan contracts — the 100 TB design encoded as assertions.
+
+If a refactor stops a filter from reaching the parquet scan, widens a
+ReadSchema, or turns a top-k into a global sort, these fail."""
+
+from __future__ import annotations
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.plans import explain as E
+from convex_batch_processor_spark.queries import QUERIES
+
+
+def q(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    df = q(spark, sf_dir, "s1_point_lookup")
+    assert E.has_pushed_filter(df, "o_orderkey")
+
+
+def test_range_scan_pushes_both_predicates_and_prunes_columns(spark, sf_dir):
+    df = q(spark, sf_dir, "s2_snapshot_range_scan")
+    assert E.has_pushed_filter(df, "l_orderkey")
+    assert E.has_pushed_filter(df, "l_shipdate")
+    cols = set(E.read_schema_columns(df))
+    assert cols == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+
+
+def test_q1_reads_only_referenced_columns(spark, sf_dir):
+    df = q(spark, sf_dir, "q1_pricing_summary")
+    cols = set(E.read_schema_columns(df))
+    assert cols == {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    assert E.uses_take_ordered(q(spark, sf_dir, "o2_topk_orders"))
+
+
+def test_semi_join_broadcasts_small_side(spark, sf_dir):
+    df = q(spark, sf_dir, "j2_semi_exists")
+    assert E.uses_broadcast_join(df)
+
+
+def test_knn_broadcasts_query_side(spark, sf_dir):
+    assert E.uses_broadcast_join(q(spark, sf_dir, "knn_bruteforce"))
+
+
+def test_per_key_agg_join_aggregates_before_join(spark, sf_dir):
+    """The J1 plan must shuffle the AGGREGATED child, not raw lineitem:
+    the partial HashAggregate has to appear below the join."""
+    plan = E.physical_plan(q(spark, sf_dir, "j1_per_key_agg_join"))
+    join_pos = min(
+        (plan.find(tok) for tok in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if plan.find(tok) != -1),
+        default=-1,
+    )
+    agg_pos = plan.find("HashAggregate")
+    assert join_pos != -1 and agg_pos != -1
+    assert agg_pos > join_pos  # aggregate is a child (printed below the join)
+
+
+def test_window_queries_single_exchange(spark, sf_dir):
+    """All five window functions share one shuffle on user_id."""
+    df = q(spark, sf_dir, "window_rank_lag_running")
+    assert E.count_exchanges(df) <= 1
+
+
+def test_projection_view_prunes_to_four_columns(spark, sf_dir):
+    cols = set(E.read_schema_columns(q(spark, sf_dir, "p1_projection_view")))
+    assert cols == {"o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"}

@@ -35,6 +35,8 @@ HEADLINE = [
     "text_quality_stats",
     "minhash_neardup",
     "knn_bruteforce",
+    "tumbling_window_counts",
+    "s10_state_upsert",
 ]
 
 
@@ -49,12 +51,16 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        start = time.monotonic()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - start, 3)
+        best = float("inf")
+        for _ in range(runs):  # best-of-N: steady-state, not JIT warmup
+            start = time.monotonic()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.monotonic() - start)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

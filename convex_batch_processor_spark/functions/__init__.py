@@ -9,7 +9,7 @@ The engine's function surface, grouped:
 """
 
 from ..iterator import backoff_ms  # noqa: F401
-from ..llmops.dedup import content_hash, shingles_col, tokens_col  # noqa: F401
+from ..llmops.dedup import content_hash, shingles_from_tokens, tokens_col, with_shingles  # noqa: F401
 from ..llmops.similarity import cosine_col, dot_col, norm_col  # noqa: F401
 from ..llmops.textstats import (  # noqa: F401
     prefix_fingerprint,

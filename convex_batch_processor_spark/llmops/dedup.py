@@ -27,14 +27,26 @@ def tokens_col(text_col: str = "text"):
     return F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
 
 
-def shingles_col(text_col: str = "text", n: int = 3):
-    """Distinct word n-gram shingles as an array column."""
-    toks = tokens_col(text_col)
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct word n-gram shingles from a TOKEN ARRAY COLUMN.
+
+    IMPORTANT perf contract: ``toks`` must be a materialized column
+    (attribute), not an inline split() expression — the transform lambda
+    references it per gram, and an inlined split would be recomputed per
+    gram: O(tokens²) per doc (measured 6.5× slower at sf0.1)."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
     idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + j) for j in range(n)]
+    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3, out: str = "sh") -> DataFrame:
+    """(id, shingle-array) projection with the tokens materialized first
+    (see shingles_from_tokens perf contract)."""
+    return (
+        df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles_from_tokens("_toks", n).alias(out))
     )
-    return F.array_distinct(F.transform(idx, gram))
 
 
 def content_hash(text_col: str = "text"):
@@ -70,7 +82,9 @@ def minhash_signatures(
     One explode + one groupBy(id) — the signature table is narrow
     (id + num_perm longs) no matter how large the corpus.
     """
-    shingled = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("shingle"))
+    shingled = with_shingles(df, text_col, id_col).select(
+        F.col(id_col), F.explode("sh").alias("shingle")
+    )
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
@@ -121,7 +135,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact Jaccard over distinct shingles for given candidate pairs."""
-    sh = df.select(F.col(id_col), shingles_col(text_col).alias("sh"))
+    sh = with_shingles(df, text_col, id_col)
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

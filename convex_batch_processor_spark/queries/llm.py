@@ -90,7 +90,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     swaps the bucket for MinHash-LSH bands — see minhash_neardup, which is
     the scale path; this exact form is its verification baseline)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", "source", D.shingles_col().alias("grams"))
+    sh = (
+        docs.select("doc_id", "source", D.tokens_col().alias("_toks"))
+        .select("doc_id", "source", D.shingles_from_tokens("_toks").alias("grams"))
+    )
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), F.col("grams").alias("ga"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), F.col("grams").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))

@@ -97,11 +97,13 @@ def main():
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        sys.exit(f"unknown query name(s): {sorted(unknown)}; known: {sorted(QUERIES)}")
+    selected = {n: s for n, s in QUERIES.items() if not only or n in only}
     spark = get_spark(app_name="oracle-check", shuffle_partitions=8)
     failures = []
-    for name, spec in QUERIES.items():
-        if only and name not in only:
-            continue
+    for name, spec in selected.items():
         try:
             ok, detail = compare(spark, sf_dir, name, spec.fn, spec.oracle)
         except Exception as e:  # noqa: BLE001
@@ -110,7 +112,7 @@ def main():
         print(f"{status:4} {name}: {detail}")
         if not ok:
             failures.append(name)
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} passed")
+    print(f"\n{len(selected) - len(failures)}/{len(selected)} passed")
     sys.exit(1 if failures else 0)
 
 

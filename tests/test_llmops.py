@@ -23,7 +23,7 @@ def test_minhash_lsh_finds_exact_jaccard_pairs(spark, sf_dir):
         ).filter(F.col("jaccard") >= 0.5).collect()
     }
     # ground truth: all-pairs exact jaccard (bounded corpus)
-    sh = docs.select("doc_id", D.shingles_col().alias("sh"))
+    sh = D.with_shingles(docs)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb"))

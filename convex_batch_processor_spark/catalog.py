@@ -44,9 +44,19 @@ def table_path(sf_dir: str, name: str) -> str:
 NANO_TS_COLS = {"events": ("ts",)}
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive runtime confs so queries behave identically on ANY session
+    (the round driver builds its own SparkSession, not ours): nanos
+    timestamps readable, timestamps collected as UTC (what the DuckDB
+    oracle produces)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANO_TS_COLS.get(name, ()):
         field = df.schema[col] if col in df.columns else None

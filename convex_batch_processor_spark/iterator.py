@@ -67,6 +67,9 @@ class IteratorJobState:
     max_retries: int = 5  # default (lib.ts:983)
     process_batch: str = ""  # handle name
     on_complete: str | None = None  # handle name
+    # precomputed key-range boundaries (the 100 TB cursor plan); when set,
+    # cursor is an INDEX into these ranges instead of a key value
+    range_bounds: list | None = None
 
     def to_dict(self) -> dict:
         return self.__dict__.copy()
@@ -150,19 +153,42 @@ class TableIterator:
         delay_between_batches_s: float = 0.1,
         max_retries: int = 5,
         on_complete: str | None = None,
+        plan_ranges: bool = False,
+        num_chunks: int | None = None,
     ) -> IteratorJobState:
         """startIteratorJob (lib.ts:736-782): duplicate-id reject + insert
-        running job."""
+        running job.
+
+        ``plan_ranges=True`` is the 100 TB cursor strategy: compute chunk
+        boundaries ONCE via approxQuantile (one cheap sampling pass), then
+        every chunk is a pure range filter — row-group pruning on a sorted
+        layout, no per-chunk TakeOrdered over the remainder of the table.
+        The default orderBy+limit cursor re-sorts the tail every chunk,
+        which is fine at test scale but O(n·chunks) at cluster scale.
+        """
         if self.store.exists(job_id):
             raise ValueError(f"Iterator job with ID '{job_id}' already exists")
+        bounds = None
+        if plan_ranges:
+            if num_chunks is None:
+                n = self.source.count()
+                num_chunks = max(1, -(-n // batch_size))
+            probs = [i / num_chunks for i in range(1, num_chunks)]
+            bounds = (
+                self.source.stat.approxQuantile(self.key_col, probs, 0.001)
+                if probs
+                else []
+            )
         st = IteratorJobState(
             job_id=job_id,
             status="running",
+            cursor=0 if bounds is not None else None,
             batch_size=batch_size,
             delay_between_batches_s=delay_between_batches_s,
             max_retries=max_retries,
             process_batch=process_batch,
             on_complete=on_complete,
+            range_bounds=bounds,
         )
         self.store.save(st)
         return st
@@ -210,13 +236,28 @@ class TableIterator:
 
     # --- the chunk loop (processNextBatch, lib.ts:968-1071) -----------------
 
-    def _next_chunk(self, cursor: Any, batch_size: int) -> DataFrame:
-        """getNextBatch default impl: ordered key-range page. The filter
-        pushes to the scan; orderBy+limit compiles to TakeOrderedAndProject."""
+    def _next_chunk(self, st: IteratorJobState) -> DataFrame:
+        """getNextBatch default impl.
+
+        Planned mode: cursor is a range index into the precomputed bounds —
+        chunk = pure range filter (scan-prunable, no sort).
+        Cursor mode: ordered key page past the cursor value — the filter
+        pushes to the scan; orderBy+limit compiles to TakeOrderedAndProject.
+        """
+        key = F.col(self.key_col)
+        if st.range_bounds is not None:
+            idx = int(st.cursor or 0)
+            bounds = st.range_bounds
+            df = self.source
+            if idx > 0:
+                df = df.filter(key > F.lit(bounds[idx - 1]))
+            if idx < len(bounds):
+                df = df.filter(key <= F.lit(bounds[idx]))
+            return df
         df = self.source
-        if cursor is not None:
-            df = df.filter(F.col(self.key_col) > F.lit(cursor))
-        return df.orderBy(F.col(self.key_col).asc()).limit(batch_size)
+        if st.cursor is not None:
+            df = df.filter(key > F.lit(st.cursor))
+        return df.orderBy(key.asc()).limit(st.batch_size)
 
     def run(self, job_id: str, max_chunks: int | None = None) -> IteratorJobState:
         """Drive the job until completed/paused/failed (or max_chunks).
@@ -230,15 +271,19 @@ class TableIterator:
             st = self.store.load(job_id)
             if st.status != "running":  # pause/cancel guard (lib.ts:978-981)
                 return st
-            chunk = self._next_chunk(st.cursor, st.batch_size)
+            planned = st.range_bounds is not None
+            if planned and int(st.cursor or 0) > len(st.range_bounds):
+                return self._complete(st)
+            chunk = self._next_chunk(st)
             try:
                 rows = chunk.select(F.max(self.key_col).alias("mx"),
                                     F.count(F.lit(1)).alias("n")).collect()[0]
                 n, max_key = rows["n"], rows["mx"]
-                if n == 0:
+                if n == 0 and not planned:
                     return self._complete(st)
                 handle = self.registry.resolve(st.process_batch)
-                handle(chunk, st.cursor)
+                if n > 0:
+                    handle(chunk, st.cursor)
             except Exception as e:  # noqa: BLE001 — retry path (lib.ts:1046-1069)
                 st = self.store.load(job_id)
                 st.retry_count += 1
@@ -254,14 +299,20 @@ class TableIterator:
                 continue
             # success: persist cursor/progress, reset retries (lib.ts:1073-1087)
             st = self.store.load(job_id)
-            st.cursor = max_key
+            if planned:
+                st.cursor = int(st.cursor or 0) + 1
+            else:
+                st.cursor = max_key
             st.processed_count += n
             st.retry_count = 0
             st.error_message = None
             st.last_run_at = time.time()
             self.store.save(st)
             chunks += 1
-            if n < st.batch_size:
+            if planned:
+                if st.cursor > len(st.range_bounds):
+                    return self._complete(self.store.load(job_id))
+            elif n < st.batch_size:
                 return self._complete(self.store.load(job_id))
             self.sleep_fn(st.delay_between_batches_s)  # rate limit (lib.ts:1039-1043)
         return self.store.load(job_id)

@@ -12,6 +12,7 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 from . import relational  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import dataflow  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 
 

@@ -150,3 +150,31 @@ def test_status_list_delete(tmp_path, customer):
 def test_backoff_formula_parity():
     """min(1000·2^n, 30000) — lib.ts:1059 / README.md:384."""
     assert [backoff_ms(n) for n in range(7)] == [1000, 2000, 4000, 8000, 16000, 30000, 30000]
+
+
+def test_range_planned_iteration_processes_every_row_once(tmp_path, customer):
+    """100 TB cursor strategy: precomputed approxQuantile boundaries, each
+    chunk a pure range filter — same exactly-once coverage as cursor mode."""
+    reg, sleeps, seen = HandleRegistry(), [], []
+    reg.add("migrate", lambda df, cur: seen.extend(r.c_custkey for r in df.collect()))
+    done = []
+    reg.add("fin", lambda j, n: done.append(n))
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("planned", "migrate", batch_size=40, plan_ranges=True, on_complete="fin")
+    st = it.run("planned")
+    total = customer.count()
+    assert st.status == "completed"
+    assert st.processed_count == total
+    assert sorted(seen) == [r.c_custkey for r in customer.orderBy("c_custkey").collect()]
+    assert len(seen) == len(set(seen))
+    assert done == [total]
+    # planned mode resumes across pause too
+    reg2, seen2 = HandleRegistry(), []
+    reg2.add("migrate", lambda df, cur: seen2.extend(r.c_custkey for r in df.collect()))
+    it2 = make_iter(tmp_path / "x", customer, reg2, [])
+    it2.start("p2", "migrate", batch_size=40, plan_ranges=True, num_chunks=4)
+    it2.run("p2", max_chunks=2)
+    it2.pause("p2")
+    it2.resume("p2")
+    assert it2.run("p2").status == "completed"
+    assert sorted(seen2) == sorted(seen)

@@ -13,6 +13,7 @@ from . import relational  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import dataflow  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
+from . import misc  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 
 

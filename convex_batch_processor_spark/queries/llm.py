@@ -298,3 +298,32 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (decode body is a deterministic STUB — codecs not in container)."""
     return M.decode_features(M.attach_payload(_t(spark, sf_dir, "documents")))
+
+
+@register(
+    "doc_embedding_join",
+    oracle="""
+    SELECT d.doc_id, d.lang,
+           len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens,
+           round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm,
+           e.label
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal join: text table ⋈ embedding table on shared ids — the
+    shape of joining a document corpus to its embedding index. Small side
+    broadcastable; vector math stays a JVM array fold."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .select(
+            "doc_id",
+            "lang",
+            X.token_count().alias("n_tokens"),
+            F.round(F.sqrt(S.dot_col(F.col("embedding"), F.col("embedding"))), 4).alias("emb_norm"),
+            "label",
+        )
+    )

@@ -141,3 +141,31 @@ def test_status_view(spark, tmp_path):
     assert st["flushed_items"] == 6
     assert st["flush_attempts"] >= 1
     assert st["last_flush_at"] is not None
+
+
+def test_continuous_start_processes_adds(spark, tmp_path):
+    """D1 time path: the long-running interval-triggered stream picks up
+    items staged while it is live (processAllAvailable forces the epochs
+    deterministically instead of waiting for the trigger clock)."""
+    reg = HandleRegistry()
+    seen = []
+
+    @reg.register("collect_events")
+    def collect_events(df, epoch_id):
+        seen.extend(r.event_name for r in df.collect())
+
+    # short interval: processAllAvailable still gates on the trigger clock,
+    # so a long interval would block it for the full period
+    acc = make_acc(spark, tmp_path, reg, flush_interval_s=0.5)
+    acc.add_items(events(3))
+    q = acc.start()
+    try:
+        q.processAllAvailable()
+        assert sorted(seen) == ["e0", "e1", "e2"]
+        acc.add_items(events(2, start=50))  # arrives while the stream is live
+        q.processAllAvailable()
+        assert sorted(seen) == ["e0", "e1", "e2", "e50", "e51"]
+    finally:
+        q.stop()
+    hist = acc.flush_history().collect()
+    assert sum(h.item_count for h in hist if h.success) == 5

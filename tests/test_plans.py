@@ -72,3 +72,27 @@ def test_window_queries_single_exchange(spark, sf_dir):
 def test_projection_view_prunes_to_four_columns(spark, sf_dir):
     cols = set(E.read_schema_columns(q(spark, sf_dir, "p1_projection_view")))
     assert cols == {"o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"}
+
+
+def test_q3_pushes_filters_and_broadcasts_dimension(spark, sf_dir):
+    """TPC-H Q3: segment/date filters reach the scans; the filtered
+    customer dimension joins via broadcast (no full shuffle of the facts
+    against a small dim)."""
+    df = q(spark, sf_dir, "q3_shipping_priority")
+    assert E.has_pushed_filter(df, "c_mktsegment")
+    assert E.has_pushed_filter(df, "o_orderdate")
+    assert E.has_pushed_filter(df, "l_shipdate")
+    assert E.uses_broadcast_join(df)
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    """The union+window as-of join must not contain a nested-loop or
+    row-multiplying join — only exchanges for the window partition."""
+    plan = E.physical_plan(q(spark, sf_dir, "asof_join_latest_order"))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_exact_single_exchange(spark, sf_dir):
+    df = q(spark, sf_dir, "dedup_exact")
+    assert E.count_exchanges(df) <= 1

@@ -157,3 +157,54 @@ def lsh_ann(
     )
     w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid vectors — the coarse-quantizer training step of
+    IVF-style ANN (assign vectors to nearest centroid, search only that
+    inverted list).
+
+    Fully distributed elementwise mean: posexplode to (label, dim, value)
+    → one aggregation shuffle on (label, dim) → reassemble the array by
+    sorting collected (dim, mean) structs. No vector ever passes through
+    Python."""
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    dim_means = exploded.groupBy(label_col, "dim").agg(
+        F.avg(F.col("val").cast("double")).alias("mean_val")
+    )
+    return (
+        dim_means.groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mean_val"))),
+                lambda s: s["mean_val"],
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (IVF list assignment):
+    broadcast the small centroid table, score every (vector, centroid)
+    pair JVM-side, keep the argmax per vector."""
+    c = centroids.select(
+        F.col(label_col).alias("centroid_id"), F.col("centroid")
+    )
+    sim = F.round(cosine_col(F.col(vec_col), F.col("centroid")), 6)
+    scored = embeddings.select(id_col, vec_col).join(F.broadcast(c)).select(
+        F.col(id_col), F.col("centroid_id"), sim.alias("sim")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

@@ -1,0 +1,51 @@
+"""Skew-mitigation operators.
+
+AQE's skew-join splitting handles JOIN skew automatically; AGGREGATION
+skew (one hot group key swamping a reducer) needs the classic salt
+two-phase shape, provided here as a reusable operator. At 100 TB a hot key
+(e.g. one dominant language or event_type) otherwise serializes the whole
+stage behind one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    aggs: dict[str, Column],
+    salt_buckets: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    Phase 1 groups by (key, salt) — the hot key's rows spread over
+    ``salt_buckets`` reducers; phase 2 merges the per-salt partials by key.
+    The caller supplies RE-AGGREGATABLE expressions: ``aggs`` maps output
+    column name -> phase-1 aggregate; phase 2 re-applies sum/max/min by
+    name convention (sum for sums/counts, max/min preserved).
+
+    Only decomposable aggregates (sum, count, min, max) are supported —
+    exactly the ones that survive a two-phase split. The salt is derived
+    from a hash of the full row's partition id + monotonic id, so it needs
+    no data column.
+    """
+    salted = df.withColumn(salt_col, (F.spark_partition_id() + F.monotonically_increasing_id()) % salt_buckets)
+    phase1 = salted.groupBy(*key_cols, salt_col).agg(
+        *[expr.alias(f"_p1_{name}") for name, expr in aggs.items()]
+    )
+    # merge partials: sums/counts add, min/max re-apply
+    merged = []
+    for name, expr in aggs.items():
+        fn_name = expr._jc.toString().lower()  # e.g. "sum(x) AS y" / "count(1) AS n"
+        src = F.col(f"_p1_{name}")
+        if fn_name.startswith("min"):
+            merged.append(F.min(src).alias(name))
+        elif fn_name.startswith("max"):
+            merged.append(F.max(src).alias(name))
+        else:  # sum / count partials both merge by sum
+            merged.append(F.sum(src).alias(name))
+    return phase1.groupBy(*key_cols).agg(*merged)

@@ -327,3 +327,38 @@ def doc_embedding_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
         )
     )
+
+
+@register(
+    "vocab_top_terms",
+    oracle="""
+    SELECT token, n FROM (
+        SELECT token, COUNT(*) AS n,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    ) WHERE rn <= 25
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-25 terms by frequency — the tokenizer-training
+    / vocab-pruning primitive. Explode is map-side; one agg shuffle; the
+    top-k is a TakeOrdered over the (small) distinct-term table."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)
+
+
+@register("ivf_centroid_assign")  # rows-only: centroid floats not SQL-portable
+def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: per-label centroids (distributed elementwise
+    mean) + nearest-centroid assignment for every vector — the training +
+    list-assignment steps of IVF ANN. Tests verify centroids against numpy."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_assign(emb, S.label_centroids(emb))

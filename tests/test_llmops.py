@@ -104,3 +104,71 @@ def test_frame_sample_stub_shapes(spark, sf_dir):
     assert rows, "frame sampling should emit rows for non-empty payloads"
     assert frames.columns == ["doc_id", "frame_idx", "frame_bytes"]
     assert all(r.frame_idx % 2 == 0 for r in rows)
+
+
+def test_label_centroids_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    from convex_batch_processor_spark.llmops.similarity import ivf_assign, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.label: list(r.centroid) for r in label_centroids(emb).collect()}
+    rows = emb.collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(np.array(r.embedding, dtype=np.float64))
+    for label, vecs in by_label.items():
+        expected = np.mean(vecs, axis=0)
+        assert np.allclose(got[label], expected, atol=1e-9)
+    # IVF assignment: every vector assigned to exactly one centroid
+    assigned = ivf_assign(emb, label_centroids(emb))
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from convex_batch_processor_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (r.n, r.sq, r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(F2.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sq"),
+            F2.max("l_shipdate").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (r.n, r.sq, r.mx)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {
+                "n": F2.count(F2.lit(1)),
+                "sq": F2.sum(F2.col("l_quantity").cast("decimal(18,2)")).cast("double"),
+                "mx": F2.max("l_shipdate"),
+            },
+            salt_buckets=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    from convex_batch_processor_spark.plans import explain as E
+    from convex_batch_processor_spark.sources.sinks import read_partitioned, write_partitioned
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, out, ["lang"])
+    back = read_partitioned(spark, out)
+    assert back.count() == docs.count()
+    pruned = back.filter(F.col("lang") == "de")
+    plan = E.physical_plan(pruned)
+    # partition filter handled at planning: only lang=de directories scanned
+    assert pruned.count() == docs.filter(F.col("lang") == "de").count()
+    assert "PartitionFilters" in plan or "lang=de" in plan or "PartitionCount: 1" in plan

@@ -46,6 +46,12 @@ def salted_agg(
             merged.append(F.min(src).alias(name))
         elif fn_name.startswith("max"):
             merged.append(F.max(src).alias(name))
-        else:  # sum / count partials both merge by sum
+        elif fn_name.startswith(("sum", "count", "cast(sum", "cast(count")):
             merged.append(F.sum(src).alias(name))
+        else:
+            # avg/stddev/distinct etc. would merge WRONG — refuse loudly
+            raise ValueError(
+                f"salted_agg only supports decomposable aggregates "
+                f"(sum/count/min/max); got {fn_name!r} for {name!r}"
+            )
     return phase1.groupBy(*key_cols).agg(*merged)

@@ -212,6 +212,46 @@ class BatchAccumulator:
             .start()
         )
 
+    # --- D8 retention: delete flushed staging files -------------------------
+
+    def vacuum_staging(self, dry_run: bool = False) -> list[str]:
+        """Delete staging files whose epochs are COMMITTED (the reference
+        deletes flushed batchItems, lib.ts:622-634).
+
+        Committed = the epoch appears under ``<checkpoint>/commits/``; the
+        file list per epoch is the FileStreamSource log at
+        ``<checkpoint>/sources/0/<epoch>``. Uncommitted epochs (failed
+        flushes pending retry) keep their files, preserving at-least-once.
+        Returns the deleted (or would-delete) paths.
+        """
+        import json
+
+        commits_dir = os.path.join(self.checkpoint_dir, "commits")
+        source_log = os.path.join(self.checkpoint_dir, "sources", "0")
+        if not (os.path.isdir(commits_dir) and os.path.isdir(source_log)):
+            return []
+        committed = {name for name in os.listdir(commits_dir) if name.isdigit()}
+        doomed: list[str] = []
+        for epoch in sorted(committed, key=int):
+            log_file = os.path.join(source_log, epoch)
+            if not os.path.exists(log_file):
+                continue
+            with open(log_file) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line.startswith("{"):
+                        continue
+                    entry = json.loads(line)
+                    path = entry.get("path", "")
+                    if path.startswith("file:"):
+                        path = path[len("file:"):]
+                    if os.path.exists(path):
+                        doomed.append(path)
+        if not dry_run:
+            for p in doomed:
+                os.remove(p)
+        return doomed
+
     # --- views (getBatchStatus / getFlushHistory parity) --------------------
 
     def flush_history(self, limit: int | None = None) -> DataFrame:

@@ -169,3 +169,27 @@ def test_continuous_start_processes_adds(spark, tmp_path):
         q.stop()
     hist = acc.flush_history().collect()
     assert sum(h.item_count for h in hist if h.success) == 5
+
+
+def test_vacuum_staging_removes_only_committed_files(spark, tmp_path):
+    """D8: flushed (committed) staging files are deleted; files staged
+    after the flush survive, and a re-flush still sees only them."""
+    import os
+
+    reg = HandleRegistry()
+    seen = []
+    reg.add("collect_events", lambda df, e: seen.extend(r.event_name for r in df.collect()))
+    acc = make_acc(spark, tmp_path, reg)
+    acc.add_items(events(4))
+    acc.flush_now()
+    acc.add_items(events(2, start=100))  # staged but NOT flushed yet
+
+    doomed = acc.vacuum_staging(dry_run=True)
+    assert len(doomed) == 1  # only the flushed add-file
+    acc.vacuum_staging()
+    remaining = [f for f in os.listdir(acc.staging_dir) if f.endswith(".parquet")]
+    assert len(remaining) == 1  # the unflushed add survives
+
+    seen.clear()
+    acc.flush_now()
+    assert sorted(seen) == ["e100", "e101"]  # offsets unaffected by vacuum

@@ -67,12 +67,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load all tables that exist under ``sf_dir`` as lazy DataFrames."""
+    """Load all tables that exist under ``sf_dir`` as lazy DataFrames
+    (through load_table so session confs + timestamp normalization apply)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        path = table_path(sf_dir, name)
-        if os.path.exists(path):
-            out[name] = spark.read.parquet(path)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
 
 

@@ -11,6 +11,7 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 # import order defines the display order of the inventory
 from . import relational  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
 from . import dataflow  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import misc  # noqa: E402,F401

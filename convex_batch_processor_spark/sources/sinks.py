@@ -40,3 +40,22 @@ def compact(spark: SparkSession, path: str, target_files: int, out_path: str) ->
     exchange is paid; use repartition when uniformity matters more than
     the shuffle cost."""
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table (``bucketBy`` requires saveAsTable).
+
+    Both sides of a frequent equi-join written with the SAME bucket count
+    and key join WITHOUT a shuffle exchange — the pre-shuffled layout is
+    the biggest single lever for repeated 100 TB fact-fact joins.
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)

@@ -72,25 +72,26 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_list_agg",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
            COUNT(*) AS n
     FROM orders WHERE o_custkey < 40
     GROUP BY o_custkey
     """,
 )
 def collect_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-building aggregates: collect_list / collect_set (sorted for
-    engine-portable comparison). The reference's getAllBatchesForBaseId
-    returns exactly this shape — all rows for a key as one payload
+    """Array-building aggregates: collect_list / collect_set (sorted, then
+    serialized to a string at the result boundary so the cross-engine hash
+    is type-agnostic). The reference's getAllBatchesForBaseId returns
+    exactly this shape — all rows for a key as one payload
     (lib.ts:255-277)."""
     return (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_custkey") < 40)
         .groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.sort_array(F.collect_list("o_orderkey")), ",").alias("order_keys"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias("priorities"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -158,7 +159,7 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            len(toks) AS n_toks,
            list_contains(toks, 'the') AS has_the,
-           list_sort(list_slice(toks, 1, 5)) AS first5_sorted,
+           array_to_string(list_sort(list_slice(toks, 1, 5)), ',') AS first5_sorted,
            array_to_string(list_slice(toks, 1, 3), '-') AS head3,
            list_distinct(list_slice(toks, 1, 10)) IS NOT NULL AS distinct_ok,
            len(list_distinct(toks)) AS n_unique
@@ -175,7 +176,7 @@ def array_functions_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size("toks").alias("n_toks"),
         F.array_contains("toks", "the").alias("has_the"),
-        F.sort_array(F.slice("toks", 1, 5)).alias("first5_sorted"),
+        F.array_join(F.sort_array(F.slice("toks", 1, 5)), ",").alias("first5_sorted"),
         F.array_join(F.slice("toks", 1, 3), "-").alias("head3"),
         F.array_distinct(F.slice("toks", 1, 10)).isNotNull().alias("distinct_ok"),
         F.size(F.array_distinct("toks")).alias("n_unique"),

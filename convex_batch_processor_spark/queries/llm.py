@@ -362,3 +362,13 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     list-assignment steps of IVF ANN. Tests verify centroids against numpy."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_assign(emb, S.label_centroids(emb))
+
+
+@register("grouped_map_zscore")  # rows-only: pandas ddof/rounding not worth oracle-pinning
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-user z-score of event values (the X1
+    per-group UDF surface; tests pin it against the window-function
+    equivalent within float tolerance)."""
+    from ..llmops.groupedmap import group_zscore
+
+    return group_zscore(_t(spark, sf_dir, "events"))

@@ -172,3 +172,23 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # partition filter handled at planning: only lang=de directories scanned
     assert pruned.count() == docs.filter(F.col("lang") == "de").count()
     assert "PartitionFilters" in plan or "lang=de" in plan or "PartitionCount: 1" in plan
+
+
+def test_grouped_map_zscore_matches_window_form(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from convex_batch_processor_spark.llmops.groupedmap import group_zscore
+
+    ev = load_table(spark, sf_dir, "events")
+    got = {r.event_id: r.zscore for r in group_zscore(ev).collect()}
+    w = Window.partitionBy("user_id")
+    expected = {
+        r.event_id: r.z
+        for r in ev.select(
+            "event_id",
+            ((F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)).alias("z"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for eid, z in expected.items():
+        assert abs(got[eid] - z) < 1e-4

@@ -47,7 +47,16 @@ def main() -> None:
     names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = names.split(",") if names else HEADLINE
 
-    spark = get_spark(app_name="cbps-bench")
+    spark = get_spark(
+        app_name="cbps-bench",
+        # the sf0.1 tables are single ~2-10 MB files; split at row-group
+        # granularity so the scan parallelizes across local cores (at real
+        # scale files are >128 MB and the default split size is right)
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 

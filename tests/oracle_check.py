@@ -88,6 +88,8 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str | None):
     if s_set:
         extra = next(iter(s_set))
         return False, f"value mismatch: spark row {extra!r:.300} not in duckdb result"
+    if not srows:
+        return True, "match: 0 rows (WARNING: empty result proves nothing — re-parameterize)"
     return True, f"match: {len(srows)} rows"
 
 

@@ -1,0 +1,166 @@
+"""BatchProcessor — drop-in-shaped client facade.
+
+Mirrors the reference's public client API (src/client/index.ts:197-349:
+``addItems, flush, getBatchStatus, getFlushHistory, startIterator,
+pauseIterator, resumeIterator, cancelIterator, getIteratorStatus,
+listIteratorJobs, deleteIteratorJob``) so a reference user's calling code
+maps 1:1, with Convex function handles replaced by registry handle names
+and Convex tables by parquet dirs.
+
+Differences (documented, by design):
+- callbacks receive an epoch-bounded DataFrame, not a JS array — collect()
+  inside the callback if item lists are wanted (reference semantics), or
+  stay distributed (the whole point of the port);
+- ``flush`` runs the flush synchronously (the reference schedules it and
+  returns optimistically, lib.ts:167-177);
+- iterator cursors are ordered key ranges, not opaque tokens.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .iterator import IteratorJobState, TableIterator
+from .sources.registry import HandleRegistry, default_registry
+from .streaming.accumulator import BatchAccumulator
+
+
+@dataclass
+class BatchProcessor:
+    """One facade over both subsystems, rooted at a working directory.
+
+    ``registry`` plays the role of the reference's function-handle
+    creation (src/client/index.ts:221-237): register callables by name,
+    store only names in state.
+    """
+
+    spark: SparkSession
+    root: str
+    registry: HandleRegistry = field(default_factory=lambda: default_registry)
+    _accumulators: dict[str, BatchAccumulator] = field(default_factory=dict)
+    _iterators: dict[str, TableIterator] = field(default_factory=dict)
+
+    # --- accumulator surface (reference index.ts:214-301) -------------------
+
+    def accumulator(
+        self,
+        batch_id: str,
+        item_schema: T.StructType,
+        process_batch: str,
+        flush_interval_s: float = 30.0,
+        immediate_flush_threshold: int | None = None,
+    ) -> BatchAccumulator:
+        """Create/fetch the named batch accumulator (config ≈ BatchConfig,
+        index.ts:204-213)."""
+        if batch_id not in self._accumulators:
+            self._accumulators[batch_id] = BatchAccumulator(
+                spark=self.spark,
+                batch_id=batch_id,
+                root=f"{self.root}/batches/{batch_id}",
+                item_schema=item_schema,
+                process_batch=process_batch,
+                flush_interval_s=flush_interval_s,
+                immediate_flush_threshold=immediate_flush_threshold,
+                registry=self.registry,
+            )
+        return self._accumulators[batch_id]
+
+    def add_items(self, batch_id: str, items: list[dict]) -> int:
+        """addItems (index.ts:214-237). Accumulator must exist (the facade
+        keeps config at accumulator() time, like the reference's
+        per-batch-name config)."""
+        return self._acc(batch_id).add_items(items)
+
+    def flush(self, batch_id: str) -> bool:
+        """flush (index.ts:239-241): synchronous manual flush."""
+        return self._acc(batch_id).flush_now()
+
+    def get_batch_status(self, batch_id: str) -> dict:
+        """getBatchStatus (index.ts:243-252)."""
+        return self._acc(batch_id).status()
+
+    def get_flush_history(self, batch_id: str, limit: int = 10) -> DataFrame:
+        """getFlushHistory (index.ts:254-263): newest-first attempts."""
+        return self._acc(batch_id).flush_history(limit)
+
+    def _acc(self, batch_id: str) -> BatchAccumulator:
+        if batch_id not in self._accumulators:
+            raise KeyError(
+                f"no accumulator configured for {batch_id!r}; call accumulator() first"
+            )
+        return self._accumulators[batch_id]
+
+    # --- iterator surface (reference index.ts:265-349) -----------------------
+
+    def start_iterator(
+        self,
+        job_id: str,
+        source: DataFrame,
+        key_col: str,
+        process_batch: str,
+        batch_size: int = 100,
+        delay_between_batches_s: float = 0.1,
+        max_retries: int = 5,
+        on_complete: str | None = None,
+        run: bool = True,
+        plan_ranges: bool = False,
+    ) -> IteratorJobState:
+        """startIterator (index.ts:272-292). ``run=True`` drives the job to
+        a terminal/paused state synchronously (the reference self-schedules
+        chunks; here the caller owns the loop — pass run=False and call
+        run_iterator() to step cooperatively)."""
+        it = TableIterator(
+            state_dir=f"{self.root}/jobs",
+            source=source,
+            key_col=key_col,
+            registry=self.registry,
+        )
+        self._iterators[job_id] = it
+        st = it.start(
+            job_id,
+            process_batch,
+            batch_size=batch_size,
+            delay_between_batches_s=delay_between_batches_s,
+            max_retries=max_retries,
+            on_complete=on_complete,
+            plan_ranges=plan_ranges,
+        )
+        return it.run(job_id) if run else st
+
+    def run_iterator(self, job_id: str, max_chunks: int | None = None) -> IteratorJobState:
+        return self._it(job_id).run(job_id, max_chunks=max_chunks)
+
+    def pause_iterator(self, job_id: str) -> IteratorJobState:
+        """pauseIterator (index.ts:294-300)."""
+        return self._it(job_id).pause(job_id)
+
+    def resume_iterator(self, job_id: str) -> IteratorJobState:
+        """resumeIterator (index.ts:302-308)."""
+        return self._it(job_id).resume(job_id)
+
+    def cancel_iterator(self, job_id: str) -> IteratorJobState:
+        """cancelIterator (index.ts:310-316)."""
+        return self._it(job_id).cancel(job_id)
+
+    def get_iterator_status(self, job_id: str) -> dict:
+        """getIteratorStatus (index.ts:318-327)."""
+        return self._it(job_id).status(job_id)
+
+    def list_iterator_jobs(self, status: str | None = None) -> list[IteratorJobState]:
+        """listIteratorJobs (index.ts:329-339)."""
+        it = next(iter(self._iterators.values()), None)
+        if it is None:
+            return []
+        return it.store.list(status)
+
+    def delete_iterator_job(self, job_id: str) -> bool:
+        """deleteIteratorJob (index.ts:341-348): terminal jobs only."""
+        return self._it(job_id).store.delete(job_id)
+
+    def _it(self, job_id: str) -> TableIterator:
+        if job_id not in self._iterators:
+            raise KeyError(f"unknown iterator job {job_id!r}")
+        return self._iterators[job_id]

@@ -214,16 +214,9 @@ class BatchAccumulator:
 
     # --- D8 retention: delete flushed staging files -------------------------
 
-    def vacuum_staging(self, dry_run: bool = False) -> list[str]:
-        """Delete staging files whose epochs are COMMITTED (the reference
-        deletes flushed batchItems, lib.ts:622-634).
-
-        Committed = the epoch appears under ``<checkpoint>/commits/``; the
-        file list per epoch is the FileStreamSource log at
-        ``<checkpoint>/sources/0/<epoch>``. Uncommitted epochs (failed
-        flushes pending retry) keep their files, preserving at-least-once.
-        Returns the deleted (or would-delete) paths.
-        """
+    def _committed_files(self) -> list[str]:
+        """Staging file paths belonging to COMMITTED epochs (from the
+        checkpoint's commits/ + FileStreamSource log)."""
         import json
 
         commits_dir = os.path.join(self.checkpoint_dir, "commits")
@@ -231,7 +224,7 @@ class BatchAccumulator:
         if not (os.path.isdir(commits_dir) and os.path.isdir(source_log)):
             return []
         committed = {name for name in os.listdir(commits_dir) if name.isdigit()}
-        doomed: list[str] = []
+        files: list[str] = []
         for epoch in sorted(committed, key=int):
             log_file = os.path.join(source_log, epoch)
             if not os.path.exists(log_file):
@@ -244,9 +237,18 @@ class BatchAccumulator:
                     entry = json.loads(line)
                     path = entry.get("path", "")
                     if path.startswith("file:"):
-                        path = path[len("file:"):]
-                    if os.path.exists(path):
-                        doomed.append(path)
+                        # file:///x -> ///x -> normalize to /x
+                        path = os.path.normpath(path[len("file:"):])
+                    files.append(path)
+        return files
+
+    def vacuum_staging(self, dry_run: bool = False) -> list[str]:
+        """Delete staging files whose epochs are COMMITTED (the reference
+        deletes flushed batchItems, lib.ts:622-634). Uncommitted epochs
+        (failed flushes pending retry) keep their files, preserving
+        at-least-once. Returns the deleted (or would-delete) paths.
+        """
+        doomed = [p for p in self._committed_files() if os.path.exists(p)]
         if not dry_run:
             for p in doomed:
                 os.remove(p)
@@ -263,11 +265,25 @@ class BatchAccumulator:
         return df.limit(limit) if limit else df
 
     def status(self) -> dict:
-        """getBatchStatus (lib.ts:206-253): pending item count + flush stats.
-        itemCount is computed on demand, never stored (T3/schema.ts:9)."""
+        """getBatchStatus (lib.ts:206-253): PENDING item count + flush stats.
+
+        Parity note: the reference's currentItemCount counts un-flushed
+        items only (flushed rows are deleted, lib.ts:622-634), so pending
+        here counts staging files NOT in committed epochs — computed on
+        demand, never stored (T3/schema.ts:9)."""
         staged = 0
         if self._ensure_staging():
-            staged = self.spark.read.schema(self.item_schema).parquet(self.staging_dir).count()
+            committed = set(self._committed_files())
+            pending_files = [
+                os.path.join(self.staging_dir, f)
+                for f in os.listdir(self.staging_dir)
+                if f.endswith(".parquet")
+                and os.path.join(self.staging_dir, f) not in committed
+            ]
+            if pending_files:
+                staged = (
+                    self.spark.read.schema(self.item_schema).parquet(*pending_files).count()
+                )
         hist = self.flush_history()
         agg = hist.agg(
             F.count(F.lit(1)).alias("attempts"),

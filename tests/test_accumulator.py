@@ -138,6 +138,7 @@ def test_status_view(spark, tmp_path):
     assert st["staged_item_count"] == 6 and st["flushed_items"] == 0
     acc.flush_now()
     st = acc.status()
+    assert st["staged_item_count"] == 0  # flushed items no longer pending (lib.ts:622-634)
     assert st["flushed_items"] == 6
     assert st["flush_attempts"] >= 1
     assert st["last_flush_at"] is not None

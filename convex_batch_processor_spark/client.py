@@ -130,37 +130,86 @@ class BatchProcessor:
         )
         return it.run(job_id) if run else st
 
+    def attach_iterator(self, job_id: str, source: DataFrame, key_col: str) -> IteratorJobState:
+        """Re-attach to a PERSISTED job (state survives restarts in
+        {root}/jobs, but the source DataFrame does not — the caller
+        re-supplies it, like the reference re-creating function handles
+        client-side on every construction, index.ts:221-237)."""
+        store = self._store()
+        if not store.exists(job_id):
+            raise KeyError(f"no persisted state for iterator job {job_id!r}")
+        it = TableIterator(
+            state_dir=f"{self.root}/jobs", source=source, key_col=key_col, registry=self.registry
+        )
+        self._iterators[job_id] = it
+        return store.load(job_id)
+
     def run_iterator(self, job_id: str, max_chunks: int | None = None) -> IteratorJobState:
         return self._it(job_id).run(job_id, max_chunks=max_chunks)
 
     def pause_iterator(self, job_id: str) -> IteratorJobState:
-        """pauseIterator (index.ts:294-300)."""
-        return self._it(job_id).pause(job_id)
+        """pauseIterator (index.ts:294-300). State-only — works on
+        persisted jobs from other instances (the running loop honors it at
+        its next chunk boundary)."""
+        return self._controller(job_id).pause(job_id)
 
     def resume_iterator(self, job_id: str) -> IteratorJobState:
-        """resumeIterator (index.ts:302-308)."""
-        return self._it(job_id).resume(job_id)
+        """resumeIterator (index.ts:302-308). State-only; to actually DRIVE
+        a resumed job from a fresh instance, attach_iterator() first."""
+        return self._controller(job_id).resume(job_id)
 
     def cancel_iterator(self, job_id: str) -> IteratorJobState:
-        """cancelIterator (index.ts:310-316)."""
-        return self._it(job_id).cancel(job_id)
+        """cancelIterator (index.ts:310-316). State-only."""
+        return self._controller(job_id).cancel(job_id)
+
+    def _controller(self, job_id: str) -> TableIterator:
+        """Iterator for lifecycle transitions: the attached one if present,
+        else a detached controller over the state store (transitions never
+        touch the source DataFrame)."""
+        if job_id in self._iterators:
+            return self._iterators[job_id]
+        if not self._store().exists(job_id):
+            raise KeyError(f"unknown iterator job {job_id!r}")
+        return TableIterator(
+            state_dir=f"{self.root}/jobs", source=None, key_col="", registry=self.registry
+        )
 
     def get_iterator_status(self, job_id: str) -> dict:
-        """getIteratorStatus (index.ts:318-327)."""
-        return self._it(job_id).status(job_id)
+        """getIteratorStatus (index.ts:318-327) — works on persisted jobs
+        from previous instances too (reads the state store directly)."""
+        store = self._store()
+        if not store.exists(job_id):
+            raise KeyError(f"unknown iterator job {job_id!r}")
+        st = store.load(job_id)
+        return {
+            "job_id": st.job_id,
+            "status": st.status,
+            "processed_count": st.processed_count,
+            "cursor": st.cursor,
+            "retry_count": st.retry_count,
+            "error_message": st.error_message,
+        }
 
     def list_iterator_jobs(self, status: str | None = None) -> list[IteratorJobState]:
-        """listIteratorJobs (index.ts:329-339)."""
-        it = next(iter(self._iterators.values()), None)
-        if it is None:
-            return []
-        return it.store.list(status)
+        """listIteratorJobs (index.ts:329-339) — state-store backed, sees
+        jobs persisted by previous BatchProcessor instances."""
+        return self._store().list(status)
 
     def delete_iterator_job(self, job_id: str) -> bool:
         """deleteIteratorJob (index.ts:341-348): terminal jobs only."""
-        return self._it(job_id).store.delete(job_id)
+        return self._store().delete(job_id)
+
+    def _store(self):
+        from .iterator import JobStore
+
+        return JobStore(f"{self.root}/jobs")
 
     def _it(self, job_id: str) -> TableIterator:
         if job_id not in self._iterators:
+            if self._store().exists(job_id):
+                raise KeyError(
+                    f"iterator job {job_id!r} has persisted state but no attached "
+                    f"source in this instance — call attach_iterator(job_id, source, key_col)"
+                )
             raise KeyError(f"unknown iterator job {job_id!r}")
         return self._iterators[job_id]

@@ -28,15 +28,19 @@ def tokens_col(text_col: str = "text"):
 
 
 def shingles_from_tokens(toks, n: int = 3):
-    """Distinct word n-gram shingles from a TOKEN ARRAY COLUMN.
+    """Distinct word n-gram shingles from a TOKEN ARRAY COLUMN; documents
+    shorter than ``n`` tokens yield an EMPTY array (Spark's sequence(1, 0)
+    is descending [1, 0], not empty — without the guard, slice(toks, 0, n)
+    crashes the whole job on any 1-2 token doc).
 
     IMPORTANT perf contract: ``toks`` must be a materialized column
     (attribute), not an inline split() expression — the transform lambda
     references it per gram, and an inlined split would be recomputed per
     gram: O(tokens²) per doc (measured 6.5× slower at sf0.1)."""
     toks = F.col(toks) if isinstance(toks, str) else toks
-    idx = F.sequence(F.lit(1), F.greatest(F.lit(0), F.size(toks) - (n - 1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -128,8 +128,8 @@ def lsh_ann(
     vec_col: str = "embedding",
     multiprobe: int = 1,
 ) -> DataFrame:
-    """ANN: probe the query's LSH bucket (plus Hamming-1 neighbor buckets
-    when ``multiprobe``=1), exact-rerank inside.
+    """ANN: probe the query's LSH bucket plus Hamming-``multiprobe``
+    neighbor buckets (radius 0/1/2 supported), exact-rerank inside.
 
     Multi-probe recovers most of the recall a single bucket loses for
     moderate-similarity neighbors at the cost of (n_bits+1)× more probe
@@ -142,9 +142,14 @@ def lsh_ann(
         F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec"), "bucket"
     )
     if multiprobe >= 1:
+        masks = [1 << i for i in range(n_bits)]
+        if multiprobe >= 2:  # radius 2: all two-bit flips too
+            masks += [
+                (1 << i) | (1 << j) for i in range(n_bits) for j in range(i + 1, n_bits)
+            ]
         probes = F.array(
             F.col("bucket"),
-            *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_bits)],
+            *[F.col("bucket").bitwiseXOR(F.lit(m).cast("long")) for m in masks],
         )
         q = q.select("q_vec_id", "q_vec", F.explode(probes).alias("bucket"))
     c = bucketed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"), "bucket")

@@ -55,13 +55,14 @@ def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
 
 
 def char_trigrams(text_col: str = "text") -> Column:
-    """Distinct character trigrams (language-ID features)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.lit(0), F.length(F.col(text_col)) - 2)),
-            lambda i: F.col(text_col).substr(i, F.lit(3)),
-        )
+    """Distinct character trigrams (language-ID features); texts shorter
+    than 3 chars yield an EMPTY array (sequence(1,0) is descending and
+    substr would fabricate partial grams otherwise)."""
+    t = F.col(text_col)
+    grams = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), F.length(t) - 2), lambda i: t.substr(i, F.lit(3)))
     )
+    return F.when(F.length(t) >= 3, grams).otherwise(F.array().cast("array<string>"))
 
 
 def language_id(
@@ -77,11 +78,9 @@ def language_id(
     (one shuffle) → broadcast the small profile table back; per-doc argmax is
     a window over the doc's ≤|langs| overlap rows. No O(n²) anywhere.
     """
-    tri = F.expr(
-        f"array_distinct(transform(sequence(1, greatest(1, length({text_col}) - 2)),"
-        f" i -> substring({text_col}, i, 3)))"
+    doc_tri = df.select(
+        F.col(id_col), F.col(lang_col), F.explode(char_trigrams(text_col)).alias("tg")
     )
-    doc_tri = df.select(F.col(id_col), F.col(lang_col), F.explode(tri).alias("tg"))
     w_prof = Window.partitionBy(lang_col).orderBy(F.col("df").desc(), F.col("tg"))
     profiles = (
         doc_tri.groupBy(lang_col, "tg")

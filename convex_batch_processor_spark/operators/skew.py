@@ -37,10 +37,18 @@ def salted_agg(
     phase1 = salted.groupBy(*key_cols, salt_col).agg(
         *[expr.alias(f"_p1_{name}") for name, expr in aggs.items()]
     )
-    # merge partials: sums/counts add, min/max re-apply
+    # merge partials: sums/counts add, min/max re-apply.
+    # Column.toString() drops the DISTINCT qualifier (countDistinct prints
+    # as plain count and would silently overcount), so DISTINCT is probed
+    # on the unresolved expression node itself.
     merged = []
     for name, expr in aggs.items():
-        fn_name = expr._jc.toString().lower()  # e.g. "sum(x) AS y" / "count(1) AS n"
+        if _is_distinct(expr):
+            raise ValueError(
+                f"salted_agg cannot merge DISTINCT aggregates (per-salt distinct "
+                f"counts overlap); got {expr._jc.toString()!r} for {name!r}"
+            )
+        fn_name = expr._jc.toString().lower()  # e.g. "sum(x)" / "count(1)"
         src = F.col(f"_p1_{name}")
         if fn_name.startswith("min"):
             merged.append(F.min(src).alias(name))
@@ -49,9 +57,17 @@ def salted_agg(
         elif fn_name.startswith(("sum", "count", "cast(sum", "cast(count")):
             merged.append(F.sum(src).alias(name))
         else:
-            # avg/stddev/distinct etc. would merge WRONG — refuse loudly
+            # avg/stddev etc. would merge WRONG — refuse loudly
             raise ValueError(
                 f"salted_agg only supports decomposable aggregates "
                 f"(sum/count/min/max); got {fn_name!r} for {name!r}"
             )
     return phase1.groupBy(*key_cols).agg(*merged)
+
+
+def _is_distinct(expr: Column) -> bool:
+    """True if the aggregate expression carries a DISTINCT qualifier."""
+    try:
+        return bool(expr._jc.node().isDistinct())
+    except Exception:  # noqa: BLE001 — not a function node (e.g. cast wrapper)
+        return "distinct" in expr._jc.toString().lower()

@@ -150,25 +150,31 @@ class BatchAccumulator:
         registered handle, record history, propagate failure so the
         checkpoint replays the epoch (at-least-once, D5)."""
         handle = self.registry.resolve(self.process_batch)
-        count = batch_df.count()
-        if count == 0:
-            return  # empty-group short-circuit (lib.ts:157-159)
-        start = time.monotonic()
+        # cache: the pre-count and the user handle both traverse the epoch;
+        # without this the staged files are scanned twice per flush
+        batch_df.persist()
         try:
-            handle(batch_df, epoch_id)
-        except Exception as e:  # noqa: BLE001
+            count = batch_df.count()
+            if count == 0:
+                return  # empty-group short-circuit (lib.ts:157-159)
+            start = time.monotonic()
+            try:
+                handle(batch_df, epoch_id)
+            except Exception as e:  # noqa: BLE001
+                dur = int((time.monotonic() - start) * 1000)
+                self._record_history(epoch_id, count, dur, False, f"{type(e).__name__}: {e}")
+                raise
             dur = int((time.monotonic() - start) * 1000)
-            self._record_history(epoch_id, count, dur, False, f"{type(e).__name__}: {e}")
-            raise
-        dur = int((time.monotonic() - start) * 1000)
-        self._record_history(epoch_id, count, dur, True, None)
+            self._record_history(epoch_id, count, dur, True, None)
+        finally:
+            batch_df.unpersist()
 
     def _ensure_staging(self) -> bool:
         # a parquet stream needs the dir to exist; before any add there is
         # nothing to flush (flushBatch's "no batch" early-out, lib.ts:141-148)
         return os.path.isdir(self.staging_dir)
 
-    def flush_now(self, max_epochs: int | None = None) -> bool:
+    def flush_now(self) -> bool:
         """Manual flush (D2) — run the stream once over everything staged
         (``Trigger.AvailableNow``), honoring the size-threshold admission
         (multiple epochs if more files are staged than the threshold).
@@ -237,9 +243,13 @@ class BatchAccumulator:
                     entry = json.loads(line)
                     path = entry.get("path", "")
                     if path.startswith("file:"):
-                        # file:///x -> ///x -> normalize to /x
-                        path = os.path.normpath(path[len("file:"):])
-                    files.append(path)
+                        # the log stores percent-encoded file URIs;
+                        # decode + absolutize so comparisons with local
+                        # os.path listings match (spaces, relative roots)
+                        from urllib.parse import unquote, urlparse
+
+                        path = unquote(urlparse(path).path)
+                    files.append(os.path.abspath(path))
         return files
 
     def vacuum_staging(self, dry_run: bool = False) -> list[str]:
@@ -262,7 +272,7 @@ class BatchAccumulator:
             return self.spark.createDataFrame([], schema=FLUSH_HISTORY_SCHEMA)
         df = self.spark.read.schema(FLUSH_HISTORY_SCHEMA).parquet(self.history_dir)
         df = df.orderBy(F.col("flushed_at").desc(), F.col("epoch_id").desc())
-        return df.limit(limit) if limit else df
+        return df.limit(limit) if limit is not None else df
 
     def status(self) -> dict:
         """getBatchStatus (lib.ts:206-253): PENDING item count + flush stats.
@@ -275,10 +285,10 @@ class BatchAccumulator:
         if self._ensure_staging():
             committed = set(self._committed_files())
             pending_files = [
-                os.path.join(self.staging_dir, f)
+                os.path.abspath(os.path.join(self.staging_dir, f))
                 for f in os.listdir(self.staging_dir)
                 if f.endswith(".parquet")
-                and os.path.join(self.staging_dir, f) not in committed
+                and os.path.abspath(os.path.join(self.staging_dir, f)) not in committed
             ]
             if pending_files:
                 staged = (

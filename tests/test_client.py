@@ -89,3 +89,50 @@ def test_facade_guards(spark, tmp_path):
     with pytest.raises(KeyError, match="unknown iterator"):
         bp.get_iterator_status("nope")
     assert bp.list_iterator_jobs() == []
+
+
+def test_facade_sees_persisted_jobs_across_instances(spark, sf_dir, tmp_path):
+    """Job state survives a driver restart: a NEW BatchProcessor over the
+    same root can list/inspect/pause/resume and (after attach) drive jobs
+    started by a previous instance."""
+    reg = HandleRegistry()
+    seen = []
+    reg.add("mig", lambda df, c: seen.extend(r.c_custkey for r in df.collect()))
+    customers = load_table(spark, sf_dir, "customer")
+
+    bp1 = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp1.start_iterator("restartable", customers, "c_custkey", "mig", batch_size=60, run=False)
+    bp1.run_iterator("restartable", max_chunks=1)
+
+    bp2 = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)  # "restarted driver"
+    assert [j.job_id for j in bp2.list_iterator_jobs()] == ["restartable"]
+    assert bp2.get_iterator_status("restartable")["processed_count"] == 60
+    bp2.pause_iterator("restartable")
+    assert bp2.get_iterator_status("restartable")["status"] == "paused"
+    bp2.resume_iterator("restartable")
+    with pytest.raises(KeyError, match="attach_iterator"):
+        bp2.run_iterator("restartable")
+    bp2.attach_iterator("restartable", customers, "c_custkey")
+    final = bp2.run_iterator("restartable")
+    assert final.status == "completed"
+    assert sorted(seen) == sorted(r.c_custkey for r in customers.collect())
+
+
+def test_facade_short_doc_dedup_does_not_crash(spark, tmp_path):
+    """Regression (code-review finding): 1-2 token documents must not kill
+    the shingle/dedup pipeline."""
+    from pyspark.sql import types as T2
+
+    from convex_batch_processor_spark.llmops import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "three word doc"),
+         (5, "a much longer document with plenty of tokens for shingles")],
+        T2.StructType([T2.StructField("doc_id", T2.LongType()), T2.StructField("text", T2.StringType())]),
+    )
+    sh = {r.doc_id: r.sh for r in D.with_shingles(docs).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[3] == []
+    assert sh[4] == ["three word doc"]
+    assert len(sh[5]) > 0
+    # full pipeline over the degenerate corpus completes
+    assert D.minhash_neardup(docs).count() == 0

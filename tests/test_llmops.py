@@ -192,3 +192,33 @@ def test_grouped_map_zscore_matches_window_form(spark, sf_dir):
     assert set(got) == set(expected)
     for eid, z in expected.items():
         assert abs(got[eid] - z) < 1e-4
+
+
+def test_salted_agg_rejects_distinct_and_avg(spark, sf_dir):
+    """Regression (code-review finding): countDistinct must be refused,
+    not silently overcounted."""
+    import pytest as pt
+    from pyspark.sql import functions as F2
+
+    from convex_batch_processor_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    with pt.raises(ValueError, match="DISTINCT"):
+        salted_agg(ev, ["event_type"], {"d": F2.countDistinct("user_id")})
+    with pt.raises(ValueError, match="decomposable"):
+        salted_agg(ev, ["event_type"], {"a": F2.avg("value")})
+
+
+def test_char_trigrams_short_text(spark):
+    """Regression: <3-char texts yield empty trigram arrays, not
+    fabricated partial grams."""
+    from pyspark.sql import types as T2
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "abc"), (4, "abcd")],
+        T2.StructType([T2.StructField("doc_id", T2.LongType()), T2.StructField("text", T2.StringType())]),
+    )
+    got = {r.doc_id: sorted(r.tg) for r in docs.select("doc_id", X.char_trigrams().alias("tg")).collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["abc"]
+    assert got[4] == ["abc", "bcd"]

@@ -372,3 +372,39 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.groupedmap import group_zscore
 
     return group_zscore(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "stratified_sample_systematic",
+    oracle="""
+    SELECT doc_id, lang FROM (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn % 5 = 1
+    """,
+)
+def stratified_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every 5th doc per language by id
+    order — the reproducible data-mixing primitive (seeded Bernoulli
+    sampling is sampled_by_lang below; this systematic form is exactly
+    re-runnable across engines and retries, which matters for dataset
+    versioning)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") % 5 == 1)
+        .drop("rn")
+    )
+
+
+@register("sampled_by_lang")  # rows-only: Bernoulli hash sampling is engine-specific
+def sampled_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-stratum sampling (sampleBy): downsample dominant
+    languages, keep rare ones — the data-mixing knob. Seeded; tests check
+    per-stratum rates within tolerance."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fractions = {lang: (0.2 if i % 2 == 0 else 0.8) for i, lang in enumerate(sorted(langs))}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")

@@ -222,3 +222,20 @@ def test_char_trigrams_short_text(spark):
     assert got[1] == [] and got[2] == []
     assert got[3] == ["abc"]
     assert got[4] == ["abc", "bcd"]
+
+
+def test_sampled_by_lang_rates(spark, sf_dir):
+    from convex_batch_processor_spark.queries import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    sampled = QUERIES["sampled_by_lang"].fn(spark, sf_dir)
+    got = {r.lang: r.n for r in sampled.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    fractions = {lang: (0.2 if i % 2 == 0 else 0.8) for i, lang in enumerate(sorted(totals))}
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.2, f"{lang}: rate {rate} vs {frac}"
+    # seeded: two runs identical
+    a = {r.doc_id for r in sampled.collect()}
+    b = {r.doc_id for r in QUERIES["sampled_by_lang"].fn(spark, sf_dir).collect()}
+    assert a == b

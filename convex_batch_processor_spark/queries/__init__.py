@@ -8,14 +8,20 @@ from __future__ import annotations
 
 from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
-# import order defines the display order of the inventory
-from . import relational  # noqa: E402,F401
-from . import analytics  # noqa: E402,F401
-from . import analytics2  # noqa: E402,F401
-from . import dataflow  # noqa: E402,F401
-from . import tpch  # noqa: E402,F401
-from . import misc  # noqa: E402,F401
+# Import order defines registration order, and the round driver verifies the
+# FIRST 50 registry entries against the DuckDB oracle. Round 1 checked the
+# relational/analytics/dataflow pack (48 green); round 2 front-loads the
+# queries that have no driver verdict yet (llm, misc, late tpch) plus the
+# re-checks (fixed sessionize_events oracle) so every query earns a
+# CORRECTNESS row. Already-green round-1 queries rotate to the back; the
+# local gate (tests/oracle_check.py) still covers all of them every run.
 from . import llm  # noqa: E402,F401
+from . import misc  # noqa: E402,F401
+from . import tpch  # noqa: E402,F401
+from . import analytics  # noqa: E402,F401
+from . import dataflow  # noqa: E402,F401
+from . import analytics2  # noqa: E402,F401
+from . import relational  # noqa: E402,F401
 
 
 def spark_queries():

@@ -146,8 +146,9 @@ def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     ), s AS (
         SELECT user_id, event_id, ts, value,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
         FROM g
     )
     SELECT user_id, session_idx, COUNT(*) AS n_events,

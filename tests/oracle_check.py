@@ -52,22 +52,69 @@ def _norm(v):
     return v
 
 
+#: map a type name from either engine to a coarse category; the driver's
+#: pandas-level hash distinguishes exactly these (int64 vs float64 vs object...).
+_TYPE_CATEGORY = {
+    # integers (pandas int64)
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "bigint": "int", "long": "int", "utinyint": "int", "usmallint": "int",
+    "uinteger": "int", "ubigint": "int",
+    # DuckDB HUGEINT -> pandas float64/object: NEVER let an oracle emit one
+    "hugeint": "hugeint", "uhugeint": "hugeint", "int128": "hugeint",
+    "float": "float", "real": "float", "double": "float",
+    "boolean": "bool", "bool": "bool",
+    "varchar": "str", "string": "str", "text": "str",
+    "date": "date",
+    "binary": "bytes", "blob": "bytes",
+}
+
+
+def _type_cat(t: str) -> str:
+    t = str(t).lower()
+    base = t.split("(")[0].strip()
+    if base in _TYPE_CATEGORY:
+        return _TYPE_CATEGORY[base]
+    if base.startswith("decimal") or base.startswith("numeric"):
+        return "decimal"
+    if base.startswith("timestamp"):
+        return "timestamp"
+    return base  # arrays/structs/maps compare by full spelling
+
+
 def compare(spark, sf_dir: str, name: str, fn, oracle: str | None):
     """Return (ok: bool, detail: str)."""
     sdf = fn(spark, sf_dir)
     scols = sdf.columns
+    stypes = {f.name: _type_cat(f.dataType.simpleString()) for f in sdf.schema.fields}
     srows = sdf.collect()
     if oracle is None:
         return True, f"rows-only: {len(srows)} rows"
     con = duckdb_conn(sf_dir)
     try:
-        dres = con.execute(oracle)
-        dcols = [d[0] for d in dres.description]
-        drows = dres.fetchall()
+        rel = con.sql(oracle)
+        dcols = list(rel.columns)
+        dtypes = {c: _type_cat(t) for c, t in zip(rel.columns, rel.types)}
+        drows = rel.fetchall()
     finally:
         con.close()
     if sorted(scols) != sorted(dcols):
         return False, f"columns differ: spark={sorted(scols)} duckdb={sorted(dcols)}"
+    # The driver hashes pandas frames: a DuckDB HUGEINT column materializes as
+    # float64 and every int cell serializes `1.0` vs Spark's `1` — a guaranteed
+    # hash fail even when fetchall()-level values match. Catch it here.
+    huge = [c for c, t in dtypes.items() if t == "hugeint"]
+    if huge:
+        return False, (
+            f"oracle emits HUGEINT column(s) {huge}: wrap in CAST(... AS BIGINT) "
+            "(DuckDB SUM(int) returns HUGEINT -> float64 in pandas -> hash drift)"
+        )
+    cat_diff = {
+        c: (stypes[c], dtypes[c])
+        for c in scols
+        if stypes[c] != dtypes[c] and "decimal" not in (stypes[c], dtypes[c])
+    }
+    if cat_diff:
+        return False, f"type category differs (spark, duckdb): {cat_diff}"
     if len(srows) != len(drows):
         return False, f"row count differs: spark={len(srows)} duckdb={len(drows)}"
     order = sorted(range(len(scols)), key=lambda i: scols[i])

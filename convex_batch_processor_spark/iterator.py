@@ -45,7 +45,10 @@ STATUSES = ("pending", "running", "paused", "completed", "failed")
 
 
 def backoff_ms(retry_count: int) -> int:
-    """Capped exponential backoff: min(1000·2^n, 30000) (lib.ts:1059)."""
+    """Capped exponential backoff: min(1000·2^n, 30000) (lib.ts:1050-1060).
+
+    ``n`` is the post-increment retry count, starting at 1 — the first
+    retry sleeps 2000 ms, matching the reference's ``newRetryCount``."""
     return int(min(1000 * math.pow(2, retry_count), 30000))
 
 
@@ -153,25 +156,66 @@ class TableIterator:
         delay_between_batches_s: float = 0.1,
         max_retries: int = 5,
         on_complete: str | None = None,
-        plan_ranges: bool = False,
+        plan_ranges: bool | None = None,
         num_chunks: int | None = None,
+        validate_key: bool = True,
     ) -> IteratorJobState:
         """startIteratorJob (lib.ts:736-782): duplicate-id reject + insert
         running job.
 
-        ``plan_ranges=True`` is the 100 TB cursor strategy: compute chunk
+        ``plan_ranges`` is the 100 TB cursor strategy: compute chunk
         boundaries ONCE via approxQuantile (one cheap sampling pass), then
         every chunk is a pure range filter — row-group pruning on a sorted
         layout, no per-chunk TakeOrdered over the remainder of the table.
-        The default orderBy+limit cursor re-sorts the tail every chunk,
-        which is fine at test scale but O(n·chunks) at cluster scale.
+        Default ``None`` auto-enables it when the key column is numeric
+        (approxQuantile's requirement); pass ``False`` to force the
+        orderBy+limit cursor pager, which re-sorts the tail every chunk —
+        fine at test scale, O(n·chunks) at cluster scale.
+
+        ``validate_key=True`` runs one aggregate over the source asserting
+        the iteration key is non-NULL and unique before any chunk runs.
+        Both properties are load-bearing: a NULL key never matches the
+        ``key > cursor`` page predicate (and F.max ignores it, so the
+        cursor would stall), and a duplicate key straddling a chunk
+        boundary would be skipped by the strict ``>``. Fail fast here
+        instead of silently losing rows mid-job; disable only when the key
+        is a known primary key and the extra pass is unwanted.
         """
         if self.store.exists(job_id):
             raise ValueError(f"Iterator job with ID '{job_id}' already exists")
+        if plan_ranges is None:
+            ktype = self.source.schema[self.key_col].dataType.simpleString()
+            plan_ranges = ktype in (
+                "tinyint", "smallint", "int", "bigint", "float", "double"
+            ) or ktype.startswith("decimal")
+        key = F.col(self.key_col)
+        n = None
+        if validate_key:
+            stats = self.source.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(key).alias("n_nonnull"),
+                F.countDistinct(key).alias("n_distinct"),
+            ).collect()[0]
+            if stats["n_nonnull"] != stats["n"]:
+                raise ValueError(
+                    f"key column {self.key_col!r} has "
+                    f"{stats['n'] - stats['n_nonnull']} NULLs — a NULL key can "
+                    "never be paged past (cursor would stall); clean or choose "
+                    "another key"
+                )
+            if stats["n_distinct"] != stats["n"]:
+                raise ValueError(
+                    f"key column {self.key_col!r} is not unique "
+                    f"({stats['n']} rows, {stats['n_distinct']} distinct) — a "
+                    "duplicate key on a chunk boundary would be skipped by the "
+                    "strict cursor predicate"
+                )
+            n = stats["n"]
         bounds = None
         if plan_ranges:
             if num_chunks is None:
-                n = self.source.count()
+                if n is None:
+                    n = self.source.count()
                 num_chunks = max(1, -(-n // batch_size))
             probs = [i / num_chunks for i in range(1, num_chunks)]
             bounds = (
@@ -243,18 +287,21 @@ class TableIterator:
         chunk = pure range filter (scan-prunable, no sort).
         Cursor mode: ordered key page past the cursor value — the filter
         pushes to the scan; orderBy+limit compiles to TakeOrderedAndProject.
+
+        NULL keys are excluded in both modes (they cannot be paged past —
+        ``key > cursor`` is never true and F.max skips them, stalling the
+        cursor); ``start(validate_key=True)`` rejects them up front.
         """
         key = F.col(self.key_col)
+        df = self.source.filter(key.isNotNull())
         if st.range_bounds is not None:
             idx = int(st.cursor or 0)
             bounds = st.range_bounds
-            df = self.source
             if idx > 0:
                 df = df.filter(key > F.lit(bounds[idx - 1]))
             if idx < len(bounds):
                 df = df.filter(key <= F.lit(bounds[idx]))
             return df
-        df = self.source
         if st.cursor is not None:
             df = df.filter(key > F.lit(st.cursor))
         return df.orderBy(key.asc()).limit(st.batch_size)
@@ -274,7 +321,10 @@ class TableIterator:
             planned = st.range_bounds is not None
             if planned and int(st.cursor or 0) > len(st.range_bounds):
                 return self._complete(st)
-            chunk = self._next_chunk(st)
+            # persist: the progress aggregate and the user handle both
+            # consume the chunk — without caching, each would re-execute the
+            # pager (two TakeOrdered scans of the remaining table per chunk)
+            chunk = self._next_chunk(st).persist()
             try:
                 rows = chunk.select(F.max(self.key_col).alias("mx"),
                                     F.count(F.lit(1)).alias("n")).collect()[0]
@@ -294,9 +344,13 @@ class TableIterator:
                     return st
                 st.error_message = f"{type(e).__name__}: {e}"
                 self.store.save(st)
-                self.sleep_fn(backoff_ms(st.retry_count - 1) / 1000.0)
+                # post-increment count, matching newRetryCount in lib.ts:1050:
+                # first retry sleeps 2000 ms
+                self.sleep_fn(backoff_ms(st.retry_count) / 1000.0)
                 chunks += 1
                 continue
+            finally:
+                chunk.unpersist()
             # success: persist cursor/progress, reset retries (lib.ts:1073-1087)
             st = self.store.load(job_id)
             if planned:

@@ -95,6 +95,92 @@ def _hyperplanes(n_bits: int, dim: int, seed: int = 42) -> list[list[float]]:
     return rng.normal(size=(n_bits, dim)).round(6).tolist()
 
 
+def banded_lsh_signatures(
+    embeddings: DataFrame,
+    n_bands: int = 24,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, band, bucket) rows: ``n_bands`` independent sign-bit bucketings
+    (OR-amplification, same shape as MinHash banding — two vectors are
+    candidates if ANY band agrees).
+
+    One scan computes every band's bucket in a single projection (all
+    ``n_bands*bits_per_band`` hyperplane folds are plain Column math inside
+    whole-stage codegen), then posexplode. Rows carry only (id, band,
+    bucket) — never the vector — so the explode multiplies tiny rows, not
+    64-float payloads; callers re-join vectors for candidates only.
+    """
+    buckets = []
+    for band in range(n_bands):
+        planes = _hyperplanes(bits_per_band, dim, seed + band)
+        bucket = F.lit(0).cast("long")
+        for i, p in enumerate(planes):
+            plane_col = F.array(*[F.lit(float(w)) for w in p])
+            bit = F.when(
+                dot_col(F.col(vec_col), plane_col) > 0, F.lit(1).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+        buckets.append(bucket)
+    return embeddings.select(
+        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+    )
+
+
+def cosine_neardup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bands: int = 24,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs above a cosine threshold WITHOUT the all-pairs theta
+    join: banded-LSH candidate generation + exact cosine rerank (the
+    embedding twin of MinHash-band → verify-Jaccard).
+
+    Plan shape (the 100 TB contract):
+      1. one scan → (id, band, bucket) signatures (no vectors)
+      2. equi-join on (band, bucket) with ``id_a < id_b`` → candidate id
+         pairs; shuffle is O(n·bands) signature rows, never O(n²)
+      3. dropDuplicates on the id pair (a pair colliding in k bands
+         appears k times)
+      4. join vectors back by id for the DEDUPED candidates only, compute
+         exact cosine, keep > threshold — precision is exactly 1.0 vs the
+         all-pairs baseline; recall is the banding OR-amplification curve
+         1-(1-p^bits)^bands with p = 1 - theta/pi.
+
+    Defaults (24 bands × 4 bits) give ≥0.98 expected recall at sim 0.42 —
+    tuned for this corpus's low-similarity tail; production near-dup at
+    0.9+ should use fewer bands of 8-16 bits (collision prob 0.967^bits).
+    """
+    sig = banded_lsh_signatures(
+        embeddings, n_bands, bits_per_band, dim, seed, id_col, vec_col
+    )
+    a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    va = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
 def hyperplane_lsh_buckets(
     embeddings: DataFrame,
     n_bits: int = 12,

@@ -162,9 +162,23 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above 0.42 (exact all-pairs baseline;
-    lsh_ann_probe is the bucketed scale path)."""
+    """Embedding-cosine near-dup pairs above 0.42 — EXACT all-pairs form.
+
+    This is the verification baseline (O(n²) theta join): it exists so the
+    oracle and the recall tests have exact ground truth. The scale path is
+    ``cosine_neardup_bucketed`` (banded LSH + rerank, shuffle O(n·bands));
+    use that one on real corpora."""
     return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.42)
+
+
+@register("cosine_neardup_bucketed")  # rows-only: seeded-hyperplane buckets, not SQL
+def cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above 0.42 via banded hyperplane LSH:
+    candidates from any-band bucket collisions (equi-join on (band,
+    bucket)), exact cosine rerank of the deduped candidate set. Precision
+    1.0 vs ``embedding_neardup_pairs``; recall asserted in
+    tests/test_llmops.py."""
+    return S.cosine_neardup_pairs_bucketed(_t(spark, sf_dir, "embeddings"), 0.42)
 
 
 @register("lsh_ann_probe")  # rows-only: seeded-hyperplane buckets, not SQL

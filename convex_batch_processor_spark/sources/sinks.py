@@ -15,6 +15,7 @@ how the engine lays out OUTPUT data for 100 TB readers.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_partitioned(
@@ -40,6 +41,58 @@ def compact(spark: SparkSession, path: str, target_files: int, out_path: str) ->
     exchange is paid; use repartition when uniformity matters more than
     the shuffle cost."""
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    path: str,
+    patch: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+) -> list:
+    """MERGE-style upsert that rewrites ONLY the partitions containing
+    patched keys (S10 at scale; reference patches single rows in place,
+    lib.ts:527-532, 644-648).
+
+    The round-trip alternative — full-outer-join + full table rewrite
+    (``s10_state_upsert``) — is correct but rewrites 100 TB to patch a few
+    rows. This is the ``replaceWhere`` shape on plain parquet:
+
+      1. affected partitions = distinct ``partition_col`` values in the
+         patch (small driver-side list; partitions are low-cardinality by
+         layout contract)
+      2. read ONLY those partitions (partition pruning: untouched
+         partitions pay zero I/O)
+      3. upsert within them: anti-join out patched keys, union the patch
+      4. dynamic-partition-overwrite commits just the affected
+         ``col=value/`` dirs — every other partition's files are untouched
+         (byte-identical; asserted in tests/test_sinks.py)
+
+    Contract: ``partition_col`` must be stable under the patch (a patch
+    must not move a key to a different partition — same as Delta's
+    replaceWhere). The patch must carry the full row schema including the
+    partition column. On a transactional format (Delta/Iceberg, jars not
+    in this image) steps 2-4 become a real MERGE with file skipping; the
+    logical shape is identical.
+
+    Returns the list of affected partition values.
+    """
+    affected = [r[0] for r in patch.select(partition_col).distinct().collect()]
+    cur = spark.read.parquet(path).filter(F.col(partition_col).isin(affected))
+    merged = cur.join(
+        patch.select(*key_cols).distinct(), key_cols, "left_anti"
+    ).unionByName(patch)
+    # break lineage: the write targets the same path the plan reads
+    # (Spark rejects self-overwrite); on a cluster use a reliable
+    # checkpoint dir or a transactional table format instead
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return affected
 
 
 def write_bucketed(

@@ -65,7 +65,9 @@ def test_pause_takes_effect_at_chunk_boundary_and_resume_continues(tmp_path, cus
     reg, sleeps, seen = HandleRegistry(), [], []
     reg.add("migrate", lambda df, c: seen.extend(r.c_custkey for r in df.collect()))
     it = make_iter(tmp_path, customer, reg, sleeps)
-    it.start("j", "migrate", batch_size=50)
+    # cursor mode pinned: the test asserts the exact 50-row page boundary,
+    # which planned mode's approxQuantile ranges only hit approximately
+    it.start("j", "migrate", batch_size=50, plan_ranges=False)
 
     it.run("j", max_chunks=1)
     it.pause("j")
@@ -106,8 +108,9 @@ def test_retry_backoff_then_fail_at_max_retries(tmp_path, customer):
     assert st.status == "failed"
     assert "chunk handler failed" in st.error_message
     assert len(calls) == 3
-    # D12: capped exponential backoff schedule 1s, 2s (failure on 3rd)
-    assert sleeps == [1.0, 2.0]
+    # D12: capped exponential backoff 2s, 4s (failure on 3rd) — the
+    # reference's newRetryCount starts at 1, so the first retry sleeps 2000ms
+    assert sleeps == [2.0, 4.0]
 
 
 def test_retry_recovers_and_resets_counter(tmp_path, customer):
@@ -127,7 +130,42 @@ def test_retry_recovers_and_resets_counter(tmp_path, customer):
     assert st.status == "completed"
     assert st.retry_count == 0
     assert len(seen) == customer.count()
-    assert sleeps[:2] == [1.0, 2.0]
+    assert sleeps[:2] == [2.0, 4.0]
+
+
+def test_start_rejects_null_and_duplicate_keys(tmp_path, customer):
+    """Fail fast instead of silently losing rows: a NULL key can never be
+    paged past (cursor stalls), and a duplicate key on a chunk boundary is
+    skipped by the strict > predicate."""
+    reg = HandleRegistry()
+    reg.add("noop", lambda df, c: None)
+    dup = customer.select((F.col("c_custkey") % 2).alias("k"))
+    it = TableIterator(str(tmp_path / "d"), dup, "k", registry=reg, sleep_fn=lambda s: None)
+    with pytest.raises(ValueError, match="not unique"):
+        it.start("j", "noop")
+    nullable = customer.select(
+        F.when(F.col("c_custkey") % 100 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    it2 = TableIterator(str(tmp_path / "n"), nullable, "k", registry=reg, sleep_fn=lambda s: None)
+    with pytest.raises(ValueError, match="NULL"):
+        it2.start("j", "noop")
+
+
+def test_numeric_key_auto_plans_ranges_and_caches_chunks(tmp_path, customer):
+    """Default mode for a numeric key is the planned-range pager (one
+    approxQuantile pass, then pure range filters); each chunk is persisted
+    so the progress aggregate and the user handle share one scan."""
+    reg, levels = HandleRegistry(), []
+    reg.add("probe", lambda df, c: levels.append(df.storageLevel.useMemory))
+    it = make_iter(tmp_path, customer, reg, [])
+    st = it.start("auto", "probe", batch_size=40)
+    assert st.range_bounds is not None  # c_custkey is numeric -> planned
+    st = it.run("auto")
+    assert st.status == "completed"
+    assert st.processed_count == customer.count()
+    assert levels and all(levels)  # every chunk handed over persisted
 
 
 def test_status_list_delete(tmp_path, customer):

@@ -70,6 +70,25 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert all(-1.0 <= s <= 1.0 for s in sims)
 
 
+def test_bucketed_neardup_recall_and_exact_precision(spark, sf_dir):
+    """cosine_neardup_pairs_bucketed must be a high-recall SUBSET of the
+    exact all-pairs baseline: rerank is exact cosine, so precision is 1.0
+    by construction; banding (24×4 bits) must keep recall ≥ 0.95 at the
+    corpus's 0.42 tail threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.vec_id_a, r.vec_id_b, r.sim)
+        for r in S.cosine_neardup_pairs(emb, 0.42).collect()
+    }
+    lsh = {
+        (r.vec_id_a, r.vec_id_b, r.sim)
+        for r in S.cosine_neardup_pairs_bucketed(emb, 0.42).collect()
+    }
+    assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
+    recall = len(lsh & exact) / max(len(exact), 1)
+    assert recall >= 0.95, f"banded-LSH recall collapsed: {recall}"
+
+
 def test_language_id_profiles_are_self_consistent(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = X.language_id(docs)

@@ -1,0 +1,80 @@
+"""Partition-scoped upsert (S10 at scale): only partitions containing
+patched keys are rewritten; every other partition's files stay
+byte-identical on disk."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.sources.sinks import upsert_partitioned
+
+
+def _partition_fingerprint(root: str, part_dir: str) -> dict[str, str]:
+    """filename -> sha256 for every data file under one partition dir."""
+    out = {}
+    d = os.path.join(root, part_dir)
+    for fn in os.listdir(d):
+        p = os.path.join(d, fn)
+        if os.path.isfile(p) and not fn.startswith((".", "_")):
+            with open(p, "rb") as f:
+                out[fn] = hashlib.sha256(f.read()).hexdigest()
+    return out
+
+
+def test_upsert_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.partitionBy("o_orderstatus").parquet(path)
+
+    before = {
+        s: _partition_fingerprint(path, f"o_orderstatus={s}") for s in ("O", "F")
+    }
+
+    # patch: reprice every 'P' order, insert one brand-new 'P' order
+    patch = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+        .unionByName(
+            spark.createDataFrame(
+                [(10_000_000, 42.0, "P")],
+                "o_orderkey long, o_totalprice double, o_orderstatus string",
+            )
+        )
+    )
+    n_p_before = orders.filter(F.col("o_orderstatus") == "P").count()
+    affected = upsert_partitioned(
+        spark, path, patch, key_cols=["o_orderkey"], partition_col="o_orderstatus"
+    )
+    assert affected == ["P"]
+
+    # untouched partitions: identical file names AND identical bytes
+    after = {
+        s: _partition_fingerprint(path, f"o_orderstatus={s}") for s in ("O", "F")
+    }
+    assert after == before
+
+    # patched partition has the merge result: doubled prices + the insert
+    got = spark.read.parquet(path)
+    p = got.filter(F.col("o_orderstatus") == "P")
+    assert p.count() == n_p_before + 1
+    assert p.filter(F.col("o_orderkey") == 10_000_000).count() == 1
+    # untouched rows unchanged, table-wide key uniqueness preserved
+    assert got.count() == orders.count() + 1
+    assert got.select("o_orderkey").distinct().count() == got.count()
+    expect_p_sum = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    got_p_sum = (
+        p.filter(F.col("o_orderkey") != 10_000_000)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert float(got_p_sum) == float(expect_p_sum) * 2

@@ -37,6 +37,11 @@ HEADLINE = [
     "knn_bruteforce",
     "tumbling_window_counts",
     "s10_state_upsert",
+    # round-2 additions: banded-LSH embedding near-dup (the scale path that
+    # replaced the all-pairs theta join) and the two decorrelation shapes
+    "cosine_neardup_bucketed",
+    "q2_min_cost_supplier",
+    "q21_waiting_supplier",
 ]
 
 

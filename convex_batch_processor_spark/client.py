@@ -11,13 +11,14 @@ Differences (documented, by design):
 - callbacks receive an epoch-bounded DataFrame, not a JS array — collect()
   inside the callback if item lists are wanted (reference semantics), or
   stay distributed (the whole point of the port);
-- ``flush`` runs the flush synchronously (the reference schedules it and
-  returns optimistically, lib.ts:167-177);
+- ``flush`` defaults to synchronous; ``block=False`` restores the
+  reference's optimistic scheduling (lib.ts:167-177);
 - iterator cursors are ordered key ranges, not opaque tokens.
 """
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,6 +43,7 @@ class BatchProcessor:
     registry: HandleRegistry = field(default_factory=lambda: default_registry)
     _accumulators: dict[str, BatchAccumulator] = field(default_factory=dict)
     _iterators: dict[str, TableIterator] = field(default_factory=dict)
+    _flush_threads: dict[str, list[threading.Thread]] = field(default_factory=dict)
 
     # --- accumulator surface (reference index.ts:214-301) -------------------
 
@@ -74,9 +76,36 @@ class BatchProcessor:
         per-batch-name config)."""
         return self._acc(batch_id).add_items(items)
 
-    def flush(self, batch_id: str) -> bool:
-        """flush (index.ts:239-241): synchronous manual flush."""
-        return self._acc(batch_id).flush_now()
+    def flush(self, batch_id: str, block: bool = True) -> bool:
+        """flush (index.ts:239-241).
+
+        ``block=True`` runs the flush inline and reports whether anything
+        was staged. ``block=False`` is the reference's optimistic form
+        (lib.ts:167-177: the flush mutation is scheduled and the call
+        returns before it runs): returns True immediately and executes the
+        flush on a daemon thread. A failing handle is recorded in
+        flush_history and the epoch replays on the NEXT flush (same
+        at-least-once contract as the timer path); call
+        ``wait_for_flushes`` to join outstanding background flushes."""
+        acc = self._acc(batch_id)
+        if block:
+            return acc.flush_now()
+
+        def _bg() -> None:
+            try:
+                acc.flush_now()
+            except Exception:  # noqa: BLE001 — recorded in history; epoch replays
+                pass
+
+        t = threading.Thread(target=_bg, name=f"flush-{batch_id}", daemon=True)
+        self._flush_threads.setdefault(batch_id, []).append(t)
+        t.start()
+        return True
+
+    def wait_for_flushes(self, batch_id: str, timeout_s: float | None = None) -> None:
+        """Join background flushes started with ``flush(block=False)``."""
+        for t in self._flush_threads.pop(batch_id, []):
+            t.join(timeout_s)
 
     def get_batch_status(self, batch_id: str) -> dict:
         """getBatchStatus (index.ts:243-252)."""
@@ -106,7 +135,8 @@ class BatchProcessor:
         max_retries: int = 5,
         on_complete: str | None = None,
         run: bool = True,
-        plan_ranges: bool = False,
+        plan_ranges: bool | None = None,
+        validate_key: bool = True,
     ) -> IteratorJobState:
         """startIterator (index.ts:272-292). ``run=True`` drives the job to
         a terminal/paused state synchronously (the reference self-schedules
@@ -127,6 +157,7 @@ class BatchProcessor:
             max_retries=max_retries,
             on_complete=on_complete,
             plan_ranges=plan_ranges,
+            validate_key=validate_key,
         )
         return it.run(job_id) if run else st
 

@@ -18,6 +18,7 @@ exact), sequential fold per array — deterministic across partitions.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,25 +109,39 @@ def banded_lsh_signatures(
     (OR-amplification, same shape as MinHash banding — two vectors are
     candidates if ANY band agrees).
 
-    One scan computes every band's bucket in a single projection (all
-    ``n_bands*bits_per_band`` hyperplane folds are plain Column math inside
-    whole-stage codegen), then posexplode. Rows carry only (id, band,
-    bucket) — never the vector — so the explode multiplies tiny rows, not
-    64-float payloads; callers re-join vectors for candidates only.
+    All ``n_bands × bits_per_band`` hyperplane projections run as ONE
+    numpy matmul per Arrow batch inside a vectorized pandas_udf. The pure
+    Column-math alternative (one F.aggregate fold per plane, as in
+    ``hyperplane_lsh_buckets``) is the right call for a handful of planes
+    but generates a ~50k-node expression tree at 96 planes — Catalyst +
+    codegen spend >10 s compiling it per action, dwarfing the actual work.
+    The UDF is map-only (no shuffle), Arrow-batched, and the plane matrix
+    is baked into the closure by value, so it scales exactly like the
+    Column form at 100 TB.
+
+    Rows carry only (id, band, bucket) — never the vector — so the explode
+    multiplies tiny rows, not 64-float payloads; callers re-join vectors
+    for candidates only.
     """
-    buckets = []
-    for band in range(n_bands):
-        planes = _hyperplanes(bits_per_band, dim, seed + band)
-        bucket = F.lit(0).cast("long")
-        for i, p in enumerate(planes):
-            plane_col = F.array(*[F.lit(float(w)) for w in p])
-            bit = F.when(
-                dot_col(F.col(vec_col), plane_col) > 0, F.lit(1).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
-        buckets.append(bucket)
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(
+        [_hyperplanes(bits_per_band, dim, seed + b) for b in range(n_bands)],
+        dtype=np.float64,
+    ).reshape(n_bands * bits_per_band, dim)
+    weights = (2 ** np.arange(bits_per_band)).astype(np.int64)
+    nb, bpb = n_bands, bits_per_band
+
+    @pandas_udf("array<long>")
+    def band_buckets(vecs: pd.Series) -> pd.Series:
+        X = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+        bits = (X @ planes.T) > 0  # (batch, bands*bits)
+        buckets = (bits.reshape(len(vecs), nb, bpb) * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
     return embeddings.select(
-        F.col(id_col), F.posexplode(F.array(*buckets)).alias("band", "bucket")
+        F.col(id_col),
+        F.posexplode(band_buckets(F.col(vec_col))).alias("band", "bucket"),
     )
 
 
@@ -156,12 +171,20 @@ def cosine_neardup_pairs_bucketed(
          1-(1-p^bits)^bands with p = 1 - theta/pi.
 
     Defaults (24 bands × 4 bits) give ≥0.98 expected recall at sim 0.42 —
-    tuned for this corpus's low-similarity tail; production near-dup at
-    0.9+ should use fewer bands of 8-16 bits (collision prob 0.967^bits).
+    tuned for this corpus's low-similarity tail. Honest caveat, measured
+    at sf0.1: a 0.42 threshold sits ~3.4σ from random-cosine noise, so NO
+    blocking scheme separates well — here the band join admits ~78% of all
+    pairs and the win over all-pairs is only ~1.3×. The operator's value
+    shows at real near-dup thresholds (0.8+, e.g. duplicated web text),
+    where per-band collision for non-dups collapses (0.5^bits vs
+    0.93^bits for dups) and pruning reaches 100-1000×; use 8-16 bits per
+    band there. The signature table is persisted — both sides of the
+    candidate self-join and nothing else consume it (at larger corpora,
+    write it to a table instead; it is n·bands tiny rows).
     """
     sig = banded_lsh_signatures(
         embeddings, n_bands, bits_per_band, dim, seed, id_col, vec_col
-    )
+    ).persist()
     a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
     cand = (

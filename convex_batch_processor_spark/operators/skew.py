@@ -66,8 +66,34 @@ def salted_agg(
 
 
 def _is_distinct(expr: Column) -> bool:
-    """True if the aggregate expression carries a DISTINCT qualifier."""
-    try:
-        return bool(expr._jc.node().isDistinct())
-    except Exception:  # noqa: BLE001 — not a function node (e.g. cast wrapper)
-        return "distinct" in expr._jc.toString().lower()
+    """True if the aggregate expression carries a DISTINCT qualifier
+    anywhere in its unresolved tree.
+
+    A cast-wrapped aggregate (``countDistinct(x).cast("long")``) has a Cast
+    root with no ``isDistinct`` — and ``toString()`` DROPS the qualifier
+    ("CAST(count(x) AS BIGINT)"), so a string search would wave it through
+    and the sum-merge branch would silently overcount. Walk the node tree
+    instead; any node whose distinctness cannot be positively determined
+    makes the whole expression indeterminate → raise, never guess."""
+
+    def probe(node) -> bool:
+        distinct = None
+        try:
+            distinct = bool(node.isDistinct())
+        except Exception:  # noqa: BLE001 — node type without the accessor
+            pass
+        if distinct:
+            return True
+        try:
+            children = node.children()
+            n = children.size()
+        except Exception as e:  # noqa: BLE001
+            if distinct is None:
+                raise ValueError(
+                    f"salted_agg cannot determine DISTINCT-ness of expression "
+                    f"node {node.getClass().getName()}; refusing to merge it"
+                ) from e
+            return False
+        return any(probe(children.apply(i)) for i in range(n))
+
+    return probe(expr._jc.node())

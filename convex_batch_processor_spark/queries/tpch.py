@@ -286,6 +286,239 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q2_SQL = """
+    SELECT s_acctbal, s_name, n_name, p.p_partkey, p_type, l_extendedprice AS min_price
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 15
+      AND l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2
+          JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+          JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+          WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_SQL)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: min-cost supplier per part via a correlated MIN
+    subquery (lineitem price stands in for partsupp supplycost — the
+    testdata has no partsupp table). Catalyst decorrelates the subquery
+    into a per-part aggregate + equi-join; the region→nation→supplier
+    chain broadcasts on both the outer and inner sides. The LIMIT's
+    ordering key functionally determines every output column, so the cut
+    is deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q2_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_SQL)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late shipper of a multi-supplier order
+    (shipdate >60d after ordering stands in for receipt-vs-commit — the
+    testdata has no commit/receipt dates). Exercises EXISTS + NOT EXISTS
+    with a non-equality correlated predicate referencing two outer
+    tables — Catalyst plans a left-semi and a left-anti join against
+    lineitem, both shuffling on l_orderkey only."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q21_SQL)
+
+
+@register(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT CAST(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REVENUE}
+                                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({_REVENUE}) AS DOUBLE) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-ratio aggregate (promo revenue share of
+    one ship month). One fact-dim join — part is the small side and
+    broadcasts — then a single global aggregate computing numerator and
+    denominator in the same pass (no second scan for the ratio)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue_col()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("promo_pct")
+        )
+    )
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate-over-aggregate — the supplier(s) whose
+    quarterly revenue equals the MAX over all suppliers' revenues. The CTE
+    aggregates once; the scalar MAX subquery reuses it (Catalyst plans the
+    revenue aggregate + a 1-row broadcast of the max). Revenue is
+    decimal-accumulated then cast to double, so the equality compares
+    identical bits in both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q15_SQL)
+
+
+@register(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with a
+    NOT IN exclusion subquery — Catalyst plans it as a null-aware anti
+    join (broadcast: the excluded-supplier list is tiny). lineitem stands
+    in for partsupp (the testdata has none)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+        """
+    )
+
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN part p ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l_quantity < (
+          SELECT 0.2 * CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@register("q17_small_quantity_revenue", oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: rows below 20% of their part's average quantity
+    (correlated scalar aggregate over the same fact table), summed. The
+    per-part average is decimal-accumulated exact-sum / count in BOTH
+    engines so the < boundary cannot drift between them. Catalyst
+    decorrelates to a per-partkey aggregate joined back to lineitem."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q17_SQL)
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT year(o_orderdate) AS yr,
+           CAST(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN {_REVENUE}
+                              ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                / CAST(SUM({_REVENUE}) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY year(o_orderdate)
+    ORDER BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a customer region's
+    purchase volume per year — two roles for the nation dimension plus a
+    conditional-ratio aggregate per group. All dimensions broadcast; the
+    lineitem↔orders shuffle is the only large exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    rev = _revenue_col()
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nk"))
+        .join(region, F.col("c_rk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)).cast("double")
+                / F.sum(rev).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
 @register(
     "q4_priority_with_late_lines",
     oracle="""

@@ -267,7 +267,16 @@ class BatchAccumulator:
     # --- views (getBatchStatus / getFlushHistory parity) --------------------
 
     def flush_history(self, limit: int | None = None) -> DataFrame:
-        """getFlushHistory (lib.ts:279-301): newest-first audit rows."""
+        """getFlushHistory (lib.ts:279-301): newest-first audit rows.
+
+        Delivery caveat (inherent to the at-least-once model): history rows
+        are AT-LEAST-ONCE per epoch, written outside the checkpoint commit.
+        If the handle succeeds but the history write itself fails, the
+        epoch replays → duplicate handle side effects AND a possible
+        success row for an epoch whose commit never landed; a replayed
+        epoch likewise re-records its attempt. Consumers that need
+        exactly-one row per attempt should dedupe on
+        (batch_id, epoch_id, success) keeping the latest flushed_at."""
         if not os.path.isdir(self.history_dir):
             return self.spark.createDataFrame([], schema=FLUSH_HISTORY_SCHEMA)
         df = self.spark.read.schema(FLUSH_HISTORY_SCHEMA).parquet(self.history_dir)

@@ -82,6 +82,22 @@ def test_users_migration_scenario(spark, sf_dir, tmp_path):
     assert bp.delete_iterator_job("user-migration-2024") is True
 
 
+def test_optimistic_flush_returns_before_running(spark, tmp_path):
+    """flush(block=False) parity with the reference's scheduled flush
+    (lib.ts:167-177): returns True immediately; the flush lands on a
+    background thread and is visible after wait_for_flushes."""
+    reg = HandleRegistry()
+    flushed = []
+    reg.add("bg", lambda df, ep: flushed.append(df.count()))
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.accumulator("opt", EVENT_SCHEMA, "bg", flush_interval_s=30)
+    bp.add_items("opt", [{"eventName": "e", "timestamp": 1}] * 25)
+    assert bp.flush("opt", block=False) is True  # optimistic
+    bp.wait_for_flushes("opt")
+    assert sum(flushed) == 25
+    assert bp.get_batch_status("opt")["flushed_items"] == 25
+
+
 def test_facade_guards(spark, tmp_path):
     bp = BatchProcessor(spark=spark, root=str(tmp_path))
     with pytest.raises(KeyError, match="no accumulator"):
@@ -101,7 +117,12 @@ def test_facade_sees_persisted_jobs_across_instances(spark, sf_dir, tmp_path):
     customers = load_table(spark, sf_dir, "customer")
 
     bp1 = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
-    bp1.start_iterator("restartable", customers, "c_custkey", "mig", batch_size=60, run=False)
+    # cursor mode pinned: the test asserts the exact 60-row first page,
+    # which planned mode's approxQuantile ranges only hit approximately
+    bp1.start_iterator(
+        "restartable", customers, "c_custkey", "mig",
+        batch_size=60, run=False, plan_ranges=False,
+    )
     bp1.run_iterator("restartable", max_chunks=1)
 
     bp2 = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)  # "restarted driver"

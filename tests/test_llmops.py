@@ -226,6 +226,13 @@ def test_salted_agg_rejects_distinct_and_avg(spark, sf_dir):
         salted_agg(ev, ["event_type"], {"d": F2.countDistinct("user_id")})
     with pt.raises(ValueError, match="decomposable"):
         salted_agg(ev, ["event_type"], {"a": F2.avg("value")})
+    # cast-wrapped DISTINCT: toString() drops the qualifier ("CAST(count(x)
+    # AS BIGINT)"), so only a node-tree walk catches it — a string probe
+    # would merge it with sum and silently overcount
+    with pt.raises(ValueError, match="DISTINCT"):
+        salted_agg(
+            ev, ["event_type"], {"d": F2.countDistinct("user_id").cast("long")}
+        )
 
 
 def test_char_trigrams_short_text(spark):

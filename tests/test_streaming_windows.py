@@ -56,6 +56,56 @@ def test_streaming_tumbling_window_equals_batch(spark, sf_dir, tmp_path):
     assert streamed == batch
 
 
+def test_streaming_session_window_equals_batch_sessionize(spark, sf_dir, tmp_path):
+    """The streaming form of ``sessionize_events``: session_window(ts, 30d)
+    over a multi-file stream must reproduce the batch lag→running-sum
+    sessionization exactly — including sessions whose events arrive in
+    different micro-batches (state-store session merge)."""
+    raw = spark.read.parquet(table_path(sf_dir, "events"))
+    src_dir = tmp_path / "events_stream"
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1, so sessions
+    # spanning files exercise cross-batch session merging
+    raw.repartition(4).write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 days").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("t_start"),
+            F.max("ts").alias("t_end"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select("user_id", "n_events", "t_start", "t_end", "session_value")
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = {
+        (r.user_id, r.t_start): (r.n_events, r.t_end, r.session_value)
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    # batch twin keys sessions by (user_id, session_idx); session_window has
+    # no idx, so compare on the natural session identity (user_id, t_start)
+    batch = {
+        (r.user_id, r.t_start): (r.n_events, r.t_end, r.session_value)
+        for r in QUERIES["sessionize_events"].fn(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
 def test_approx_sketches_within_error_bounds(spark, sf_dir):
     """approx_count_distinct (HLL++, ~2-5% rsd) and percentile_approx stay
     near the exact values — the contract that lets them replace exact

@@ -19,6 +19,60 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# sessionize_events registers FIRST in this module: its round-1 CORRECTNESS
+# row was a hash FAIL (oracle HUGEINT drift, since fixed) and the driver only
+# verifies the first 50 registry entries — this keeps the re-check inside the
+# cutoff (llm+misc = 27, tpch = 22, so this lands at exactly #50).
+@register(
+    "sessionize_events",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_ms(ts)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 2592000000
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), s AS (
+        SELECT user_id, event_id, ts, value,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_idx
+        FROM g
+    )
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS t_start, MAX(ts) AS t_end,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-day activity bursts): lag(ts) → new-session
+    flag → running-sum session index → per-session aggregate. The batch
+    equivalent of streaming session_window(ts, gap) — same shuffle profile
+    (one exchange on user_id)."""
+    gap_ms = 30 * 24 * 3600 * 1000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ms = F.lag(F.unix_millis(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev_ms.isNull() | ((F.unix_millis(F.col("ts")) - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    sessions = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("is_new", is_new)
+        .withColumn("session_idx", F.sum("is_new").over(wf))
+    )
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("t_start"),
+        F.max("ts").alias("t_end"),
+        dsum("value", "session_value"),
+    )
+
+
 @register(
     "window_rank_lag_running",
     oracle="""
@@ -131,56 +185,6 @@ def pivot_status_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(dec("l_quantity")).cast("double"))
     )
     return out.withColumnRenamed("O", "qty_o").withColumnRenamed("F", "qty_f")
-
-
-@register(
-    "sessionize_events",
-    oracle="""
-    WITH g AS (
-        SELECT user_id, event_id, ts, value,
-               CASE WHEN epoch_ms(ts)
-                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 2592000000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    THEN 1 ELSE 0 END AS is_new
-        FROM events
-    ), s AS (
-        SELECT user_id, event_id, ts, value,
-               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS session_idx
-        FROM g
-    )
-    SELECT user_id, session_idx, COUNT(*) AS n_events,
-           MIN(ts) AS t_start, MAX(ts) AS t_end,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-    FROM s GROUP BY user_id, session_idx
-    """,
-)
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-day activity bursts): lag(ts) → new-session
-    flag → running-sum session index → per-session aggregate. The batch
-    equivalent of streaming session_window(ts, gap) — same shuffle profile
-    (one exchange on user_id)."""
-    gap_ms = 30 * 24 * 3600 * 1000
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ms = F.lag(F.unix_millis(F.col("ts"))).over(w)
-    is_new = F.when(
-        prev_ms.isNull() | ((F.unix_millis(F.col("ts")) - prev_ms) > gap_ms), 1
-    ).otherwise(0)
-    sessions = (
-        _t(spark, sf_dir, "events")
-        .select("user_id", "event_id", "ts", "value")
-        .withColumn("is_new", is_new)
-        .withColumn("session_idx", F.sum("is_new").over(wf))
-    )
-    return sessions.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("t_start"),
-        F.max("ts").alias("t_end"),
-        dsum("value", "session_value"),
-    )
 
 
 @register(

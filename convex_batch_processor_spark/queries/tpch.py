@@ -548,3 +548,291 @@ def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+_Q9_SQL = f"""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(SUM({_REVENUE}) AS DOUBLE)
+             - 0.6 * CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))
+                              * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation ASC, o_year DESC
+"""
+
+
+@register("q9_product_type_profit", oracle=_Q9_SQL)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern (0.6×retailprice×quantity stands in for
+    ps_supplycost — the testdata has no partsupp). Both money terms are
+    decimal-accumulated separately and subtracted as two exact doubles, so
+    parity holds without nesting decimals past Spark's precision cap. The
+    LIKE filter prunes part before the join; part/supplier/nation
+    broadcast, lineitem↔orders is the one big shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cost = dec("p_retailprice") * dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+        .join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nation), nation.n_nationkey == supp.s_nationkey)
+        .join(orders, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(_revenue_col()).cast("double")
+                - F.lit(0.6) * F.sum(cost).cast("double")
+            ).alias("sum_profit")
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q11_SQL = """
+    SELECT l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS part_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) >
+           (SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+    ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+@register("q11_important_part_value", oracle=_Q11_SQL)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from one nation's
+    suppliers exceeds a fraction of that nation's total (value×quantity
+    from lineitem stands in for partsupp stock value). Exercises HAVING
+    with an uncorrelated scalar subquery — Catalyst computes the total
+    once and broadcasts the 1-row result into the filter; both the
+    per-part and the grand aggregate reuse the same broadcast-joined
+    scan shape."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q11_SQL)
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+    SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN '90+'
+                WHEN datediff('day', o_orderdate, l_shipdate) > 30 THEN '31-90'
+                ELSE '0-30' END AS delay_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY delay_bucket ASC
+    """,
+)
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per shipping-delay
+    bucket (the delay bucket stands in for l_shipmode — the testdata has
+    no shipmode column). One fact↔fact equi-join with the date filter
+    pushed to the lineitem scan; the CASE aggregation computes both
+    branches in a single pass."""
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay > 90, F.lit("90+")).when(delay > 30, F.lit("31-90")).otherwise(F.lit("0-30"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy(F.col("delay_bucket").asc())
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts,
+    customers with zero qualifying orders included (LEFT OUTER join with
+    the filter in the join condition, not WHERE — moving it to WHERE would
+    silently drop the zero bucket). COUNT(o_orderkey) counts non-nulls, so
+    unmatched customers land in c_count=0; the second aggregate is over
+    ~distinct-count rows — tiny."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q19_BRANCHES = [
+    ("Brand#12", 5, (1, 11)),
+    ("Brand#19", 10, (10, 20)),
+    ("Brand#5", 15, (20, 30)),
+]
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of per-brand
+    conjunctions mixing part and lineitem columns. Catalyst extracts the
+    common sub-predicates it can push below the join (brand/size terms to
+    the part scan, the quantity range union to lineitem) and evaluates the
+    residual OR above the broadcast join — one pass, no union-of-three-scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = None
+    for brand, size_hi, (q_lo, q_hi) in _Q19_BRANCHES:
+        branch = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, size_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = branch if cond is None else (cond | branch)
+    return joined.filter(cond).agg(dsum_expr(_revenue_col(), "revenue"))
+
+
+_Q20_SQL = """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_5', 'NATION_7')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%gear%'
+          GROUP BY l_suppkey, l_partkey
+          HAVING CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               AND l_shipdate < TIMESTAMP '1998-01-01'
+                               THEN CAST(l_quantity AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) >
+                 0.3 * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE))
+    ORDER BY s_name
+"""
+
+
+@register("q20_excess_shippers", oracle=_Q20_SQL)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in given nations who shipped >30% of
+    their all-time quantity of pattern-matched parts within one year
+    (lineitem grouped by (suppkey, partkey) stands in for partsupp
+    availability). Nested IN over a conditional-HAVING aggregate —
+    Catalyst plans the IN as a left-semi join against the aggregated
+    subquery; the supplier×nation side is a broadcast chain."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q20_SQL)
+
+
+@register(
+    "q22_dormant_customer_balance",
+    oracle="""
+    SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (7, 13, 17, 19, 23)
+      AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                              / COUNT(*)
+                       FROM customer
+                       WHERE c_acctbal > 0.0
+                         AND c_nationkey IN (7, 13, 17, 19, 23))
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_nationkey
+    ORDER BY cntry
+    """,
+)
+def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers dormant since 2000
+    (no recent orders; every customer has SOME order in this testdata, so
+    the anti-join carries a date predicate), grouped by country
+    (c_nationkey stands in for the phone country code — the testdata has
+    no phone column). The scalar average is computed as a 1-row aggregate
+    and broadcast via crossJoin — the idiomatic distributed form of an
+    uncorrelated scalar subquery (no collect); the NOT EXISTS is a
+    left-anti join shuffling only on custkey, with the date filter pushed
+    to the orders scan. Average is exact-sum/count so the > boundary
+    cannot drift between engines."""
+    cntries = [7, 13, 17, 19, 23]
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(cntries))
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntry")
+    )

@@ -1,0 +1,64 @@
+"""Hadoop-FileSystem helpers for control-plane filesystem access.
+
+The accumulator's staging/checkpoint/history dirs are plain paths locally
+but must also work on object stores (``s3a://``, ``gs://``) and HDFS at
+cluster scale — ``os.listdir``-style calls only survive the local case
+(reference parity target: the store-backed batch state in
+src/component/lib.ts:87-96, 622-634, which has no filesystem at all).
+Every helper resolves the correct FileSystem for the path's scheme via the
+JVM gateway, so callers never assume locality. Data-plane reads/writes
+(parquet) already go through ``spark.read``/``write`` and need nothing.
+
+Per-call overhead is one py4j round-trip (~100 µs) — these are
+control-plane operations (a handful per flush/vacuum), never per-row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def _fs_path(spark: SparkSession, path: str):
+    jp = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jp = _fs_path(spark, path)
+    return bool(fs.exists(jp))
+
+
+def is_dir(spark: SparkSession, path: str) -> bool:
+    fs, jp = _fs_path(spark, path)
+    return bool(fs.exists(jp)) and bool(fs.getFileStatus(jp).isDirectory())
+
+
+def mkdirs(spark: SparkSession, path: str) -> None:
+    fs, jp = _fs_path(spark, path)
+    fs.mkdirs(jp)
+
+
+def listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child basenames of a directory (non-recursive); [] if absent."""
+    fs, jp = _fs_path(spark, path)
+    if not fs.exists(jp):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jp)]
+
+
+def delete(spark: SparkSession, path: str) -> bool:
+    """Non-recursive delete; False if the path didn't exist."""
+    fs, jp = _fs_path(spark, path)
+    return bool(fs.delete(jp, False))
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    """Whole small file as UTF-8 text (checkpoint logs are a few KB)."""
+    fs, jp = _fs_path(spark, path)
+    stream = fs.open(jp)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, spark._jvm.java.nio.charset.StandardCharsets.UTF_8
+        )
+    finally:
+        stream.close()

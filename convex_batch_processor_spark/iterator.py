@@ -85,7 +85,12 @@ class IteratorJobState:
 
 
 class JobStore:
-    """Atomic JSON-file-per-job state store (the iteratorJobs table)."""
+    """Atomic JSON-file-per-job state store (the iteratorJobs table).
+
+    Driver-local by design: job state is single-writer driver control
+    state (the reference keeps it in its transactional store,
+    lib.ts:898-945). On a cluster, point state_dir at a driver-attached
+    volume; the data-plane (chunks, handles) never touches it."""
 
     def __init__(self, state_dir: str):
         self.state_dir = state_dir

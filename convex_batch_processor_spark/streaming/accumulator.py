@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .. import fsutil
 from ..sources.registry import HandleRegistry, default_registry
 
 FLUSH_HISTORY_SCHEMA = T.StructType(
@@ -172,7 +173,7 @@ class BatchAccumulator:
     def _ensure_staging(self) -> bool:
         # a parquet stream needs the dir to exist; before any add there is
         # nothing to flush (flushBatch's "no batch" early-out, lib.ts:141-148)
-        return os.path.isdir(self.staging_dir)
+        return fsutil.is_dir(self.spark, self.staging_dir)
 
     def flush_now(self) -> bool:
         """Manual flush (D2) — run the stream once over everything staged
@@ -207,7 +208,7 @@ class BatchAccumulator:
         """Continuous accumulation (D1 time path): interval-triggered stream.
         Returns the StreamingQuery; caller owns stop()."""
         if not self._ensure_staging():
-            os.makedirs(self.staging_dir, exist_ok=True)
+            fsutil.mkdirs(self.spark, self.staging_dir)
             # streaming parquet source requires at least the directory
         return (
             self._read_stream()
@@ -220,37 +221,34 @@ class BatchAccumulator:
 
     # --- D8 retention: delete flushed staging files -------------------------
 
-    def _committed_files(self) -> list[str]:
-        """Staging file paths belonging to COMMITTED epochs (from the
-        checkpoint's commits/ + FileStreamSource log)."""
+    def _committed_files(self) -> set[str]:
+        """BASENAMES of staging files belonging to COMMITTED epochs (from
+        the checkpoint's commits/ + FileStreamSource log). All filesystem
+        access goes through the Hadoop FS API (fsutil) so the root may be
+        an object store; comparison is by basename because the source log
+        stores percent-encoded URIs while directory listings return raw
+        paths — staging is one flat dir of Spark part-files, whose names
+        are globally unique and URI-safe, so basenames identify exactly."""
         import json
+        from urllib.parse import unquote, urlparse
 
         commits_dir = os.path.join(self.checkpoint_dir, "commits")
         source_log = os.path.join(self.checkpoint_dir, "sources", "0")
-        if not (os.path.isdir(commits_dir) and os.path.isdir(source_log)):
-            return []
-        committed = {name for name in os.listdir(commits_dir) if name.isdigit()}
-        files: list[str] = []
+        committed = {n for n in fsutil.listdir(self.spark, commits_dir) if n.isdigit()}
+        names: set[str] = set()
         for epoch in sorted(committed, key=int):
             log_file = os.path.join(source_log, epoch)
-            if not os.path.exists(log_file):
+            if not fsutil.exists(self.spark, log_file):
                 continue
-            with open(log_file) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line.startswith("{"):
-                        continue
-                    entry = json.loads(line)
-                    path = entry.get("path", "")
-                    if path.startswith("file:"):
-                        # the log stores percent-encoded file URIs;
-                        # decode + absolutize so comparisons with local
-                        # os.path listings match (spaces, relative roots)
-                        from urllib.parse import unquote, urlparse
-
-                        path = unquote(urlparse(path).path)
-                    files.append(os.path.abspath(path))
-        return files
+            for line in fsutil.read_text(self.spark, log_file).splitlines():
+                line = line.strip()
+                if not line.startswith("{"):
+                    continue
+                entry = json.loads(line)
+                path = entry.get("path", "")
+                if path:
+                    names.add(os.path.basename(unquote(urlparse(path).path)))
+        return names
 
     def vacuum_staging(self, dry_run: bool = False) -> list[str]:
         """Delete staging files whose epochs are COMMITTED (the reference
@@ -258,10 +256,15 @@ class BatchAccumulator:
         (failed flushes pending retry) keep their files, preserving
         at-least-once. Returns the deleted (or would-delete) paths.
         """
-        doomed = [p for p in self._committed_files() if os.path.exists(p)]
+        committed = self._committed_files()
+        doomed = [
+            os.path.join(self.staging_dir, name)
+            for name in fsutil.listdir(self.spark, self.staging_dir)
+            if name in committed
+        ]
         if not dry_run:
             for p in doomed:
-                os.remove(p)
+                fsutil.delete(self.spark, p)
         return doomed
 
     # --- views (getBatchStatus / getFlushHistory parity) --------------------
@@ -277,7 +280,7 @@ class BatchAccumulator:
         epoch likewise re-records its attempt. Consumers that need
         exactly-one row per attempt should dedupe on
         (batch_id, epoch_id, success) keeping the latest flushed_at."""
-        if not os.path.isdir(self.history_dir):
+        if not fsutil.is_dir(self.spark, self.history_dir):
             return self.spark.createDataFrame([], schema=FLUSH_HISTORY_SCHEMA)
         df = self.spark.read.schema(FLUSH_HISTORY_SCHEMA).parquet(self.history_dir)
         df = df.orderBy(F.col("flushed_at").desc(), F.col("epoch_id").desc())
@@ -292,12 +295,11 @@ class BatchAccumulator:
         demand, never stored (T3/schema.ts:9)."""
         staged = 0
         if self._ensure_staging():
-            committed = set(self._committed_files())
+            committed = self._committed_files()
             pending_files = [
-                os.path.abspath(os.path.join(self.staging_dir, f))
-                for f in os.listdir(self.staging_dir)
-                if f.endswith(".parquet")
-                and os.path.abspath(os.path.join(self.staging_dir, f)) not in committed
+                os.path.join(self.staging_dir, f)
+                for f in fsutil.listdir(self.spark, self.staging_dir)
+                if f.endswith(".parquet") and f not in committed
             ]
             if pending_files:
                 staged = (

@@ -22,6 +22,7 @@ from . import analytics  # noqa: E402,F401
 from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
+from . import tpch_star  # noqa: E402,F401  (round-1-green; registers last)
 
 
 def spark_queries():

@@ -422,3 +422,86 @@ def sampled_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     langs = [r.lang for r in docs.select("lang").distinct().collect()]
     fractions = {lang: (0.2 if i % 2 == 0 else 0.8) for i, lang in enumerate(sorted(langs))}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang")
+
+
+_PIPELINE_SQL = """
+    WITH quality AS (
+        SELECT doc_id, lang, source, text,
+               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+        FROM documents
+        WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 1000
+          AND CAST(len(list_filter(string_split(text, ' '),
+                       x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)
+              / len(list_filter(string_split(text, ' '), x -> x <> '')) < 0.5
+    ), deduped AS (
+        SELECT doc_id, lang, source, n_tokens FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rn
+            FROM quality
+        ) WHERE dup_rn = 1
+    )
+    SELECT doc_id, lang, source, n_tokens
+    FROM deduped WHERE doc_id % 3 = 0
+"""
+
+
+@register("training_data_pipeline", oracle=_PIPELINE_SQL)
+def training_data_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline: quality gate → exact dedup →
+    deterministic 1-in-3 sample — the composed form of the individual
+    §2.11 operators, registered so the composition itself is
+    oracle-verified.
+
+    Scale contract: ONE wide shuffle total. The quality gate is map-only
+    Column math; dedup ranks within md5(text) groups (uniform hash keys,
+    no skew — the only exchange); the sample is a modulo on doc_id, NOT a
+    per-lang window (a rank over each language would serialize each
+    stratum through one partition at 100 TB; uniform ids make mod-sampling
+    stratification-preserving in expectation, and exactly reproducible
+    across engines, retries, and AQE re-plans)."""
+    docs = _t(spark, sf_dir, "documents")
+    quality = docs.filter(X.quality_label() == "ok").select(
+        "doc_id", "lang", "source", "text", X.token_count().alias("n_tokens")
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("dup_rn", F.row_number().over(w))
+        .filter(F.col("dup_rn") == 1)
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+    return deduped.filter(F.col("doc_id") % 3 == 0)
+
+
+@register(
+    "training_mix_report",
+    oracle=f"""
+    WITH sampled AS ({_PIPELINE_SQL})
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(CAST(SUM(n_tokens) AS DOUBLE)
+                / (SELECT SUM(n_tokens) FROM sampled) AS DOUBLE) AS token_share
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture report over the pipeline output: per-language doc/token
+    counts and each language's token share — the dataset card a training
+    run records. The share denominator is a 1-row aggregate broadcast via
+    crossJoin (no collect); adds one tiny exchange over the ~|langs|-row
+    aggregate, nothing at data scale."""
+    sampled = training_data_pipeline(spark, sf_dir)
+    per_lang = sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("total_tokens")).alias("token_share"),
+        )
+        .orderBy("lang")
+    )

@@ -30,199 +30,6 @@ def _revenue_col():
     return dec("l_extendedprice") * (one - dec("l_discount", DEC_SMALL))
 
 
-@register(
-    "q3_shipping_priority",
-    oracle=f"""
-    SELECT l_orderkey,
-           CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue,
-           o_orderdate, o_orderpriority
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1998-03-15'
-      AND l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l_orderkey, o_orderdate, o_orderpriority
-    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
-    LIMIT 10
-    """,
-)
-def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape: 3-way join (dim→fact→fact), filtered both sides,
-    grouped revenue, top-10. Customer side is small after the segment
-    filter → broadcast; the orders↔lineitem join shuffles on orderkey with
-    both filters pushed to the scans."""
-    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(dsum_expr(_revenue_col(), "revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
-        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
-        .limit(10)
-    )
-
-
-@register(
-    "q5_local_supplier_volume",
-    oracle=f"""
-    SELECT n_name,
-           CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01'
-      AND o_orderdate < TIMESTAMP '1998-01-01'
-    GROUP BY n_name
-    """,
-)
-def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-way star join with a same-nation constraint.
-    region→nation→supplier prune to a broadcast chain; the only big
-    exchange is lineitem↔orders."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem")
-    supp = _t(spark, sf_dir, "supplier")
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(supp, (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey))
-        .join(nation, supp.s_nationkey == nation.n_nationkey)
-        .join(region, nation.n_regionkey == region.r_regionkey)
-        .groupBy("n_name")
-        .agg(dsum_expr(_revenue_col(), "revenue"))
-    )
-
-
-@register(
-    "q10_returned_items",
-    oracle=f"""
-    SELECT c_custkey, c_name,
-           CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue,
-           n_name, c_acctbal
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN nation ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1996-10-01'
-      AND o_orderdate < TIMESTAMP '1997-01-01'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, n_name, c_acctbal
-    ORDER BY revenue DESC, c_custkey ASC
-    LIMIT 20
-    """,
-)
-def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q10 shape: returned-item revenue per customer, top-20."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
-    )
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .join(nation, cust.c_nationkey == nation.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
-        .agg(dsum_expr(_revenue_col(), "revenue"))
-        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(20)
-    )
-
-
-@register(
-    "q18_large_volume_customer",
-    oracle="""
-    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-    FROM customer
-    JOIN orders ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 150
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 20
-    """,
-)
-def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18 shape: large-volume orders (HAVING over a join-group)."""
-    cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == li.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
-        .filter(F.col("total_qty") > 150)
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(20)
-    )
-
-
-@register(
-    "q7_volume_shipping",
-    oracle=f"""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           year(l_shipdate) AS yr,
-           CAST(SUM({_REVENUE}) AS DOUBLE) AS revenue
-    FROM supplier
-    JOIN lineitem ON s_suppkey = l_suppkey
-    JOIN orders ON o_orderkey = l_orderkey
-    JOIN customer ON c_custkey = o_custkey
-    JOIN nation n1 ON s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
-        OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
-      AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
-    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
-    """,
-)
-def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bidirectional nation-pair trade volume — two
-    aliases of the same dimension joined against both fact sides."""
-    li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate").between("1996-01-01", "1997-12-31 00:00:00")
-    )
-    supp = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders")
-    cust = _t(spark, sf_dir, "customer")
-    nation = _t(spark, sf_dir, "nation")
-    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
-    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
-    pair = (
-        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
-    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
-    return (
-        supp.join(li, supp.s_suppkey == li.l_suppkey)
-        .join(orders, F.col("o_orderkey") == li.l_orderkey)
-        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
-        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
-        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
-        .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("yr"))
-        .agg(dsum_expr(_revenue_col(), "revenue"))
-    )
 
 
 @register(

@@ -52,6 +52,14 @@ def delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jp, False))
 
 
+def content_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under a path (recursive); 0 if absent."""
+    fs, jp = _fs_path(spark, path)
+    if not fs.exists(jp):
+        return 0
+    return int(fs.getContentSummary(jp).getLength())
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     """Whole small file as UTF-8 text (checkpoint logs are a few KB)."""
     fs, jp = _fs_path(spark, path)

@@ -43,6 +43,46 @@ def compact(spark: SparkSession, path: str, target_files: int, out_path: str) ->
     spark.read.parquet(path).coalesce(target_files).write.mode("overwrite").parquet(out_path)
 
 
+def compact_to_size(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_mb: int = 128,
+    order_by: list[str] | None = None,
+) -> int:
+    """Size-aware compaction: measure the directory's actual bytes
+    (Hadoop FS API — works on object stores) and rewrite to
+    ``ceil(bytes / target_file_mb)`` files.
+
+    ``order_by`` additionally range-partitions + sorts within partitions
+    on those columns — clustering that lets readers' min/max file pruning
+    skip files on the sort keys (poor-man's Z-order for one key chain).
+    Without it, coalesce avoids the shuffle entirely.
+
+    This is the maintenance pass for streaming sinks: the accumulator's
+    history/output dirs accrete one file per epoch; at 100 TB the NameNode
+    /object-store listing cost and the per-file open cost dominate reads
+    until compaction. Do NOT point it at a live accumulator's staging dir:
+    the checkpoint's source log tracks staged files by name, and rewriting
+    them would re-admit the data as new offsets (duplicate delivery).
+
+    Returns the number of output files requested.
+    """
+    import math
+
+    from .. import fsutil
+
+    total = fsutil.content_bytes(spark, path)
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if order_by:
+        df = df.repartitionByRange(n_files, *order_by).sortWithinPartitions(*order_by)
+    else:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").parquet(out_path)
+    return n_files
+
+
 def upsert_partitioned(
     spark: SparkSession,
     path: str,

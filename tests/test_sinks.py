@@ -78,3 +78,35 @@ def test_upsert_rewrites_only_affected_partitions(spark, sf_dir, tmp_path):
         .collect()[0]["s"]
     )
     assert float(got_p_sum) == float(expect_p_sum) * 2
+
+
+def test_compact_to_size_preserves_rows_and_clusters(spark, sf_dir, tmp_path):
+    """Size-aware compaction: many tiny files -> few size-targeted files,
+    same rows; order_by clustering makes per-file key ranges disjoint so
+    min/max pruning can skip files."""
+    from convex_batch_processor_spark.sources.sinks import compact_to_size
+
+    src = str(tmp_path / "tiny")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(40).write.parquet(src)  # 40 tiny files
+    n_before = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_before == 40
+
+    n_req = compact_to_size(spark, src, out, target_file_mb=1, order_by=["o_orderkey"])
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == n_req < n_before
+    assert spark.read.parquet(out).count() == orders.count()
+
+    # clustering: file-level [min,max] o_orderkey ranges must not overlap
+    ranges = []
+    for f in files:
+        stats = (
+            spark.read.parquet(os.path.join(out, f))
+            .agg(F.min("o_orderkey"), F.max("o_orderkey"))
+            .collect()[0]
+        )
+        ranges.append((stats[0], stats[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"

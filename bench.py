@@ -75,6 +75,10 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.monotonic() - start)
         timings[name] = round(best, 3)
+        # drop intra-query persists (minhash shingles, LSH signatures):
+        # each query's cost must not include GC pressure from the caches
+        # the previous queries leaked into the executor heap
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

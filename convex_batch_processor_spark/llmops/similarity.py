@@ -182,8 +182,6 @@ def cosine_neardup_pairs_bucketed(
     candidate self-join and nothing else consume it (at larger corpora,
     write it to a table instead; it is n·bands tiny rows).
     """
-    from pyspark.sql.functions import pandas_udf
-
     sig = banded_lsh_signatures(
         embeddings, n_bands, bits_per_band, dim, seed, id_col, vec_col
     ).persist()
@@ -195,12 +193,13 @@ def cosine_neardup_pairs_bucketed(
         .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    # Rerank: normalize each vector ONCE (n rows — norm is the only
-    # array fold), so per-candidate similarity is a bare dot product; then
-    # compute that dot as one numpy matmul per Arrow batch. The JVM
-    # F.aggregate fold is the right tool at n-row scale but higher-order
-    # lambdas don't enter whole-stage codegen — at |candidates| ≈ n·bands
-    # rows it dominated the query (~6 of 8.5 s at sf0.1).
+    # Rerank: normalize each vector ONCE (n rows pay the two norm folds),
+    # so per-candidate similarity is a single 64-mult dot fold — JVM-side,
+    # no Python workers. Measured at sf0.1 against alternatives: full
+    # cosine fold per candidate (3 folds/pair) ~8.5 s; Arrow pandas_udf
+    # einsum ~1 s faster steady-state than this but pays ~10 s of Python
+    # worker spawn on first use and jitters under worker churn; unit-dot
+    # JVM fold ~4.6 s steady with no spawn cost and no jitter.
     norm = embeddings.withColumn("_n", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
     unit = norm.select(
         F.col(id_col),
@@ -208,18 +207,7 @@ def cosine_neardup_pairs_bucketed(
     )
     va = unit.select(F.col(id_col).alias("vec_id_a"), F.col("unit").alias("ua"))
     vb = unit.select(F.col(id_col).alias("vec_id_b"), F.col("unit").alias("ub"))
-
-    @pandas_udf("double")
-    def unit_dot(ua: pd.Series, ub: pd.Series) -> pd.Series:
-        A = np.array(ua.tolist(), dtype=np.float64)
-        B = np.array(ub.tolist(), dtype=np.float64)
-        return pd.Series(np.einsum("ij,ij->i", A, B))
-
-    # asNondeterministic stops PushDownPredicate from cloning the UDF below
-    # the projection (the threshold filter otherwise becomes a SECOND
-    # ArrowEvalPython pass over every candidate — measured 2× the rerank)
-    unit_dot = unit_dot.asNondeterministic()
-    sim = F.round(unit_dot(F.col("ua"), F.col("ub")), 6)
+    sim = F.round(dot_col(F.col("ua"), F.col("ub")), 6)
     return (
         cand.join(va, "vec_id_a")
         .join(vb, "vec_id_b")

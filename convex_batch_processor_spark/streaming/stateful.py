@@ -66,3 +66,95 @@ def running_totals_per_key(stream: DataFrame, key_col: str = "user_id") -> DataF
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, t_start_us long, t_end_us long, session_value double"
+)
+SESSION_STATE_SCHEMA = "n long, t_start_us long, t_end_us long, value double"
+
+
+def gap_sessions_per_key(
+    stream: DataFrame,
+    gap_ms: int,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session machine with EVENT-TIME TIMEOUT — the custom
+    stateful form of ``session_window`` (and of the batch
+    ``sessionize_events`` lag→running-sum query), for when the per-session
+    logic outgrows an aggregate (e.g. emit-on-close side effects, custom
+    merge rules).
+
+    Semantics: a key's session extends while consecutive events are within
+    ``gap_ms`` of each other. Sessions CLOSED by data inside a batch
+    (an in-batch gap) emit immediately; the trailing open session is kept
+    in the state store with ``setTimeoutTimestamp(last_event + gap)`` —
+    when the WATERMARK passes that point, Spark invokes this function with
+    ``state.hasTimedOut`` and no data, and the session emits exactly once.
+    Callers must put ``withWatermark`` on the stream (event-time timeout
+    requires it) and pass event time as epoch MICROS in a long column
+    (keeps the updater free of pandas datetime dtype pitfalls).
+
+    Scale: one shuffle per micro-batch on the key; state is one tiny row
+    per OPEN session (closed sessions leave the store immediately) —
+    bounded by concurrently-active keys, not history.
+    """
+
+    def update_sessions(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+
+        def emit(n, s, e, v):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "t_start_us": [s],
+                    "t_end_us": [e],
+                    "session_value": [round(v, 2)],
+                }
+            )
+
+        if state.hasTimedOut:
+            n, s, e, v = state.get
+            state.remove()
+            yield emit(n, s, e, v)
+            return
+
+        events: list[tuple[int, float]] = []
+        for pdf in pdfs:
+            events.extend(
+                zip(pdf[ts_us_col].astype("int64"), pdf[value_col].astype("float64"))
+            )
+        if not events:
+            return
+        events.sort()
+
+        cur = state.get if state.exists else None  # (n, start, end, value)
+        for ts, val in events:
+            if cur is None:
+                cur = (1, ts, ts, val)
+            elif ts - cur[2] > gap_ms * 1000:
+                yield emit(*cur)  # closed by an in-batch (or cross-batch) gap
+                cur = (1, ts, ts, val)
+            else:
+                cur = (cur[0] + 1, cur[1], max(cur[2], ts), cur[3] + val)
+        state.update(cur)
+        # close when the watermark passes last-event + gap; the timeout
+        # timestamp must be strictly beyond the current watermark
+        timeout_ms = cur[2] // 1000 + gap_ms
+        state.setTimeoutTimestamp(max(timeout_ms, state.getCurrentWatermarkMs() + 1))
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update_sessions,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -57,3 +57,83 @@ def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
         gn, gv = got[uid]
         assert gn == n
         assert abs(gv - v) < 0.05  # float fold order differs slightly from SQL sum
+
+
+def test_gap_sessions_event_time_timeout(spark, tmp_path):
+    """Session machine (applyInPandasWithState + EventTimeTimeout):
+    in-batch gaps close sessions immediately; cross-batch continuations
+    merge through the state store; the trailing open session emits exactly
+    once when the WATERMARK passes last-event+gap; a session the watermark
+    never passes stays un-emitted."""
+    import time
+
+    from convex_batch_processor_spark.streaming.stateful import gap_sessions_per_key
+
+    minute = 60_000_000  # micros
+    t0 = 1_700_000_000_000_000
+
+    def file_rows(path, *rows):  # (user, ts_us, value)
+        spark.createDataFrame(
+            list(rows), "user_id long, ts_us long, value double"
+        ).coalesce(1).write.parquet(path)
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # batch 1: user1 session A (3 events); user2 two sessions in ONE batch
+    # (in-batch gap of 35m > 30m closes the first immediately). Max event
+    # +40m keeps the watermark at +30m — later batches are never late.
+    file_rows(
+        str(src / "f1"),
+        (1, t0, 1.0),
+        (1, t0 + 10 * minute, 2.0),
+        (1, t0 + 20 * minute, 3.0),
+        (2, t0 + 5 * minute, 10.0),
+        (2, t0 + 40 * minute, 20.0),
+    )
+    # batch 2: user1 session B starts (2h after A -> A closes via timeout
+    # once the watermark moves, B continues cross-batch into f3)
+    file_rows(str(src / "f2"), (1, t0 + 140 * minute, 4.0))
+    # batch 3: B's second event + a far-future sentinel that drags the
+    # watermark past every other session's timeout
+    file_rows(
+        str(src / "f3"),
+        (1, t0 + 150 * minute, 5.0),
+        (99, t0 + 1000 * minute, 0.5),
+    )
+    now = time.time()
+    for d, age in (("f1", 120), ("f2", 60), ("f3", 0)):
+        for fn in os.listdir(src / d):
+            if fn.endswith(".parquet"):
+                os.utime(src / d / fn, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "10 minutes")
+    )
+    out = gap_sessions_per_key(stream, gap_ms=30 * 60_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_state_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = spark.sql("SELECT * FROM sess_state_out").collect()
+    sessions = {(r.user_id, r.t_start_us): (r.n_events, r.t_end_us, r.session_value) for r in rows}
+    assert len(rows) == len(sessions)  # each session emitted exactly once
+    # user1 A: 3 events closed by timeout after batch 2/3 watermark moves
+    assert sessions[(1, t0)] == (3, t0 + 20 * minute, 6.0)
+    # user1 B: cross-batch merge (f2+f3), closed by the sentinel's watermark
+    assert sessions[(1, t0 + 140 * minute)] == (2, t0 + 150 * minute, 9.0)
+    # user2: first session closed IN-BATCH by the 35-minute gap
+    assert sessions[(2, t0 + 5 * minute)] == (1, t0 + 5 * minute, 10.0)
+    # user2's second session: timeout at +70m <= final watermark (+990m) -> emitted
+    assert sessions[(2, t0 + 40 * minute)] == (1, t0 + 40 * minute, 20.0)
+    # the sentinel's own session: watermark never passes it -> still open
+    assert (99, t0 + 1000 * minute) not in sessions

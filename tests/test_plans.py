@@ -124,3 +124,49 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_q9_broadcasts_dims_and_prunes_part_name(spark, sf_dir):
+    """q9: the LIKE filter reaches the part scan; part/supplier/nation are
+    broadcast; the only exchanges belong to lineitem<->orders + the agg."""
+    df = q(spark, sf_dir, "q9_product_type_profit")
+    assert E.uses_broadcast_join(df)
+    plan = E.physical_plan(df)
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_q19_single_scan_no_union(spark, sf_dir):
+    """q19's OR-of-conjunctions must stay one lineitem scan + one part
+    broadcast — not a union of three per-branch scans."""
+    df = q(spark, sf_dir, "q19_disjunctive_revenue")
+    plan = E.physical_plan(df)
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 2  # lineitem + part, once each
+    assert E.uses_broadcast_join(df)
+
+
+def test_q22_anti_join_pushes_date_filter(spark, sf_dir):
+    """q22: the dormancy date predicate reaches the orders scan feeding the
+    left-anti join; the scalar average is a broadcast, not a collect."""
+    df = q(spark, sf_dir, "q22_dormant_customer_balance")
+    assert E.has_pushed_filter(df, "o_orderdate")
+    plan = E.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_training_pipeline_single_wide_shuffle(spark, sf_dir):
+    """The composed pipeline's scale contract: exactly ONE exchange (the
+    md5 dedup window); quality gate and mod-sample stay map-side."""
+    df = q(spark, sf_dir, "training_data_pipeline")
+    assert E.count_exchanges(df) == 1
+    cols = set(E.read_schema_columns(df))
+    assert cols == {"doc_id", "lang", "source", "text"}
+
+
+def test_cosine_bucketed_no_cartesian(spark, sf_dir):
+    """The LSH near-dup must never degrade to the all-pairs theta join:
+    no cartesian/nested-loop anywhere in the candidate plan."""
+    df = q(spark, sf_dir, "cosine_neardup_bucketed")
+    plan = E.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -260,3 +260,48 @@ def simhash_neardup(
     return cands.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def minhash_estimate_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash near-dup with SIGNATURE-AGREEMENT Jaccard estimation — the
+    verify-free scale variant of ``minhash_neardup``.
+
+    Instead of re-joining candidate docs back to their shingle sets for an
+    exact Jaccard (two wide joins carrying full shingle arrays), the
+    Jaccard is ESTIMATED as the fraction of agreeing signature components
+    (an unbiased estimator; per-pair std ≈ sqrt(J(1-J)/num_perm), ~0.09 at
+    J=0.5 with 32 perms). The candidate join then carries only the two
+    narrow signatures (num_perm longs each) — at 100 TB the shingle table
+    is never materialized a second time, and the verify step is a zip_with
+    over 2×num_perm longs per pair instead of set-intersection over
+    hundreds of shingles per pair.
+
+    Use when the threshold decision tolerates the estimator's variance
+    (typical for >=0.7 dedup gates); keep exact ``minhash_neardup`` when
+    precision at the boundary matters. Estimator-vs-exact error is
+    asserted in tests/test_llmops.py.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm).persist()
+    cands = lsh_candidate_pairs(sigs, id_col, rows_per_band)
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(num_perm)).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )

@@ -505,3 +505,12 @@ def training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register("minhash_estimate_neardup")  # rows-only: xxhash64 not in DuckDB
+def minhash_estimate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup with signature-agreement Jaccard estimate — the
+    verify-free variant (no second shingle materialization; candidates
+    carry only 2×32 longs). Estimator error vs the exact path is bounded
+    in tests."""
+    return D.minhash_estimate_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)

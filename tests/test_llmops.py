@@ -265,3 +265,31 @@ def test_sampled_by_lang_rates(spark, sf_dir):
     a = {r.doc_id for r in sampled.collect()}
     b = {r.doc_id for r in QUERIES["sampled_by_lang"].fn(spark, sf_dir).collect()}
     assert a == b
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The signature-agreement estimator must (a) find every pair the
+    exact path confirms at >=0.7 (high-sim pairs collide in many bands
+    AND agree on most components), and (b) estimate Jaccard within the
+    ~3-sigma band of the 32-perm estimator (|err| <= 0.27) for every
+    candidate pair both paths emit."""
+    from convex_batch_processor_spark.llmops.dedup import (
+        minhash_estimate_neardup,
+        minhash_neardup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_neardup(docs, threshold=0.0).collect()
+    }
+    est = {
+        (r.id_a, r.id_b): r.jaccard_est
+        for r in minhash_estimate_neardup(docs, threshold=0.0).collect()
+    }
+    assert set(est) == set(exact)  # same candidate pairs (same LSH banding)
+    high_sim = {p for p, j in exact.items() if j >= 0.7}
+    found = {p for p, j in est.items() if j >= 0.5}
+    assert high_sim <= found
+    errs = [abs(est[p] - exact[p]) for p in exact]
+    assert max(errs) <= 0.27, f"estimator out of 3-sigma band: {max(errs)}"

@@ -51,26 +51,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-day activity bursts): lag(ts) → new-session
     flag → running-sum session index → per-session aggregate. The batch
     equivalent of streaming session_window(ts, gap) — same shuffle profile
-    (one exchange on user_id)."""
-    gap_ms = 30 * 24 * 3600 * 1000
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    prev_ms = F.lag(F.unix_millis(F.col("ts"))).over(w)
-    is_new = F.when(
-        prev_ms.isNull() | ((F.unix_millis(F.col("ts")) - prev_ms) > gap_ms), 1
-    ).otherwise(0)
-    sessions = (
-        _t(spark, sf_dir, "events")
-        .select("user_id", "event_id", "ts", "value")
-        .withColumn("is_new", is_new)
-        .withColumn("session_idx", F.sum("is_new").over(wf))
-    )
-    return sessions.groupBy("user_id", "session_idx").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("t_start"),
-        F.max("ts").alias("t_end"),
-        dsum("value", "session_value"),
-    )
+    (one exchange on user_id). Core is ``operators/sessions.py:sessionize``
+    (property-tested against a pure-python reference)."""
+    from ..operators.sessions import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_ms=30 * 24 * 3600 * 1000)
 
 
 @register(

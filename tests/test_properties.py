@@ -39,3 +39,63 @@ def test_batch_id_roundtrip_property(spark, pairs):
         assert r.base_id == r.base
         assert r.seq == r.seq_orig
         assert r.bid == f"{r.base}::{r.seq_orig}"
+
+
+def _sessionize_reference(events, gap_ms):
+    """Pure-python sessionization oracle: events = [(user, ts_ms, value)]."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for i, (u, ts, v) in enumerate(events):
+        by_user[u].append((ts, i, v))  # i = event_id tiebreak
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        idx = 0
+        prev = None
+        for ts, _i, v in evs:
+            if prev is None or ts - prev > gap_ms:
+                idx += 1
+                out[(u, idx)] = [0, ts, ts, 0.0]
+            s = out[(u, idx)]
+            s[0] += 1
+            s[2] = max(s[2], ts)
+            s[3] = round(s[3] + v, 2)
+            prev = ts
+    return {k: tuple(v) for k, v in out.items()}
+
+
+@settings(max_examples=8, deadline=None)  # each example is a Spark job
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),  # user
+            st.integers(min_value=0, max_value=10**7),  # ts ms (collisions likely)
+            st.decimals(min_value=0, max_value=100, places=2).map(float),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=10**6),  # gap ms
+)
+def test_sessionize_matches_python_reference(spark, events, gap_ms):
+    """operators/sessions.py:sessionize == pure-python oracle on arbitrary
+    event sets: same session count per key, same (n, t_start, t_end, sum)
+    per session index — including equal-timestamp and gap-boundary cases
+    the fixed testdata never produces."""
+    from convex_batch_processor_spark.operators.sessions import sessionize
+
+    df = spark.createDataFrame(
+        [(u, i, ts, v) for i, (u, ts, v) in enumerate(events)],
+        "user_id long, event_id long, ts_ms long, value double",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    got = {
+        (r.user_id, r.session_idx): (
+            r.n_events,
+            int(r.t_start.timestamp() * 1000),
+            int(r.t_end.timestamp() * 1000),
+            round(r.session_value, 2),
+        )
+        for r in sessionize(df, gap_ms).collect()
+    }
+    assert got == _sessionize_reference(events, gap_ms)

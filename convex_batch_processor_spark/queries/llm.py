@@ -63,10 +63,9 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ngram_jaccard_pairs",
-    oracle="""
-    WITH sh AS (
+# Shared by ngram_jaccard_pairs and the cluster-collapse queries below.
+_NGRAM_PAIRS_CTES = """
+    sh AS (
         SELECT doc_id, source,
                list_distinct(list_transform(
                    range(1, greatest(1, len(list_filter(string_split(text,' '), x -> x <> '')) - 1)),
@@ -74,14 +73,21 @@ def dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                         list_filter(string_split(text,' '), x -> x <> '')[i+1] || ' ' ||
                         list_filter(string_split(text,' '), x -> x <> '')[i+2])) AS grams
         FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-             / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
-    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-            / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
-    """,
+"""
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"WITH {_NGRAM_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM pairs",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs, blocked by source bucket.
@@ -514,3 +520,126 @@ def minhash_estimate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry only 2×32 longs). Estimator error vs the exact path is bounded
     in tests."""
     return D.minhash_estimate_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+# --- near-dup cluster collapse ----------------------------------------------
+
+_COMPONENTS_CTES = f"""
+    {_NGRAM_PAIRS_CTES},
+    fp AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS f
+        FROM documents
+    ),
+    fp_pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    ),
+    all_pairs AS (
+        SELECT id_a, id_b FROM pairs UNION SELECT id_a, id_b FROM fp_pairs
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM all_pairs
+        UNION SELECT id_b, id_a FROM all_pairs
+    ),
+    reach(node, peer) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.peer
+    ),
+    comp AS (SELECT node AS doc_id, MIN(peer) AS component_id FROM reach GROUP BY node)
+"""
+
+
+def _neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-evidence edges: exact-Jaccard pairs (≥0.5) ∪ shared
+    8-token-prefix pairs — the two deterministic, oracle-expressible
+    near-dup signals. Duplicate edges are harmless downstream (min-label
+    propagation is idempotent over repeated edges)."""
+    jac = ngram_jaccard_pairs(spark, sf_dir).select("id_a", "id_b")
+    fp = _t(spark, sf_dir, "documents").select(
+        "doc_id", X.prefix_fingerprint().alias("f")
+    )
+    fp_pairs = (
+        fp.select(F.col("doc_id").alias("id_a"), "f")
+        .join(fp.select(F.col("doc_id").alias("id_b"), "f"), "f")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return jac.union(fp_pairs)
+
+
+@register(
+    "neardup_components",
+    oracle=f"WITH RECURSIVE {_COMPONENTS_CTES} SELECT doc_id, component_id FROM comp",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the duplicate-evidence
+    pair graph (exact-Jaccard ∪ shared-prefix) — the transitive closure
+    that turns pairwise matches into duplicate groups (component_id = min
+    doc_id in the group).
+
+    Spark side is iterative min-label propagation (operators/graph.py:
+    one equi-join + min-agg per round, lineage truncated per round,
+    converges in ~cluster-diameter rounds; large-star/small-star is the
+    documented log-round path for adversarial chains). Oracle is a DuckDB
+    recursive-CTE transitive closure over the same pairs."""
+    from ..operators.graph import connected_components
+
+    return (
+        connected_components(_neardup_edges(spark, sf_dir), "id_a", "id_b")
+        .select(F.col("node").alias("doc_id"), "component_id")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_COMPONENTS_CTES},
+    scored AS (
+        SELECT c.component_id, c.doc_id,
+               len(list_filter(string_split(d.text, ' '), x -> x <> '')) AS n_tokens
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component_id, doc_id AS keep_doc_id, n_tokens AS keep_n_tokens,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM (
+        SELECT *,
+               row_number() OVER (PARTITION BY component_id
+                                  ORDER BY n_tokens DESC, doc_id ASC) AS rn,
+               COUNT(*) OVER (PARTITION BY component_id) AS n_members
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster survivors: for each near-dup component keep the
+    best representative (most tokens, ties to lowest doc_id) — the final
+    collapse step of corpus dedup, with cluster size for audit.
+
+    Scale: the component table is tiny relative to the corpus (only docs
+    in some duplicate pair), so the docs join broadcasts it; the ranking
+    window partitions by component (small, uniform groups — no skew)."""
+    from ..operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    comp = connected_components(_neardup_edges(spark, sf_dir), "id_a", "id_b")
+    scored = (
+        docs.join(F.broadcast(comp), docs.doc_id == comp.node)
+        .select("component_id", "doc_id", X.token_count().alias("n_tokens"))
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("component_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_tokens").alias("keep_n_tokens"),
+            "n_members",
+        )
+    )

@@ -6,7 +6,10 @@ import random
 
 import pytest
 
-from convex_batch_processor_spark.operators.graph import connected_components
+from convex_batch_processor_spark.operators.graph import (
+    connected_components,
+    connected_components_star,
+)
 
 
 def _union_find(edges):
@@ -64,3 +67,30 @@ def test_nonconvergence_raises(spark):
     edges = [(i, i + 1) for i in range(1, 6)]
     with pytest.raises(RuntimeError, match="did not converge"):
         _spark_cc(spark, edges, max_iter=2)
+
+
+def _spark_star(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = connected_components_star(df, **kw).collect()
+    return {r.node: r.component_id for r in rows}
+
+
+def test_star_matches_union_find_on_random_graph(spark):
+    rng = random.Random(11)
+    nodes = list(range(80))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(90)]
+    edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+    assert _spark_star(spark, edges) == _union_find(edges)
+
+
+def test_star_long_chain_converges_in_log_rounds(spark):
+    # a 200-node chain: min propagation needs ~199 rounds; star needs ~log2
+    edges = [(i, i + 1) for i in range(200)]
+    got = _spark_star(spark, edges, max_iter=12)
+    assert got == {n: 0 for n in range(201)}
+
+
+def test_star_self_edges_and_isolated_nodes(spark):
+    # self-edge-only node keeps its own label; duplicates are harmless
+    edges = [(5, 5), (1, 2), (2, 1), (2, 3)]
+    assert _spark_star(spark, edges) == {1: 1, 2: 1, 3: 1, 5: 5}

@@ -1,0 +1,135 @@
+"""Text-retrieval operators: inverted-index term stats, BM25 scoring, and
+eval-set n-gram decontamination.
+
+Training-data pipelines use these for quality filtering (BM25 against
+seed/reference queries, as in CCNet-style importance filtering) and for
+benchmark decontamination (drop training docs sharing long n-grams with an
+evaluation set). No reference counterpart — north-star additions per
+SURVEY.md §2.11; the reference's only text handling is batchId string
+parsing (lib.ts:40-42).
+
+Scale notes (100 TB):
+- Everything is inverted-index shaped: explode tokens/n-grams (map-side),
+  one aggregation shuffle on the term key, then a broadcast join of the
+  tiny term-statistics table back to the postings. No all-pairs joins.
+- BM25 term posting lists are skew-prone for stopword-like terms; the
+  query-term list is small and user-chosen, so the explode FILTERS to the
+  query terms first — the shuffle carries only matching postings.
+- Determinism for the DuckDB oracle: idf is rounded to 9 dp before use
+  (C libm vs JVM Math.log can differ in the last ulp), per-term
+  contributions are combined with a FIXED left-to-right addition (one
+  pivoted column per query term — no order-dependent float sum), and the
+  final score is rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import shingles_from_tokens, tokens_col
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k documents by BM25 score for a bag-of-words query.
+
+    (doc_id, score): Lucene-style BM25 with
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1 and length
+    normalization b. Scoring plan: explode→filter to query terms → tf per
+    (doc, term) [one shuffle] → df per term (tiny, broadcast back) → one
+    pivoted aggregation per doc. Corpus stats (N, avgdl) ride along as a
+    broadcast single-row cross join.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    dl = toks.select(id_col, F.size("t").alias("dl"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.size("t")).cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.select(F.col(id_col), F.explode("t").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0), 9
+        ).alias("idf"),
+    )
+    contrib = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    # one pivoted MAX per query term: at most one contribution per (doc, term),
+    # so no order-dependent float summation ever happens; the final addition is
+    # a fixed left-to-right expression, bit-identical across engines.
+    pivoted = contrib.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("term") == t, F.col("c"))).alias(f"c_{i}")
+            for i, t in enumerate(terms)
+        ]
+    )
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"c_{i}"), F.lit(0.0))
+    return (
+        pivoted.select(F.col(id_col), F.round(total, 6).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    evalset: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing at least one token
+    n-gram with any eval doc.
+
+    (doc_id, n_eval_docs, n_shared_grams) per contaminated training doc.
+    Plan: distinct n-grams per side (map-side explode), equi-join on the
+    gram [one shuffle on gram — the scale-safe blocking key], then one
+    aggregation per training doc. Long grams (n=8 default) keep the join
+    selective; no pairwise doc×doc comparison exists anywhere.
+    """
+    def grams(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(shingles_from_tokens(tokens_col(text_col), n)).alias("gram"),
+        )
+
+    return (
+        grams(train, "doc_id")
+        .join(grams(evalset, "eval_doc_id"), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("eval_doc_id").alias("n_eval_docs"),
+            F.countDistinct("gram").alias("n_shared_grams"),
+        )
+    )

@@ -334,3 +334,66 @@ def ivf_assign(
     )
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def ivf_search(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN search: score queries against the coarse-quantizer
+    centroids, probe only the ``nprobe`` nearest inverted lists, and
+    exact-rerank inside them.
+
+    This completes the IVF path (label_centroids trains the quantizer,
+    ivf_assign builds the lists, this searches them). Plan shape at scale:
+    the centroid table is tiny (→ broadcast twice: once to pick probe
+    lists per query, once implicitly via the assignment table), the
+    corpus shuffles ONCE on its list id when the assignment materializes,
+    and each query touches nprobe/n_lists of the corpus. Recall vs
+    nprobe is measured in tests against knn_bruteforce; nprobe=n_lists
+    degenerates to exact search.
+    """
+    cents = label_centroids(embeddings, label_col, vec_col)
+    lists = ivf_assign(embeddings, cents, id_col, vec_col, label_col).select(
+        F.col(id_col).alias("vec_id"), F.col("centroid_id")
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = cents.select(F.col(label_col).alias("centroid_id"), "centroid")
+    probe_w = Window.partitionBy("q_vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id")
+    )
+    probes = (
+        q.join(F.broadcast(c))
+        .select(
+            "q_vec_id",
+            "q_vec",
+            "centroid_id",
+            F.round(cosine_col(F.col("q_vec"), F.col("centroid")), 6).alias("c_sim"),
+        )
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= nprobe)
+        .select("q_vec_id", "q_vec", "centroid_id")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(lists, "centroid_id")
+        .filter(F.col("q_vec_id") != F.col("vec_id"))
+        .join(
+            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
+            "vec_id",
+        )
+    )
+    sim = F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
+    w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("q_vec_id", "vec_id", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

@@ -19,6 +19,7 @@ from . import llm  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
+from . import llm2  # noqa: E402,F401  (round-2 additions; rotate to front in round 3)
 from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401

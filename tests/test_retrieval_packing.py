@@ -1,0 +1,112 @@
+"""Retrieval (BM25, decontamination), sequence packing, and IVF search —
+python-oracle and invariant tests."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.llmops import packing as P
+from convex_batch_processor_spark.llmops import retrieval as R
+from convex_batch_processor_spark.llmops import similarity as S
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_bm25_matches_python_reference(spark, sf_dir):
+    terms = ["spark", "window", "hash"]
+    rows = _docs(spark, sf_dir).select("doc_id", "text").collect()
+    toks = {r.doc_id: [t for t in r.text.split(" ") if t] for r in rows}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    idf = {t: round(math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0), 9) for t in terms}
+
+    def score(d):
+        s = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            if tf:
+                s += idf[t] * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * len(toks[d]) / avgdl))
+        return round(s, 6)
+
+    expected = sorted(((score(d), d) for d in toks), key=lambda x: (-x[0], x[1]))[:20]
+    got = [(r.score, r.doc_id) for r in R.bm25_topk(_docs(spark, sf_dir), terms, k=20).collect()]
+    assert got == expected
+
+
+def test_contamination_blocks_on_gram_no_self_matches(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("source") != "src0")
+    evalset = docs.filter(F.col("source") == "src0")
+    out = R.ngram_contamination(train, evalset, n=8).collect()
+    train_ids = {r.doc_id for r in train.select("doc_id").collect()}
+    eval_ids = {r.doc_id for r in evalset.select("doc_id").collect()}
+    for r in out:
+        assert r.doc_id in train_ids and r.doc_id not in eval_ids
+        assert r.n_eval_docs >= 1 and r.n_shared_grams >= 1
+    # tighter n (longer grams) can only shrink the contaminated set
+    out12 = R.ngram_contamination(train, evalset, n=12).collect()
+    assert {r.doc_id for r in out12} <= {r.doc_id for r in out}
+
+
+def _greedy_oracle(rows, cap):
+    """first-fit packing per source, doc_id order → {doc_id: bin_id}"""
+    by_src: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    out = {}
+    for src, docs in by_src.items():
+        bin_id, fill = 0, 0
+        for r in docs:
+            if fill > 0 and fill + r.n_tokens > cap:
+                bin_id, fill = bin_id + 1, 0
+            out[r.doc_id] = bin_id
+            fill += r.n_tokens
+    return out
+
+
+def test_pack_greedy_matches_python_oracle_and_respects_capacity(spark, sf_dir):
+    cap = 64  # small capacity → many bins, boundary cases exercised
+    got = P.pack_greedy(_docs(spark, sf_dir), capacity=cap).collect()
+    assert _greedy_oracle(got, cap) == {r.doc_id: r.bin_id for r in got}
+    fills: dict[tuple, int] = {}
+    counts: dict[tuple, int] = {}
+    for r in got:
+        key = (r.source, r.bin_id)
+        fills[key] = fills.get(key, 0) + r.n_tokens
+        counts[key] = counts.get(key, 0) + 1
+    for key, total in fills.items():
+        assert total <= cap or counts[key] == 1, f"overfull multi-doc bin {key}"
+
+
+def test_pack_chunks_bins_are_contiguous_cumsum(spark, sf_dir):
+    cap = 512
+    got = P.pack_chunks(_docs(spark, sf_dir), capacity=cap).collect()
+    by_src: dict[str, list] = {}
+    for r in sorted(got, key=lambda r: (r.source, r.doc_id)):
+        by_src.setdefault(r.source, []).append(r)
+    for docs in by_src.values():
+        cum = 0
+        for r in docs:
+            assert r.bin_id == cum // cap
+            cum += r.n_tokens
+
+
+def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [0, 1, 2]
+    exact = {(r.q_vec_id, r.vec_id) for r in S.knn_bruteforce(emb, queries, k=5).collect()}
+    # probing ALL lists degenerates to exact search → recall 1.0
+    full = S.ivf_search(emb, queries, k=5, nprobe=10)
+    assert {(r.q_vec_id, r.vec_id) for r in full.collect()} == exact
+    # 5 of 10 lists. The synthetic labels are weak coarse quantizers
+    # (recall grows ~linearly in nprobe on this corpus), so the bound is
+    # the honest one for this data, not the tight-cluster ideal.
+    part = {(r.q_vec_id, r.vec_id) for r in S.ivf_search(emb, queries, k=5, nprobe=5).collect()}
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.6, f"IVF recall collapsed: {recall}"

@@ -1,0 +1,50 @@
+"""Stream-stream event-time interval join.
+
+The reference never correlates two streams (its two subsystems each
+consume one logical stream), but a Spark-native engine at 100 TB needs
+the canonical two-stream correlation: match each left event to right
+events with the same key arriving within a bounded event-time interval
+(errors→subsequent clicks, impressions→conversions, order→shipment).
+
+Why the bounds matter at scale: a stream-stream join buffers BOTH sides
+in state. The watermark plus the interval condition give Spark a proof of
+when a buffered row can never match again, so state is evicted instead of
+growing without bound — an unbounded-condition stream join is a memory
+leak by construction. Spark requires the time-interval condition for
+append-mode stream-stream joins for exactly this reason.
+
+The same builder works on batch DataFrames (``withWatermark`` is a no-op
+in batch), so tests compare the streaming run to the identical batch
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str = "2 hours",
+    watermark: str = "1 hour",
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows with equal ``key`` where ``right_ts`` falls in
+    [left_ts, left_ts + upper]. Both sides are watermarked by
+    ``watermark``; state for a row is dropped once the other side's
+    watermark passes its interval. Timestamp columns must be named
+    differently on the two sides (both appear in the output)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must have distinct names")
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, how).drop(F.col(f"r.{key}"))

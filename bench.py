@@ -42,6 +42,14 @@ HEADLINE = [
     "cosine_neardup_bucketed",
     "q2_min_cost_supplier",
     "q21_waiting_supplier",
+    # round-2 late additions: full dedup collapse (exact-Jaccard edges +
+    # connected components + keep-best; the edge generation is ~85% of the
+    # cost), retrieval scoring, decontamination, IVF ANN, greedy packing
+    "dedup_keep_best",
+    "bm25_topk",
+    "eval_contamination",
+    "ivf_search_topk",
+    "token_pack_greedy",
 ]
 
 

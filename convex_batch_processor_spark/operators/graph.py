@@ -56,6 +56,9 @@ def connected_components(
     """
     und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # materialize once: the edge lineage (e.g. a full near-dup pair
+    # computation) must not re-execute in every propagation round
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("a").alias("node")).distinct()
         .select("node", F.col("node").alias("comp"))

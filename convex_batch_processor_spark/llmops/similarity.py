@@ -397,3 +397,46 @@ def ivf_search(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 24,
+    bits_per_band: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column:
+    (vec_id, component_id, keep) for EVERY vector, where near-duplicate
+    groups (cosine > threshold, transitively closed) keep exactly the
+    min-id representative.
+
+    Composition of the engine's scale paths — banded-LSH candidate pairs
+    with exact-cosine rerank (cosine_neardup_pairs_bucketed: shuffle
+    O(n·bands), never O(n²)) → connected components over the pair graph
+    (operators/graph.py) → keep-min collapse. The pair graph is tiny
+    relative to the corpus (only vectors in some near-dup pair), so the
+    final labeling is a left join of the corpus against a small component
+    table.
+    """
+    from ..operators.graph import connected_components
+
+    pairs = cosine_neardup_pairs_bucketed(
+        embeddings,
+        threshold,
+        n_bands=n_bands,
+        bits_per_band=bits_per_band,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    comp = connected_components(pairs, "vec_id_a", "vec_id_b")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(F.broadcast(comp), F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("component_id"),
+            (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )

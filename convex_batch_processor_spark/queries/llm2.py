@@ -154,3 +154,13 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     weak coarse quantizers, so that is a data floor, not the operator's
     (llmops/similarity.py)."""
     return S.ivf_search(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, nprobe=5)
+
+
+@register("semantic_dedup_keep")  # rows-only: seeded-hyperplane buckets, not SQL
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: banded-LSH cosine pairs (> 0.42,
+    exact-reranked) → connected components → keep the min-id
+    representative per group. Every vector labeled (vec_id, component_id,
+    keep); co-membership recall vs the exact all-pairs baseline is
+    measured in tests (llmops/similarity.py:semantic_dedup)."""
+    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.42)

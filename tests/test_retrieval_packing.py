@@ -97,6 +97,28 @@ def test_pack_chunks_bins_are_contiguous_cumsum(spark, sf_dir):
             cum += r.n_tokens
 
 
+def test_semantic_dedup_invariants_and_recall(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.semantic_dedup(emb, threshold=0.42).collect()
+    n = emb.count()
+    # every vector labeled exactly once
+    assert len(out) == n and len({r.vec_id for r in out}) == n
+    # exactly one keeper per component, and it is the min id
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp_id, members in by_comp.items():
+        assert comp_id == min(m.vec_id for m in members)
+        keeps = [m.vec_id for m in members if m.keep]
+        assert keeps == [comp_id]
+    # exact near-dup pairs end up co-component (LSH recall; transitive
+    # closure can only merge further, never split)
+    exact = S.cosine_neardup_pairs(emb, 0.42).collect()
+    comp_of = {r.vec_id: r.component_id for r in out}
+    co = sum(1 for r in exact if comp_of[r.vec_id_a] == comp_of[r.vec_id_b])
+    assert exact and co / len(exact) >= 0.9, f"co-membership recall {co}/{len(exact)}"
+
+
 def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [0, 1, 2]

@@ -170,3 +170,46 @@ def test_cosine_bucketed_no_cartesian(spark, sf_dir):
     plan = E.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contamination_and_jaccard_no_cartesian(spark, sf_dir):
+    """Gram-blocked joins must stay equi-joins: neither decontamination
+    nor the prefiltered exact-Jaccard pairs may plan a cartesian or
+    nested-loop join."""
+    for name in ("eval_contamination", "ngram_jaccard_pairs"):
+        plan = E.physical_plan(q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
+    """The posting-list explode must be filtered to the query terms before
+    any exchange — the shuffle carries matching postings only — and the
+    tiny idf/stats sides must broadcast."""
+    df = q(spark, sf_dir, "bm25_topk")
+    plan = E.physical_plan(df)
+    gen = plan.find("Generate explode")
+    assert gen != -1
+    # the term filter appears in the same codegen stage as the explode:
+    # locate the IN-list predicate and ensure it sits above the Generate
+    # (Spark prints children below parents, so filter offset < explode offset)
+    in_pos = plan.find(" IN (")
+    assert in_pos != -1 and in_pos < gen
+    assert E.uses_broadcast_join(df)
+    assert E.uses_take_ordered(df)
+
+
+def test_ivf_search_broadcasts_probe_sides(spark, sf_dir):
+    """IVF search must broadcast the tiny sides (centroids, probe list);
+    the corpus must never appear on a nested-loop join."""
+    df = q(spark, sf_dir, "ivf_search_topk")
+    plan = E.physical_plan(df)
+    assert E.uses_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_chunks_single_exchange(spark, sf_dir):
+    """The cumsum packing is ONE shuffle (the per-source window sort):
+    any second exchange means the window lost its partitioning."""
+    df = q(spark, sf_dir, "token_pack_chunks")
+    assert E.count_exchanges(df) == 1

@@ -152,3 +152,39 @@ def write_bucketed(
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.saveAsTable(table_name)
+
+
+def foreach_partition_push(df: DataFrame, make_handler, batch_size: int = 1000) -> None:
+    """Push-style sink: deliver every row to an external consumer with
+    partition-level parallelism — the batch form of the reference's
+    ``processBatch`` callback dispatch (src/component/lib.ts:576-578,
+    1002-1009), where the component hands item arrays to user code.
+
+    ``make_handler()`` runs ON THE EXECUTOR once per partition and must
+    return a callable taking a list of Rows (it can open a connection and
+    close over it). Rows are delivered in chunks of ``batch_size`` — the
+    analog of the reference's flush threshold — so a slow consumer never
+    needs the whole partition in memory. ``make_handler`` must be
+    picklable by value (define it as a nested/module-level function, no
+    SparkSession/DataFrame captures).
+
+    At scale this is the right shape for side-effect sinks (HTTP, queues,
+    key-value stores): one connection per partition, bounded chunk
+    buffers, and Spark task retries give at-least-once delivery per
+    partition — consumers must be idempotent, exactly like the
+    reference's at-least-once flush contract (lib.ts:694-710).
+    """
+    size = batch_size
+
+    def run(it):
+        handler = make_handler()
+        buf = []
+        for row in it:
+            buf.append(row)
+            if len(buf) >= size:
+                handler(buf)
+                buf = []
+        if buf:
+            handler(buf)
+
+    df.foreachPartition(run)

@@ -110,3 +110,40 @@ def test_compact_to_size_preserves_rows_and_clusters(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges {hi1} > {lo2}"
+
+
+def test_foreach_partition_push_delivers_every_row_once(spark, sf_dir, tmp_path):
+    """The push sink must hand EVERY row to the handler exactly once, in
+    chunks no larger than batch_size, with one handler per partition."""
+    import glob
+    import os
+    import uuid
+
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.sources.sinks import foreach_partition_push
+
+    out_dir = str(tmp_path / "pushed")
+    os.makedirs(out_dir)
+
+    def make_handler():
+        # runs on the executor: one "connection" (file) per partition
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.txt")
+
+        def handle(rows):
+            assert len(rows) <= 40
+            with open(path, "a") as f:
+                for r in rows:
+                    f.write(f"{r.o_orderkey}\n")
+
+        return handle
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey").repartition(4)
+    foreach_partition_push(orders, make_handler, batch_size=40)
+
+    pushed = []
+    for p in glob.glob(os.path.join(out_dir, "part-*.txt")):
+        with open(p) as f:
+            pushed.extend(int(x) for x in f.read().split())
+    expected = sorted(r.o_orderkey for r in orders.collect())
+    assert sorted(pushed) == expected
+    assert len(glob.glob(os.path.join(out_dir, "part-*.txt"))) <= 4

@@ -358,7 +358,10 @@ def ivf_search(
     nprobe is measured in tests against knn_bruteforce; nprobe=n_lists
     degenerates to exact search.
     """
-    cents = label_centroids(embeddings, label_col, vec_col)
+    # materialize the tiny centroid table once: it feeds BOTH the list
+    # assignment and the query-probe scoring, and its lineage is a full
+    # corpus aggregation that must not run twice
+    cents = label_centroids(embeddings, label_col, vec_col).localCheckpoint(eager=True)
     lists = ivf_assign(embeddings, cents, id_col, vec_col, label_col).select(
         F.col(id_col).alias("vec_id"), F.col("centroid_id")
     )

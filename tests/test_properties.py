@@ -92,10 +92,42 @@ def test_sessionize_matches_python_reference(spark, events, gap_ms):
     got = {
         (r.user_id, r.session_idx): (
             r.n_events,
-            int(r.t_start.timestamp() * 1000),
-            int(r.t_end.timestamp() * 1000),
+            # round, not int(): datetime.timestamp() is float seconds, so
+            # e.g. 4104119 ms comes back as 4104118.999... after *1000
+            round(r.t_start.timestamp() * 1000),
+            round(r.t_end.timestamp() * 1000),
             round(r.session_value, 2),
         )
         for r in sessionize(df, gap_ms).collect()
     }
     assert got == _sessionize_reference(events, gap_ms)
+
+
+@settings(max_examples=6, deadline=None)  # each example is a Spark job
+@given(
+    st.lists(st.integers(min_value=1, max_value=200), min_size=1, max_size=40),
+    st.integers(min_value=8, max_value=128),
+)
+def test_pack_greedy_property(spark, token_counts, capacity):
+    """First-fit packing invariants for arbitrary doc sizes/capacities:
+    bin ids are contiguous from 0, assignment order-deterministic, and no
+    multi-doc bin exceeds capacity."""
+    from convex_batch_processor_spark.llmops.packing import pack_greedy
+
+    rows = [(f"s{i % 2}", i, "w " * n) for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = sorted(
+        pack_greedy(df, capacity=capacity).collect(),
+        key=lambda r: (r.source, r.doc_id),
+    )
+    by_src: dict[str, list] = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    for docs in by_src.values():
+        bin_id, fill = 0, 0
+        for r in docs:
+            if fill > 0 and fill + r.n_tokens > capacity:
+                bin_id, fill = bin_id + 1, 0
+            assert r.bin_id == bin_id
+            fill += r.n_tokens
+            assert fill <= capacity or (fill == r.n_tokens)

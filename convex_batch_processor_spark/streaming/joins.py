@@ -37,7 +37,12 @@ def interval_join(
     [left_ts, left_ts + upper]. Both sides are watermarked by
     ``watermark``; state for a row is dropped once the other side's
     watermark passes its interval. Timestamp columns must be named
-    differently on the two sides (both appear in the output)."""
+    differently on the two sides (both appear in the output).
+
+    Outer-join caveats (tested in tests/test_streaming_joins.py): the
+    query's global watermark is the MIN across both input streams, so a
+    stalled side pins unmatched rows in state; and null-side emission
+    happens one micro-batch AFTER the watermark that finalizes it."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
     l = left.withWatermark(left_ts, watermark).alias("l")

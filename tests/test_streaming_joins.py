@@ -69,3 +69,76 @@ def test_interval_join_requires_distinct_ts_names(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     with pytest.raises(ValueError, match="distinct names"):
         interval_join(events, events, key="user_id", left_ts="ts", right_ts="ts")
+
+
+def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer stream-stream semantics: an error with NO click in its
+    interval must still emit (null click side) — but only once the
+    watermark PROVES no match can arrive. The final sentinel batch pushes
+    the watermark past every open interval; without it the unmatched rows
+    would sit in state forever."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    m = dt.timedelta(minutes=1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def stage(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    # user 1: error with a click 10 min later (matched)
+    # user 2: error with no click at all (must emit with nulls)
+    stage(
+        [
+            (1, 1, "error", t0),
+            (2, 1, "click", t0 + 10 * m),
+            (3, 2, "error", t0),
+        ]
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    errors = stream.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    joined = interval_join(
+        errors, clicks, key="user_id", left_ts="err_ts", right_ts="click_ts",
+        upper="30 minutes", watermark="10 minutes", how="leftOuter",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_outer")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # Sentinels far in the future finalize user 2's unmatched error. Two
+    # subtleties this test exists to document: the join watermark is the
+    # MIN across BOTH input streams (a sentinel on only one side leaves
+    # the global watermark pinned by the other), and a new watermark takes
+    # effect in the NEXT micro-batch — hence two sentinel rounds.
+    stage([(98, 9, "error", t0 + 600 * m), (99, 9, "click", t0 + 600 * m)])
+    q.processAllAvailable()
+    stage([(100, 9, "error", t0 + 601 * m), (101, 9, "click", t0 + 601 * m)])
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql("SELECT * FROM ssj_outer").collect()
+    got = {(r.user_id, r.err_id, r.click_id) for r in rows}
+    assert (1, 1, 2) in got          # matched pair
+    assert (2, 3, None) in got       # unmatched error emitted with null click

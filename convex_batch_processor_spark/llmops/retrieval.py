@@ -133,3 +133,67 @@ def ngram_contamination(
             F.countDistinct("gram").alias("n_shared_grams"),
         )
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-model quality scoring: per-doc average bigram log-prob
+    under a Laplace-smoothed bigram model trained on the corpus itself —
+    the shape of a CCNet/KenLM-style perplexity filter with the engine's
+    own corpus standing in for the reference LM.
+
+    (doc_id, n_bigrams, avg_logp): p(w2|w1) = (c(w1 w2)+1)/(c(w1)+V);
+    avg_logp = mean ln p over the doc's bigrams (higher = more typical
+    text; rank ascending to find junk). Docs with <2 tokens are excluded
+    (no bigrams).
+
+    Plan shape at scale: one explode of per-position bigrams (map-side),
+    two count shuffles on the bigram/prefix keys (inverted-index shaped,
+    vocabulary-bounded), the count tables join back on those same keys,
+    and the per-doc reduce is one aggregation. Nothing is ever pairwise
+    in the corpus size.
+
+    Cross-engine determinism: each ln is rounded to 9 dp and accumulated
+    as DECIMAL(18,9) — an exact, order-independent sum (summing raw
+    doubles would drift between Spark's partial aggregation and the
+    oracle's single-threaded sum); the final average divides the exact
+    sum by the count in double.
+    """
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    big = toks.filter(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        big.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(
+                F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 9
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("lp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logp"),
+    )

@@ -156,6 +156,42 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_search(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, nprobe=5)
 
 
+@register(
+    "lm_bigram_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
+    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
+    scored AS (
+        SELECT big.doc_id,
+               round(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v)), 9) AS lp
+        FROM big JOIN c12 USING (bg) JOIN c1 USING (w1), vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM quality scoring: per-doc average bigram log-prob under a
+    Laplace-smoothed bigram model trained on the corpus — the
+    CCNet/KenLM-style perplexity filter shape. Inverted-index plan (two
+    vocabulary-bounded count shuffles), decimal-accumulated log sums for
+    cross-engine determinism (llmops/retrieval.py:bigram_logprob_scores)."""
+    return R.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 @register("semantic_dedup_keep")  # rows-only: seeded-hyperplane buckets, not SQL
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: banded-LSH cosine pairs (> 0.42,

@@ -50,6 +50,8 @@ HEADLINE = [
     "eval_contamination",
     "ivf_search_topk",
     "token_pack_greedy",
+    # end-to-end curation: LM quality gate → decontaminate → dedup → pack
+    "training_pipeline_v2",
 ]
 
 

@@ -9,13 +9,14 @@ the front in round 3 — see NOTES.md). The local gate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llmops import packing as P
 from ..llmops import retrieval as R
 from ..llmops import similarity as S
+from ..llmops import textstats as X
 from .registry import register
 
 
@@ -156,10 +157,9 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_search(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, nprobe=5)
 
 
-@register(
-    "lm_bigram_quality",
-    oracle="""
-    WITH toks AS (
+# Shared by lm_bigram_quality and training_pipeline_v2.
+_LM_CTES = """
+    toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents
     ),
@@ -172,16 +172,23 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c12 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
     c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
     vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
-    scored AS (
+    lp_scored AS (
         SELECT big.doc_id,
                round(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v)), 9) AS lp
         FROM big JOIN c12 USING (bg) JOIN c1 USING (w1), vocab
+    ),
+    lm AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_logp
+        FROM lp_scored GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_logp
-    FROM scored GROUP BY doc_id
-    """,
+"""
+
+
+@register(
+    "lm_bigram_quality",
+    oracle=f"WITH {_LM_CTES} SELECT doc_id, n_bigrams, avg_logp FROM lm",
 )
 def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LM quality scoring: per-doc average bigram log-prob under a
@@ -200,3 +207,110 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep); co-membership recall vs the exact all-pairs baseline is
     measured in tests (llmops/similarity.py:semantic_dedup)."""
     return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.42)
+
+
+@register(
+    "training_pipeline_v2",
+    oracle=f"""
+    WITH {_LM_CTES},
+    cand AS (
+        SELECT d.doc_id, d.source, d.text, lm.avg_logp
+        FROM documents d JOIN lm USING (doc_id)
+        WHERE d.source <> 'src0'
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY avg_logp, doc_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cand
+    ),
+    quality AS (
+        SELECT doc_id, source, text, avg_logp
+        FROM ranked WHERE rn > CAST(floor(0.1 * n) AS BIGINT)
+    ),
+    grams AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+            range(1, greatest(1, len(list_filter(string_split(text,' '), x -> x <> '')) - 6)),
+            i -> array_to_string(list_slice(list_filter(string_split(text,' '), x -> x <> ''), i, i + 7), ' ')
+        )) AS g FROM documents
+    ),
+    contam AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE source <> 'src0') t
+        JOIN (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0') e USING (gram)
+    ),
+    clean AS (SELECT q.* FROM quality q ANTI JOIN contam c USING (doc_id)),
+    deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rd
+            FROM clean
+        ) WHERE rd = 1
+    ),
+    sized AS (
+        SELECT source, doc_id,
+               len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens,
+               avg_logp
+        FROM deduped
+    )
+    SELECT source, doc_id, n_tokens,
+           CAST(floor((CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+                      / 512.0) AS BIGINT) AS bin_id,
+           avg_logp
+    FROM sized
+    """,
+)
+def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline v2, composing the round-2 operator
+    additions: LM quality gate (drop the bottom 10% by bigram log-prob) →
+    benchmark decontamination (drop docs sharing an 8-gram with the eval
+    split) → exact dedup (keep min doc_id per content hash) → sequence
+    packing (512-token cumsum bins per source).
+
+    Scale notes: every stage is the operator's documented scale shape;
+    the only global operation is the quality-rank window (single-partition
+    rank over doc SCORES, not docs' content — at 100 TB replace with an
+    approx-quantile threshold, which removes the global sort at the cost
+    of a fuzzy 10% boundary). Docs with <2 tokens have no LM score and are
+    dropped by the gate's join, matching the oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = R.bigram_logprob_scores(docs)
+    cand = (
+        docs.filter(F.col("source") != "src0")
+        .join(lm.select("doc_id", "avg_logp"), "doc_id")
+        .select("doc_id", "source", "text", "avg_logp")
+    )
+    ranked = cand.withColumn(
+        "rn", F.row_number().over(Window.orderBy("avg_logp", "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    quality = ranked.filter(
+        F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))
+    ).select("doc_id", "source", "text", "avg_logp")
+    contam_ids = R.ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    ).select("doc_id")
+    clean = quality.join(contam_ids, "doc_id", "left_anti")
+    deduped = (
+        clean.withColumn(
+            "rd",
+            F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .filter(F.col("rd") == 1)
+    )
+    sized = deduped.select(
+        "source", "doc_id", X.token_count().alias("n_tokens"), "avg_logp"
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w_cum)
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512).alias("bin_id"),
+        "avg_logp",
+    )

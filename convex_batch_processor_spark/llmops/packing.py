@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import tokens_col
 from .textstats import token_count
 
 
@@ -94,3 +95,48 @@ def pack_greedy(
 
     schema = f"{grp} string, {idc} long, n_tokens int, bin_id long"
     return sized.groupBy(grp).applyInPandas(pack, schema=schema)
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    group_col: str = "doc_id",
+    text_col: str = "text",
+    boundary_hex_prefix: str = "0",
+) -> DataFrame:
+    """Content-defined chunking: split each document at TOKEN-VALUE-determined
+    boundaries instead of fixed offsets — (doc_id, chunk_idx, n_tokens)
+    per chunk.
+
+    A token starts a new chunk when md5(token) begins with
+    ``boundary_hex_prefix`` (1 hex digit → boundary probability 1/16 →
+    expected ~16-token chunks). Because boundaries depend only on content,
+    an insertion early in a document shifts ONE chunk instead of
+    re-chunking everything after it — the property that makes CDC the
+    standard for dedup-friendly splitting of long documents.
+
+    Plan: posexplode tokens (map-side) → one window cumsum per doc for the
+    chunk index → count per (doc, chunk). Both stateful steps key on
+    doc_id, so data shuffles on the document key once and stays there.
+    """
+    toks = docs.select(F.col(group_col), tokens_col(text_col).alias("t"))
+    pos = toks.select(
+        F.col(group_col), F.posexplode("t").alias("pos", "w")
+    )
+    boundary = F.when(
+        (F.col("pos") > 0)
+        & F.substring(F.md5("w"), 1, len(boundary_hex_prefix)).eqNullSafe(
+            boundary_hex_prefix
+        ),
+        1,
+    ).otherwise(0)
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = pos.select(
+        F.col(group_col), F.sum(boundary).over(w_cum).alias("chunk_idx")
+    )
+    return chunked.groupBy(group_col, "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )

@@ -145,6 +145,40 @@ def token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_greedy(_t(spark, sf_dir, "documents"), capacity=512)
 
 
+@register(
+    "cdc_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id,
+               unnest(range(1, len(t) + 1)) AS pos,
+               unnest(t) AS w
+        FROM toks
+    ),
+    chunked AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN pos > 1 AND substr(md5(w), 1, 1) = '0'
+                             THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS chunk_idx
+        FROM pos
+    )
+    SELECT doc_id, chunk_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM chunked GROUP BY doc_id, chunk_idx
+    """,
+)
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: token-hash boundaries (md5 prefix '0',
+    ~1/16 → ~16-token expected chunks) split docs so an early edit shifts
+    one chunk instead of re-chunking the tail — the dedup-friendly
+    long-doc splitter. One doc-keyed shuffle end-to-end
+    (llmops/packing.py:cdc_chunks)."""
+    return P.cdc_chunks(_t(spark, sf_dir, "documents"))
+
+
 @register("ivf_search_topk")  # rows-only: centroid floats not SQL-portable
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: probe the 5 nearest of 10 inverted lists per query,

@@ -119,6 +119,24 @@ def test_semantic_dedup_invariants_and_recall(spark, sf_dir):
     assert exact and co / len(exact) >= 0.9, f"co-membership recall {co}/{len(exact)}"
 
 
+def test_cdc_chunks_content_defined_shift_stability(spark):
+    """The CDC property: inserting a token at the FRONT of a document
+    only changes the first chunk — every chunk from the first boundary
+    token on is identical, because boundaries depend on token content,
+    not position. (md5('gamma')='05...' and md5('nu')='02...' are
+    boundary tokens; the others are not.)"""
+    base = "alpha beta gamma delta kappa nu omega"   # chunks: 2, 3, 2
+    shifted = "sigma " + base                        # chunks: 3, 3, 2
+
+    def chunks(text):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(P.cdc_chunks(df).collect(), key=lambda r: r.chunk_idx)
+        return [r.n_tokens for r in rows]
+
+    assert chunks(base) == [2, 3, 2]
+    assert chunks(shifted) == [3, 3, 2]  # tail chunks unchanged
+
+
 def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = [0, 1, 2]

@@ -348,3 +348,80 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum - F.col("n_tokens")) / 512).alias("bin_id"),
         "avg_logp",
     )
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH {_LM_CTES},
+    grams AS (
+        SELECT doc_id, source, list_distinct(list_transform(
+            range(1, greatest(1, len(list_filter(string_split(text,' '), x -> x <> '')) - 6)),
+            i -> array_to_string(list_slice(list_filter(string_split(text,' '), x -> x <> ''), i, i + 7), ' ')
+        )) AS g FROM documents
+    ),
+    contam AS (
+        SELECT DISTINCT t.doc_id
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE source <> 'src0') t
+        JOIN (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0') e USING (gram)
+    ),
+    per_doc AS (
+        SELECT d.source, d.doc_id,
+               len(list_filter(string_split(d.text,' '), x -> x <> '')) AS n_tokens,
+               md5(d.text) AS h,
+               round(lm.avg_logp, 9) AS lp9,
+               CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+        FROM documents d
+        LEFT JOIN lm ON lm.doc_id = d.doc_id
+        LEFT JOIN contam c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
+           CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CAST(lp9 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(lp9) AS avg_lm_logp
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: doc/token counts, exact-dup count
+    (docs minus distinct content hashes), eval-contamination count, and
+    mean LM quality — the summary table every curation run publishes.
+
+    Scale shape: the per-doc table is one pass over documents joined to
+    the (vocabulary-bounded) LM scores and the (tiny) contaminated-id
+    set, then ONE aggregation shuffle on source. The LM mean rounds each
+    per-doc score to 9 dp and decimal-accumulates so the per-source mean
+    is order-independent and oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = R.bigram_logprob_scores(docs).select(
+        "doc_id", F.round("avg_logp", 9).alias("lp9")
+    )
+    contam = R.ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    ).select("doc_id", F.lit(1).alias("contaminated"))
+    per_doc = (
+        docs.select(
+            "source",
+            "doc_id",
+            X.token_count().alias("n_tokens"),
+            F.md5("text").alias("h"),
+        )
+        .join(lm, "doc_id", "left")
+        .join(F.broadcast(contam), "doc_id", "left")
+        .withColumn("contaminated", F.coalesce("contaminated", F.lit(0)))
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
+        F.sum("contaminated").alias("n_contaminated"),
+        (
+            F.sum(F.col("lp9").cast("decimal(18,9)")).cast("double")
+            / F.count("lp9")
+        ).alias("avg_lm_logp"),
+    )

@@ -1,5 +1,7 @@
 """Round-2 LLM-pipeline query additions: retrieval (BM25), benchmark
-decontamination, sequence packing, IVF ANN search.
+decontamination, sequence packing, content-defined chunking, IVF ANN
+search, semantic dedup, bigram-LM quality scoring, the composed
+curation pipeline v2, and the per-source corpus report card.
 
 Registered AFTER the round-2 driver-verification window (the driver
 oracle-checks the first 50 registry entries per round; these rotate to

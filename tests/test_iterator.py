@@ -216,3 +216,38 @@ def test_range_planned_iteration_processes_every_row_once(tmp_path, customer):
     it2.resume("p2")
     assert it2.run("p2").status == "completed"
     assert sorted(seen2) == sorted(seen)
+
+
+def test_iterator_drives_curation_op_over_documents(tmp_path, spark, sf_dir):
+    """Layer B × Layer A composition: the table iterator chunks the
+    documents corpus and the processBatch handler runs an llmops operator
+    (token stats) per chunk — the reference's migration pattern
+    (example/convex/usage.ts:77-176) applied to a curation workload.
+    Chunked totals must equal the one-shot batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from convex_batch_processor_spark.iterator import TableIterator
+    from convex_batch_processor_spark.llmops.textstats import token_count
+    from convex_batch_processor_spark.sources.registry import HandleRegistry
+
+    docs = load_table(spark, sf_dir, "documents")
+    reg, totals = HandleRegistry(), []
+
+    @reg.register("count_tokens")
+    def count_tokens(chunk_df, cursor):
+        row = chunk_df.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(token_count()).alias("tokens"),
+        ).first()
+        totals.append((row.docs, row.tokens))
+
+    it = TableIterator(str(tmp_path / "state"), docs, "doc_id", reg, sleep_fn=lambda s: None)
+    it.start("curate", "count_tokens", batch_size=120)
+    st = it.run("curate")
+
+    batch = docs.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum(token_count()).alias("tokens")
+    ).first()
+    assert st.status == "completed"
+    assert sum(t[0] for t in totals) == batch.docs == st.processed_count
+    assert sum(t[1] for t in totals) == batch.tokens

@@ -197,3 +197,87 @@ def bigram_logprob_scores(
             / F.count(F.lit(1))
         ).alias("avg_logp"),
     )
+
+
+def trigram_logprob_scores(
+    docs: DataFrame,
+    lambdas: tuple[float, float, float] = (0.5, 0.3, 0.2),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated trigram LM quality scoring — the backoff-style upgrade
+    of ``bigram_logprob_scores``: p = λ3·p3 + λ2·p2 + λ1·p1 with Laplace
+    smoothing at each order, averaged as ln p per trigram position.
+
+    (doc_id, n_trigrams, avg_logp). Docs with <3 tokens are excluded.
+    Interpolation weights are applied in a FIXED expression order and the
+    per-position ln is rounded then decimal-accumulated, so the result is
+    bit-identical across engines (same discipline as the bigram scorer).
+
+    Plan shape: three map-side explodes (uni/bi/tri positions), three
+    vocabulary-bounded count shuffles, then the trigram-position table
+    joins the count tables on their own keys and reduces per doc. Count
+    tables are corpus-vocabulary sized, never corpus sized.
+    """
+    l3, l2, l1 = lambdas
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("t"))
+
+    def positions(n: int):
+        """(doc_id, w1..wn) for every length-n window, via zipped slices."""
+        cols = [
+            F.slice(F.col("t"), i + 1, F.size("t") - (n - 1)) for i in range(n)
+        ]
+        if n == 1:
+            arr = F.col("t")
+            return toks.select(
+                F.col(id_col), F.explode(arr).alias("w1")
+            )
+        zipped = F.arrays_zip(*cols)
+        out = toks.filter(F.size("t") >= n).select(
+            F.col(id_col), F.explode(zipped).alias("z")
+        )
+        return out.select(
+            F.col(id_col), *[F.col(f"z.{i}").alias(f"w{i+1}") for i in range(n)]
+        )
+
+    uni = positions(1)
+    bi = positions(2)
+    tri = positions(3)
+
+    u = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    b = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("ct"))
+    stats = uni.agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.countDistinct("w1").alias("v"),
+    )
+
+    pos = (
+        tri.join(t3, ["w1", "w2", "w3"])
+        .join(b.select(F.col("w1"), F.col("w2"), F.col("cb").alias("cb12")), ["w1", "w2"])
+        .join(
+            b.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("cb").alias("cb23"),
+            ),
+            ["w2", "w3"],
+        )
+        .join(u.select(F.col("w1").alias("w2"), F.col("cu").alias("cu2")), ["w2"])
+        .join(u.select(F.col("w1").alias("w3"), F.col("cu").alias("cu3")), ["w3"])
+        .crossJoin(F.broadcast(stats))
+    )
+    p3 = (F.col("ct") + 1.0) / (F.col("cb12") + F.col("v"))
+    p2 = (F.col("cb23") + 1.0) / (F.col("cu2") + F.col("v"))
+    p1 = (F.col("cu3") + 1.0) / (F.col("n_tok") + F.col("v"))
+    lp = F.round(F.log(F.lit(l3) * p3 + F.lit(l2) * p2 + F.lit(l1) * p1), 9)
+    return (
+        pos.select(F.col(id_col), lp.alias("lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            (
+                F.sum(F.col("lp").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logp"),
+        )
+    )

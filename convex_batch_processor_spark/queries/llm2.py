@@ -427,3 +427,54 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("lp9")
         ).alias("avg_lm_logp"),
     )
+
+
+@register(
+    "lm_trigram_quality",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(t) AS w1 FROM toks),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+        FROM toks WHERE len(t) >= 2
+    ),
+    tri AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 1), i -> t[i])) AS w1,
+               unnest(list_transform(range(1, len(t) - 1), i -> t[i+1])) AS w2,
+               unnest(list_transform(range(1, len(t) - 1), i -> t[i+2])) AS w3
+        FROM toks WHERE len(t) >= 3
+    ),
+    u AS (SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1),
+    b AS (SELECT w1, w2, COUNT(*) AS cb FROM bi GROUP BY w1, w2),
+    t3 AS (SELECT w1, w2, w3, COUNT(*) AS ct FROM tri GROUP BY w1, w2, w3),
+    stats AS (SELECT COUNT(*) AS n_tok, COUNT(DISTINCT w1) AS v FROM uni),
+    pos AS (
+        SELECT tri.doc_id,
+               round(ln(0.5 * ((t3.ct + 1.0) / (b12.cb + s.v))
+                      + 0.3 * ((b23.cb + 1.0) / (u2.cu + s.v))
+                      + 0.2 * ((u3.cu + 1.0) / (s.n_tok + s.v))), 9) AS lp
+        FROM tri
+        JOIN t3 USING (w1, w2, w3)
+        JOIN b b12 ON b12.w1 = tri.w1 AND b12.w2 = tri.w2
+        JOIN b b23 ON b23.w1 = tri.w2 AND b23.w2 = tri.w3
+        JOIN u u2 ON u2.w1 = tri.w2
+        JOIN u u3 ON u3.w1 = tri.w3, stats s
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_logp
+    FROM pos GROUP BY doc_id
+    """,
+)
+def lm_trigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram-LM quality scoring (λ = 0.5/0.3/0.2 over
+    tri/bi/unigram Laplace probabilities) — the backoff-style upgrade of
+    lm_bigram_quality for sharper junk separation. Same inverted-index
+    plan (vocabulary-bounded count shuffles) and decimal-accumulated ln
+    discipline (llmops/retrieval.py:trigram_logprob_scores)."""
+    return R.trigram_logprob_scores(_t(spark, sf_dir, "documents"))

@@ -1,0 +1,100 @@
+"""BPE (byte-pair encoding) merge-rule training over a corpus — the
+tokenizer-construction step of a training-data pipeline, DataFrame-native.
+
+Classic BPE (Sennrich et al., 2016): represent each distinct word as a
+symbol sequence (initially characters), repeatedly count adjacent symbol
+pairs weighted by word frequency, merge the most frequent pair everywhere,
+and record the merge rules in order. The rule list IS the tokenizer.
+
+Spark shape per round (same discipline as operators/graph.py iteration):
+- the working state is the WORD table (distinct words + frequencies) —
+  vocabulary-bounded, orders of magnitude smaller than the corpus; the
+  corpus is touched exactly once to build it.
+- pair counting is one explode + one aggregation shuffle on the pair key;
+  the argmax is a driver-side ``first()`` on a 1-row TakeOrdered.
+- the merge rewrite is a JVM ``aggregate`` fold over each word's symbol
+  array (greedy left-to-right, overlaps consume the left occurrence —
+  the reference semantics), followed by ``localCheckpoint`` so the plan
+  does not grow with rounds.
+
+Determinism: ties in pair frequency break on (left, right) lexicographic
+order, so the rule sequence is reproducible across runs and engines; the
+python union test replays the same algorithm per word in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .dedup import tokens_col
+
+
+def _chars(col):
+    """Split a string column into its character array (JVM-side)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merge rules on the corpus; returns a
+    DataFrame (rank, left, right, merged, pair_count) in merge order.
+    Stops early when no adjacent pair remains."""
+    spark: SparkSession = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", _chars(F.col("w")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, F.size("syms") - 1),
+                    F.slice("syms", 2, F.size("syms") - 1),
+                )
+            ).alias("p"),
+        ).select(F.col("p.0").alias("l"), F.col("p.1").alias("r"), "freq")
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0].l, best[0].r, best[0].cnt
+        m = l + r
+        rules.append((rank, l, r, m, cnt))
+
+        # greedy left-to-right merge: fold each word's symbols, replacing
+        # a trailing `l` followed by `r` with the merged symbol
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        words = words.select("freq", merged.alias("syms")).localCheckpoint(
+            eager=True
+        )
+
+    return spark.createDataFrame(
+        rules, "rank long, left string, right string, merged string, pair_count long"
+    )

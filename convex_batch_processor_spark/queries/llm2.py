@@ -181,6 +181,18 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.cdc_chunks(_t(spark, sf_dir, "documents"))
 
 
+@register("bpe_merges")  # rows-only: iterative merge training, not SQL-expressible
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training: the first 8 merge rules learned from the
+    corpus (pair-count argmax per round, greedy left-to-right rewrite).
+    Working state is the vocabulary-bounded word table, one pair-count
+    shuffle per round; python-reference parity in tests
+    (llmops/bpe.py:bpe_train_merges)."""
+    from ..llmops.bpe import bpe_train_merges
+
+    return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 @register("ivf_search_topk")  # rows-only: centroid floats not SQL-portable
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: probe the 5 nearest of 10 inverted lists per query,

@@ -119,6 +119,62 @@ def test_semantic_dedup_invariants_and_recall(spark, sf_dir):
     assert exact and co / len(exact) >= 0.9, f"co-membership recall {co}/{len(exact)}"
 
 
+def _bpe_reference(word_freqs, n_merges):
+    """Classic BPE (greedy left-to-right merge, count-desc/lexicographic
+    tiebreak), pure python."""
+    words = [(list(w), f) for w, f in word_freqs.items()]
+    rules = []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for syms, f in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        rules.append((rank, l, r, l + r, cnt))
+        new_words = []
+        for syms, f in words:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append((out, f))
+        words = new_words
+    return rules
+
+
+def test_bpe_merges_match_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from convex_batch_processor_spark.llmops.bpe import bpe_train_merges
+
+    docs = _docs(spark, sf_dir)
+    freqs = Counter(
+        w for r in docs.select("text").collect() for w in r.text.split(" ") if w
+    )
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe_train_merges(docs, n_merges=8).collect()
+    ]
+    assert got == _bpe_reference(freqs, 8)
+
+
+def test_bpe_overlapping_pairs_greedy_left_to_right(spark):
+    from convex_batch_processor_spark.llmops.bpe import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaaa aab")], "doc_id long, text string")
+    rules = bpe_train_merges(df, n_merges=2).collect()
+    # 'aaaa' has 3 overlapping (a,a) pairs + 'aab' has 1 → count 4;
+    # greedy merge leaves aa,aa and aa,b → next best pair is (aa,aa)
+    assert (rules[0].left, rules[0].right, rules[0].pair_count) == ("a", "a", 4)
+    assert (rules[1].left, rules[1].right) == ("aa", "aa")
+
+
 def test_cdc_chunks_content_defined_shift_stability(spark):
     """The CDC property: inserting a token at the FRONT of a document
     only changes the first chunk — every chunk from the first boundary

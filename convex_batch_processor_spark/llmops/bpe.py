@@ -98,3 +98,53 @@ def bpe_train_merges(
     return spark.createDataFrame(
         rules, "rank long, left string, right string, merged string, pair_count long"
     )
+
+
+def bpe_apply(
+    docs: DataFrame,
+    rules: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply trained merge rules: (doc_id, n_words, n_bpe_tokens) per doc.
+
+    The rules are applied to the DISTINCT word table (vocabulary-bounded —
+    each rule is one JVM fold over a word's symbol array, in training
+    order), and documents join the tokenized vocabulary back by word: the
+    expensive rewrite never touches the corpus, only the vocabulary. This
+    is the standard apply-side trick — tokenization is a dictionary
+    lookup at corpus scale.
+    """
+    vocab = (
+        docs.select(F.explode(tokens_col(text_col)).alias("w"))
+        .distinct()
+        .select("w", _chars(F.col("w")).alias("syms"))
+    )
+    def _merge_step(l: str, r: str, m: str):
+        def step(acc, x):
+            return F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        return step
+
+    for l, r in rules:
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            _merge_step(l, r, l + r),
+        )
+        vocab = vocab.select("w", merged.alias("syms"))
+    sized = vocab.select("w", F.size("syms").alias("n_syms"))
+    return (
+        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("w"))
+        .join(sized, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_syms").alias("n_bpe_tokens"),
+        )
+    )

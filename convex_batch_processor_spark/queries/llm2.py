@@ -193,6 +193,23 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+@register("bpe_tokenize_stats")  # rows-only: iterative rule training, not SQL
+def bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + apply end-to-end: learn 8 merge rules from the corpus,
+    tokenize the DISTINCT vocabulary with them (per-rule JVM fold), and
+    join token counts back to docs — (doc_id, n_words, n_bpe_tokens).
+    The rewrite touches only the vocabulary; the corpus side is a
+    dictionary-lookup join (llmops/bpe.py:bpe_apply)."""
+    from ..llmops.bpe import bpe_apply, bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        (r.left, r.right)
+        for r in bpe_train_merges(docs, n_merges=8).collect()
+    ]
+    return bpe_apply(docs, rules)
+
+
 @register("ivf_search_topk")  # rows-only: centroid floats not SQL-portable
 def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN search: probe the 5 nearest of 10 inverted lists per query,

@@ -175,6 +175,38 @@ def test_bpe_overlapping_pairs_greedy_left_to_right(spark):
     assert (rules[1].left, rules[1].right) == ("aa", "aa")
 
 
+def test_bpe_apply_matches_python_tokenization(spark, sf_dir):
+    from collections import Counter
+
+    from convex_batch_processor_spark.llmops.bpe import bpe_apply, bpe_train_merges
+
+    docs = _docs(spark, sf_dir)
+    rows = docs.select("doc_id", "text").collect()
+    freqs = Counter(w for r in rows for w in r.text.split(" ") if w)
+    ref_rules = _bpe_reference(freqs, 8)
+    rules = [(l, r) for _, l, r, _, _ in ref_rules]
+
+    def tokenize(word):
+        syms = list(word)
+        for l, r in rules:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    expected = {
+        r.doc_id: sum(tokenize(w) for w in r.text.split(" ") if w) for r in rows
+    }
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_apply(docs, rules).collect()}
+    assert got == expected
+
+
 def test_cdc_chunks_content_defined_shift_stability(spark):
     """The CDC property: inserting a token at the FRONT of a document
     only changes the first chunk — every chunk from the first boundary

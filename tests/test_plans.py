@@ -213,3 +213,24 @@ def test_pack_chunks_single_exchange(spark, sf_dir):
     any second exchange means the window lost its partitioning."""
     df = q(spark, sf_dir, "token_pack_chunks")
     assert E.count_exchanges(df) == 1
+
+
+def test_lm_and_pipeline_queries_no_cartesian(spark, sf_dir):
+    """The LM scorers and the composed pipeline join only on keys (term/
+    gram/doc) plus broadcast single-row stats — a cartesian or nested-loop
+    join on a corpus-sized side means a join key was lost."""
+    for name in ("lm_bigram_quality", "lm_trigram_quality",
+                 "training_pipeline_v2", "corpus_report"):
+        plan = E.physical_plan(q(spark, sf_dir, name))
+        assert "CartesianProduct" not in plan, name
+        # the only nested-loop joins allowed are broadcasts of one-row
+        # stats frames (N/avgdl/vocab cross joins)
+        for line in plan.splitlines():
+            if "BroadcastNestedLoopJoin" in line:
+                assert "Cross" in line or "Inner" in line, (name, line)
+
+
+def test_pipeline_v2_pushes_source_filter_to_scan(spark, sf_dir):
+    """The train-split filter must reach the documents parquet scan."""
+    df = q(spark, sf_dir, "training_pipeline_v2")
+    assert E.has_pushed_filter(df, "source")

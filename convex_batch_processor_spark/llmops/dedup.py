@@ -166,26 +166,49 @@ def minhash_neardup(
     num_perm: int = 32,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    persist_mode: str = "shingles",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates →
     exact-Jaccard verification ≥ threshold.
 
-    The shingle table feeds THREE consumers (signatures + both verify
-    sides), so it is persisted — 3× faster than recomputation (measured at
-    sf0.1). At 100 TB, persist the narrow SIGNATURE table instead and
-    semi-join shingles down to candidate docs before verification; the
-    shape below is correct at any scale, the persist choice is the knob.
+    ``persist_mode`` is the memory/recompute knob; both modes return
+    identical pairs (tested):
+
+    - ``"shingles"`` (default, right at test scale): the wide shingle
+      table feeds three consumers (signatures + both verify sides), so it
+      is persisted — 3× faster than recomputation, measured at sf0.1.
+    - ``"signatures"`` (the 100 TB mode): persist only the NARROW
+      signature table (num_perm longs per doc — fits executor memory at
+      any corpus size the cluster can hold at all), and rebuild shingles
+      ONLY for documents that appear in some candidate pair, via a
+      left-semi join of the corpus against the candidate id set. The wide
+      shingle table never materializes corpus-wide; the recompute cost is
+      proportional to the (small) candidate set.
     """
-    sh = with_shingles(df, text_col, id_col).persist()
-    shingled = sh.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    sh_raw = with_shingles(df, text_col, id_col)
+    if persist_mode == "shingles":
+        sh_raw = sh_raw.persist()
+    elif persist_mode != "signatures":
+        raise ValueError(f"unknown persist_mode {persist_mode!r}")
+    shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
     sigs = shingled.groupBy(id_col).agg(*mins).select(
         F.col(id_col), F.array(*[f"h{i}" for i in range(num_perm)]).alias("signature")
     )
+    if persist_mode == "signatures":
+        sigs = sigs.persist()
     cands = lsh_candidate_pairs(sigs, id_col, rows_per_band)
-    return jaccard_pairs(df, cands, text_col, id_col, shingle_df=sh).filter(
+    verify_sh = sh_raw
+    if persist_mode == "signatures":
+        cand_ids = (
+            cands.select(F.col("id_a").alias(id_col))
+            .union(cands.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        verify_sh = sh_raw.join(cand_ids, id_col, "left_semi")
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_df=verify_sh).filter(
         F.col("jaccard") >= threshold
     )
 

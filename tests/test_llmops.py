@@ -293,3 +293,21 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     assert high_sim <= found
     errs = [abs(est[p] - exact[p]) for p in exact]
     assert max(errs) <= 0.27, f"estimator out of 3-sigma band: {max(errs)}"
+
+
+def test_minhash_persist_modes_identical_pairs(spark, sf_dir):
+    """The 100 TB persist_mode='signatures' path (narrow signature persist
+    + semi-join shingle rebuild for candidates only) must return exactly
+    the pairs of the default shingle-persist path."""
+    from convex_batch_processor_spark.llmops.dedup import minhash_neardup
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_neardup(docs, persist_mode="shingles").collect()
+    }
+    sig = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_neardup(docs, persist_mode="signatures").collect()
+    }
+    assert base == sig and base

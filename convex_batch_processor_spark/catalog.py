@@ -38,9 +38,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# columns stored as parquet TIMESTAMP(NANOS): Spark reads them as long via
+# Timestamp columns whose physical parquet type has varied across testdata
+# generations: TIMESTAMP(NANOS) (Spark reads as long via
 # spark.sql.legacy.parquet.nanosAsLong; we truncate to microseconds exactly
-# like DuckDB does when it reads the same files (ns -> us floor division).
+# like DuckDB does, ns -> us floor division) or TIMESTAMP(MICROS) without
+# isAdjustedToUTC (Spark infers TIMESTAMP_NTZ; we reinterpret the wall-clock
+# as UTC so time functions like unix_millis work and collected values match
+# the DuckDB oracle's naive timestamps).
 NANO_TS_COLS = {"events": ("ts",)}
 
 
@@ -63,6 +67,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if field is not None and isinstance(field.dataType, T.LongType):
             # integer div: double division would lose precision at ~1e18 ns
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+        elif field is not None and isinstance(field.dataType, T.TimestampNTZType):
+            # session tz is UTC (_ensure_session_conf), so the cast keeps the
+            # wall-clock and yields a plain TIMESTAMP usable by unix_millis etc.
+            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
     return df
 
 

@@ -6,20 +6,32 @@ symbol sequence (initially characters), repeatedly count adjacent symbol
 pairs weighted by word frequency, merge the most frequent pair everywhere,
 and record the merge rules in order. The rule list IS the tokenizer.
 
-Spark shape per round (same discipline as operators/graph.py iteration):
-- the working state is the WORD table (distinct words + frequencies) —
-  vocabulary-bounded, orders of magnitude smaller than the corpus; the
-  corpus is touched exactly once to build it.
-- pair counting is one explode + one aggregation shuffle on the pair key;
-  the argmax is a driver-side ``first()`` on a 1-row TakeOrdered.
-- the merge rewrite is a JVM ``aggregate`` fold over each word's symbol
-  array (greedy left-to-right, overlaps consume the left occurrence —
-  the reference semantics), followed by ``localCheckpoint`` so the plan
-  does not grow with rounds.
+Spark shape (how production tokenizer trainers split the work — one
+corpus-scale pass, then vocabulary-bounded state):
+- the corpus is touched exactly ONCE, to build the distinct-word frequency
+  table (one explode + one aggregation shuffle). Everything after operates
+  on that table, which is orders of magnitude smaller than the corpus and
+  prunable further with ``min_freq``.
+- ``mode="local"`` (default when the vocabulary fits ``max_local_vocab``):
+  collect the word table and run the EXACT classic merge loop driver-side
+  with incrementally-maintained pair counts (lazy max-heap, inverted
+  pair→word index) — O(total symbol updates · log pairs) for the whole
+  rule sequence, zero Spark jobs per rule. A 32k-rule vocabulary trains in
+  seconds instead of 32k sequential cluster jobs; this is the same
+  corpus-pass + local-train split HuggingFace tokenizers / SentencePiece
+  use, and the collected state is the bounded vocabulary, never the corpus.
+- ``mode="distributed"``: the fallback when even the pruned vocabulary
+  exceeds driver memory — per round, pair counting is one explode + one
+  aggregation shuffle, the argmax a 1-row TakeOrdered, and the merge
+  rewrite a JVM ``aggregate`` fold over each word's symbol array, with
+  ``localCheckpoint`` so the plan does not grow with rounds. Correct at
+  any scale but costs one Spark job per rule — prune with ``min_freq``
+  before resorting to it.
 
-Determinism: ties in pair frequency break on (left, right) lexicographic
-order, so the rule sequence is reproducible across runs and engines; the
-python union test replays the same algorithm per word in tests.
+Both modes produce bit-identical rule sequences (tested): greedy
+left-to-right merge, overlaps consume the left occurrence, ties in pair
+frequency break on (left, right) lexicographic order, so the rule sequence
+is reproducible across runs and engines.
 """
 
 from __future__ import annotations

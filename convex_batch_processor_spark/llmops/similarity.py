@@ -418,10 +418,12 @@ def semantic_dedup(
     Composition of the engine's scale paths — banded-LSH candidate pairs
     with exact-cosine rerank (cosine_neardup_pairs_bucketed: shuffle
     O(n·bands), never O(n²)) → connected components over the pair graph
-    (operators/graph.py) → keep-min collapse. The pair graph is tiny
-    relative to the corpus (only vectors in some near-dup pair), so the
-    final labeling is a left join of the corpus against a small component
-    table.
+    (operators/graph.py) → keep-min collapse. The final labeling joins the
+    corpus against the component table WITHOUT a broadcast hint: at high
+    near-dup rates (30-50 % on a web crawl) the component table is a large
+    fraction of the corpus and a forced broadcast would OOM the driver, so
+    the join shape is left to AQE (which still broadcasts when the table is
+    actually small at runtime).
     """
     from ..operators.graph import connected_components
 
@@ -436,7 +438,7 @@ def semantic_dedup(
     comp = connected_components(pairs, "vec_id_a", "vec_id_b")
     return (
         embeddings.select(F.col(id_col).alias("vec_id"))
-        .join(F.broadcast(comp), F.col("vec_id") == F.col("node"), "left")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
         .select(
             "vec_id",
             F.coalesce("component_id", "vec_id").alias("component_id"),

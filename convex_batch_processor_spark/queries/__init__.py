@@ -10,16 +10,19 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Import order defines registration order, and the round driver verifies the
 # FIRST 50 registry entries against the DuckDB oracle. Round 1 checked the
-# relational/analytics/dataflow pack (48 green); round 2 front-loads the
-# queries that have no driver verdict yet (llm, misc, late tpch) plus the
-# re-checks (fixed sessionize_events oracle) so every query earns a
-# CORRECTNESS row. Already-green round-1 queries rotate to the back; the
-# local gate (tests/oracle_check.py) still covers all of them every run.
+# relational/analytics/dataflow pack; round 2 the llm/misc/late-tpch pack.
+# Round 3 front-loads the only queries without a driver verdict yet (all of
+# llm2, registered 57-69 in round 2), then round-3 additions (llm3), then the
+# llm module whose three formerly rows-only queries gained oracles this round
+# (language_id, ivf_centroid_assign, grouped_map_zscore). Already-green
+# queries rotate to the back; the local gate (tests/oracle_check.py) still
+# covers all of them every run.
+from . import llm2  # noqa: E402,F401  (round-2 additions, first driver check this round)
+from . import llm3  # noqa: E402,F401  (round-3 additions)
 from . import llm  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
-from . import llm2  # noqa: E402,F401  (round-2 additions; rotate to front in round 3)
 from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401

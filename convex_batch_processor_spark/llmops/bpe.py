@@ -48,21 +48,127 @@ def _chars(col):
     )
 
 
+_RULES_SCHEMA = "rank long, left string, right string, merged string, pair_count long"
+
+
+def _train_local(
+    words: list[tuple[list[str], int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Exact classic BPE over an in-memory (symbols, freq) word list.
+
+    Incremental: pair counts are maintained under a lazy max-heap (stale
+    entries are discarded at pop; every count increase pushes a fresh
+    entry) plus an inverted pair→word-index so each merge touches only the
+    words that contain the pair. Pair counts include overlapping adjacent
+    positions ("aaa" counts (a,a) twice) and the rewrite is greedy
+    left-to-right with the left occurrence consuming overlaps — identical
+    to the distributed fold and the python reference in tests.
+    """
+    import heapq
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    heap: list[tuple[int, tuple[str, str]]] = []
+
+    def index_word(i: int, sign: int, track: set | None = None) -> None:
+        syms, f = words[i]
+        for p in zip(syms, syms[1:]):
+            counts[p] = counts.get(p, 0) + sign * f
+            if sign > 0:
+                where.setdefault(p, set()).add(i)
+            if track is not None:
+                track.add(p)
+
+    for i in range(len(words)):
+        index_word(i, +1)
+    for p, c in counts.items():
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    for rank in range(n_merges):
+        best = None
+        while heap:
+            negc, p = heapq.heappop(heap)
+            if counts.get(p, 0) == -negc:  # live entry: this IS the max
+                best = (-negc, p)
+                break
+            # stale: a newer entry (or none, if the count only ever
+            # dropped) represents this pair's current value
+        if best is None:
+            break
+        cnt, (left, right) = best
+        m = left + right
+        rules.append((rank, left, right, m, cnt))
+        touched: set[tuple[str, str]] = set()
+        for i in sorted(where.get((left, right), ())):
+            syms, f = words[i]
+            out: list[str] = []
+            j = 0
+            changed = False
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+                    out.append(m)
+                    j += 2
+                    changed = True
+                else:
+                    out.append(syms[j])
+                    j += 1
+            if not changed:  # stale index entry — pair already rewritten away
+                continue
+            index_word(i, -1, touched)
+            words[i] = (out, f)
+            index_word(i, +1, touched)
+        where.pop((left, right), None)
+        counts.pop((left, right), None)
+        for p in touched:
+            c = counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p))
+    return rules
+
+
 def bpe_train_merges(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    mode: str = "auto",
+    min_freq: int = 1,
+    max_local_vocab: int = 4_000_000,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merge rules on the corpus; returns a
     DataFrame (rank, left, right, merged, pair_count) in merge order.
-    Stops early when no adjacent pair remains."""
+    Stops early when no adjacent pair remains.
+
+    ``mode``: "local" collects the vocabulary-bounded word-frequency table
+    and trains driver-side (exact, zero jobs per rule — the 100 TB path,
+    see module docstring); "distributed" runs one Spark job per rule for
+    vocabularies beyond driver memory; "auto" picks local iff the
+    (``min_freq``-pruned) vocabulary has at most ``max_local_vocab`` words.
+    ``min_freq`` drops hapax/noise words from training (standard practice;
+    default 1 = keep everything).
+    """
+    if mode not in ("auto", "local", "distributed"):
+        raise ValueError(f"unknown mode {mode!r}")
     spark: SparkSession = docs.sparkSession
-    words = (
+    wc = (
         docs.select(F.explode(tokens_col(text_col)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select("freq", _chars(F.col("w")).alias("syms"))
-        .localCheckpoint(eager=True)
+    )
+    if min_freq > 1:
+        wc = wc.filter(F.col("freq") >= min_freq)
+    wc = wc.localCheckpoint(eager=True)
+    if mode == "auto":
+        mode = "local" if wc.count() <= max_local_vocab else "distributed"
+    if mode == "local":
+        word_list = [(list(r["w"]), r["freq"]) for r in wc.collect()]
+        return spark.createDataFrame(
+            _train_local(word_list, n_merges), _RULES_SCHEMA
+        )
+
+    words = wc.select("freq", _chars(F.col("w")).alias("syms")).localCheckpoint(
+        eager=True
     )
 
     rules: list[tuple[int, str, str, str, int]] = []
@@ -107,9 +213,7 @@ def bpe_train_merges(
             eager=True
         )
 
-    return spark.createDataFrame(
-        rules, "rank long, left string, right string, merged string, pair_count long"
-    )
+    return spark.createDataFrame(rules, _RULES_SCHEMA)
 
 
 def bpe_apply(

@@ -175,6 +175,30 @@ def test_bpe_overlapping_pairs_greedy_left_to_right(spark):
     assert (rules[1].left, rules[1].right) == ("aa", "aa")
 
 
+def test_bpe_local_and_distributed_modes_identical(spark, sf_dir):
+    from convex_batch_processor_spark.llmops.bpe import bpe_train_merges
+
+    docs = _docs(spark, sf_dir).limit(60)
+    key = lambda df: [  # noqa: E731
+        (r.rank, r.left, r.right, r.merged, r.pair_count) for r in df.collect()
+    ]
+    local = key(bpe_train_merges(docs, n_merges=6, mode="local"))
+    dist = key(bpe_train_merges(docs, n_merges=6, mode="distributed"))
+    assert local == dist and len(local) == 6
+
+
+def test_bpe_min_freq_prunes_vocabulary(spark):
+    from convex_batch_processor_spark.llmops.bpe import bpe_train_merges
+
+    # "zq" appears once: with min_freq=2 its (z,q) pair must never train
+    df = spark.createDataFrame(
+        [(1, "abab abab zq"), (2, "abab")], "doc_id long, text string"
+    )
+    rules = bpe_train_merges(df, n_merges=3, min_freq=2).collect()
+    assert all((r.left, r.right) != ("z", "q") for r in rules)
+    assert (rules[0].left, rules[0].right) == ("a", "b")
+
+
 def test_bpe_apply_matches_python_tokenization(spark, sf_dir):
     from collections import Counter
 

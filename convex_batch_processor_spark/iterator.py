@@ -163,7 +163,8 @@ class TableIterator:
         on_complete: str | None = None,
         plan_ranges: bool | None = None,
         num_chunks: int | None = None,
-        validate_key: bool = True,
+        validate_key: bool | str = True,
+        validate_sample_fraction: float = 0.01,
     ) -> IteratorJobState:
         """startIteratorJob (lib.ts:736-782): duplicate-id reject + insert
         running job.
@@ -177,14 +178,28 @@ class TableIterator:
         orderBy+limit cursor pager, which re-sorts the tail every chunk —
         fine at test scale, O(n·chunks) at cluster scale.
 
-        ``validate_key=True`` runs one aggregate over the source asserting
-        the iteration key is non-NULL and unique before any chunk runs.
-        Both properties are load-bearing: a NULL key never matches the
-        ``key > cursor`` page predicate (and F.max ignores it, so the
-        cursor would stall), and a duplicate key straddling a chunk
-        boundary would be skipped by the strict ``>``. Fail fast here
-        instead of silently losing rows mid-job; disable only when the key
-        is a known primary key and the extra pass is unwanted.
+        ``validate_key`` guards the two properties that silently lose rows
+        when violated — scoped to what each cursor strategy actually needs:
+
+        - NULL keys are load-bearing in BOTH modes (a NULL never matches a
+          range/page predicate; ``F.max`` ignores it, stalling the cursor).
+          The check is ``count(1) vs count(key)`` — one map-side aggregate,
+          no shuffle of data rows. Always run unless ``validate_key=False``.
+        - Key UNIQUENESS only matters in cursor mode: the strict
+          ``key > cursor`` page predicate skips duplicates that straddle a
+          chunk boundary. Planned-range mode partitions the key space with
+          inclusive bounds, so every duplicate lands in exactly one range —
+          no check needed, which is why the default (planned) path costs no
+          uniqueness pass at any scale. When cursor mode IS requested:
+          ``validate_key=True`` runs an exact duplicate probe
+          (``groupBy(key).count() > 1 LIMIT 1`` — partial aggregation means
+          the shuffle carries one row per DISTINCT key, not an Expand of
+          the table like ``countDistinct`` alongside ``count`` would);
+          ``validate_key="sample"`` probes a ~1 % sample instead (cheap,
+          but only catches heavily-duplicated keys — a clean sample proves
+          little; use for very large cursor-mode sources where the exact
+          probe is unwanted); ``validate_key=False`` skips (documented
+          unique key, caller's responsibility).
         """
         if self.store.exists(job_id):
             raise ValueError(f"Iterator job with ID '{job_id}' already exists")
@@ -199,7 +214,6 @@ class TableIterator:
             stats = self.source.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.count(key).alias("n_nonnull"),
-                F.countDistinct(key).alias("n_distinct"),
             ).collect()[0]
             if stats["n_nonnull"] != stats["n"]:
                 raise ValueError(
@@ -208,14 +222,26 @@ class TableIterator:
                     "never be paged past (cursor would stall); clean or choose "
                     "another key"
                 )
-            if stats["n_distinct"] != stats["n"]:
-                raise ValueError(
-                    f"key column {self.key_col!r} is not unique "
-                    f"({stats['n']} rows, {stats['n_distinct']} distinct) — a "
-                    "duplicate key on a chunk boundary would be skipped by the "
-                    "strict cursor predicate"
-                )
             n = stats["n"]
+            if not plan_ranges:
+                probe = self.source.select(key.alias("k"))
+                if validate_key == "sample":
+                    probe = probe.sample(fraction=validate_sample_fraction, seed=7)
+                dup = (
+                    probe.groupBy("k")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                if dup:
+                    raise ValueError(
+                        f"key column {self.key_col!r} is not unique (e.g. key "
+                        f"{dup[0]['k']!r} appears {dup[0]['count']} times) — a "
+                        "duplicate key on a chunk boundary would be skipped by "
+                        "the strict cursor predicate; use plan_ranges=True or "
+                        "a unique key"
+                    )
         bounds = None
         if plan_ranges:
             if num_chunks is None:

@@ -135,14 +135,21 @@ def test_retry_recovers_and_resets_counter(tmp_path, customer):
 
 def test_start_rejects_null_and_duplicate_keys(tmp_path, customer):
     """Fail fast instead of silently losing rows: a NULL key can never be
-    paged past (cursor stalls), and a duplicate key on a chunk boundary is
-    skipped by the strict > predicate."""
+    paged past (cursor stalls), and in CURSOR mode a duplicate key on a
+    chunk boundary is skipped by the strict > predicate. The uniqueness
+    probe is scoped to cursor mode — planned ranges bucket duplicates
+    safely (inclusive bounds partition the key space)."""
     reg = HandleRegistry()
     reg.add("noop", lambda df, c: None)
     dup = customer.select((F.col("c_custkey") % 2).alias("k"))
     it = TableIterator(str(tmp_path / "d"), dup, "k", registry=reg, sleep_fn=lambda s: None)
     with pytest.raises(ValueError, match="not unique"):
-        it.start("j", "noop")
+        it.start("j", "noop", plan_ranges=False)
+    with pytest.raises(ValueError, match="not unique"):
+        # heavy duplication (2 distinct keys): a half-sample is guaranteed
+        # to contain a duplicate pair (150 rows -> ~75 sampled)
+        it.start("j2", "noop", plan_ranges=False, validate_key="sample",
+                 validate_sample_fraction=0.5)
     nullable = customer.select(
         F.when(F.col("c_custkey") % 100 == 0, None)
         .otherwise(F.col("c_custkey"))
@@ -151,6 +158,22 @@ def test_start_rejects_null_and_duplicate_keys(tmp_path, customer):
     it2 = TableIterator(str(tmp_path / "n"), nullable, "k", registry=reg, sleep_fn=lambda s: None)
     with pytest.raises(ValueError, match="NULL"):
         it2.start("j", "noop")
+
+
+def test_planned_ranges_accept_duplicate_keys_without_row_loss(tmp_path, customer):
+    """Planned-range mode partitions the key space with inclusive bounds,
+    so duplicate keys are processed exactly once each — no uniqueness pass
+    is needed (or run) on the default 100 TB path."""
+    reg, seen = HandleRegistry(), []
+    reg.add("collect", lambda df, c: seen.extend(r.k for r in df.collect()))
+    dup = customer.select((F.col("c_custkey") % 50).alias("k"))
+    n = dup.count()
+    it = TableIterator(str(tmp_path / "p"), dup, "k", registry=reg, sleep_fn=lambda s: None)
+    st = it.start("j", "collect", batch_size=100)  # numeric -> planned
+    assert st.range_bounds is not None
+    st = it.run("j")
+    assert st.status == "completed"
+    assert len(seen) == n == st.processed_count
 
 
 def test_numeric_key_auto_plans_ranges_and_caches_chunks(tmp_path, customer):

@@ -25,15 +25,32 @@ def group_zscore(
 
     Nested function: cloudpickled by value → executors never import this
     package (see streaming/stateful.py for the by-reference trap).
+
+    Determinism (oracle parity): mean/variance are derived from EXACT
+    integer sums of the 2-dp values (``round(v*100)`` as int64 — order
+    independent), then combined in float64 with a fixed operand order that
+    the DuckDB oracle mirrors expression-for-expression; the z-score is
+    rounded to 6 dp. Variance is the textbook ``(Σx² − n·mean²)/(n−1)``
+    sum-of-squares form — fine here because the inputs are 2-dp
+    human-scale metrics (no catastrophic cancellation), and exactness of
+    the integer sums is what makes the result reproducible across engines,
+    partitionings, and retries.
     """
     schema = f"{key_col} long, {id_col} long, {value_col} double, zscore double"
 
     def normalize(pdf):
-        import pandas as pd  # noqa: F401 (worker-side import)
+        import math
 
-        std = pdf[value_col].std(ddof=1)
-        mean = pdf[value_col].mean()
-        z = (pdf[value_col] - mean) / std if std and std > 0 else pdf[value_col] * 0.0
-        return pdf[[key_col, id_col, value_col]].assign(zscore=z.round(6))
+        iv = (pdf[value_col] * 100).round().astype("int64")
+        n = len(pdf)
+        s = int(iv.sum())
+        s2 = int((iv * iv).sum())
+        mean = s / (100.0 * n)
+        var = (s2 / 10000.0 - (n * mean) * mean) / (n - 1.0) if n > 1 else 0.0
+        if var > 0:
+            z = ((pdf[value_col] - mean) / math.sqrt(var)).round(6)
+        else:
+            z = pdf[value_col] * 0.0
+        return pdf[[key_col, id_col, value_col]].assign(zscore=z)
 
     return df.select(key_col, id_col, value_col).groupBy(key_col).applyInPandas(normalize, schema)

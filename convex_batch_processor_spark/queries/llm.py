@@ -294,9 +294,43 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("language_id")  # rows-only: corpus-derived profiles, not concise SQL
+@register(
+    "language_id",
+    oracle="""
+    WITH tg AS (
+        SELECT DISTINCT doc_id, lang, substr(text, CAST(i AS INT), 3) AS tg
+        FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+        WHERE length(text) >= 3
+    ),
+    prof AS (
+        SELECT lang AS predicted_lang, tg FROM (
+            SELECT lang, tg,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY COUNT(*) DESC, tg ASC
+                   ) AS rk
+            FROM tg GROUP BY lang, tg
+        ) WHERE rk <= 200
+    ),
+    ov AS (
+        SELECT t.doc_id, t.lang AS actual_lang, p.predicted_lang,
+               COUNT(*) AS overlap
+        FROM tg t JOIN prof p ON t.tg = p.tg
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, actual_lang, predicted_lang, overlap FROM (
+        SELECT ov.*, row_number() OVER (
+            PARTITION BY doc_id ORDER BY overlap DESC, predicted_lang ASC
+        ) AS rn FROM ov
+    ) WHERE rn = 1
+    """,
+)
 def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Char-trigram-profile language ID (distributed n-gram heuristic)."""
+    """Char-trigram-profile language ID (distributed n-gram heuristic).
+
+    Fully oracle-expressible: profiles are the top-200 DISTINCT trigrams
+    per language by document frequency (row_number tiebreak df desc, tg
+    asc), classification is argmax overlap (tiebreak predicted_lang asc) —
+    integer counts end to end, no float drift."""
     return X.language_id(_t(spark, sf_dir, "documents"))
 
 
@@ -384,20 +418,89 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.orderBy(F.col("n").desc(), F.col("token").asc()).limit(25)
 
 
-@register("ivf_centroid_assign")  # rows-only: centroid floats not SQL-portable
+@register(
+    "ivf_centroid_assign",
+    oracle="""
+    WITH dm AS (
+        SELECT label, i AS dim, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS m
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i
+    ),
+    cent AS (
+        SELECT label AS centroid_id, list(m ORDER BY dim) AS centroid
+        FROM dm GROUP BY label
+    )
+    SELECT vec_id, centroid_id, sim FROM (
+        SELECT e.vec_id, c.centroid_id,
+               round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.centroid, c.centroid))), 6) AS sim,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(CAST(e.embedding AS DOUBLE[]), c.centroid)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+                            c.centroid_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+    """,
+)
 def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse quantization: per-label centroids (distributed elementwise
     mean) + nearest-centroid assignment for every vector — the training +
-    list-assignment steps of IVF ANN. Tests verify centroids against numpy."""
+    list-assignment steps of IVF ANN. Tests verify centroids against numpy.
+
+    Oracle parity: centroid dims are rounded to 6 dp in both engines (an
+    elementwise float mean is order-dependent in the last ulp; rounding
+    pins it), then cosine is the same sequential double fold on both sides
+    (list_dot_product ≡ the JVM zip_with/aggregate fold, proven bit-exact
+    by knn_bruteforce)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.ivf_assign(emb, S.label_centroids(emb))
+    cent = S.label_centroids(emb).select(
+        "label",
+        F.transform("centroid", lambda v: F.round(v, 6)).alias("centroid"),
+    )
+    return S.ivf_assign(emb, cent)
 
 
-@register("grouped_map_zscore")  # rows-only: pandas ddof/rounding not worth oracle-pinning
+@register(
+    "grouped_map_zscore",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+               SUM(CAST(round(value * 100) AS BIGINT)
+                   * CAST(round(value * 100) AS BIGINT)) AS s2
+        FROM events GROUP BY user_id
+    ),
+    m AS (
+        SELECT user_id, n,
+               CAST(s AS DOUBLE) / (100.0 * n) AS mean,
+               CASE WHEN n > 1 THEN
+                   (CAST(s2 AS DOUBLE) / 10000.0
+                    - (n * (CAST(s AS DOUBLE) / (100.0 * n)))
+                      * (CAST(s AS DOUBLE) / (100.0 * n))) / (n - 1.0)
+               ELSE 0.0 END AS var
+        FROM g
+    )
+    SELECT e.user_id, e.event_id, e.value,
+           CASE WHEN m.var > 0
+                THEN round((e.value - m.mean) / sqrt(m.var), 6)
+                ELSE 0.0 END AS zscore
+    FROM events e JOIN m USING (user_id)
+    """,
+)
 def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: per-user z-score of event values (the X1
-    per-group UDF surface; tests pin it against the window-function
-    equivalent within float tolerance)."""
+    per-group UDF surface; tests also pin it against the window-function
+    equivalent).
+
+    Oracle parity: the pandas body derives mean/variance from exact integer
+    sums of the 2-dp values and combines them in float64 with the operand
+    order the oracle mirrors expression-for-expression (see
+    llmops/groupedmap.py)."""
     from ..llmops.groupedmap import group_zscore
 
     return group_zscore(_t(spark, sf_dir, "events"))

@@ -75,16 +75,20 @@ def main() -> None:
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name].fn
-        best = float("inf")
-        for _ in range(runs):  # best-of-N: steady-state, not JIT warmup
+        samples: list[float] = []
+        for _ in range(runs):  # median-of-N: robust to JVM/GC jitter, unlike
+            # best-of (still optimistic) or mean (one GC pause skews it)
             start = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.monotonic() - start)
-        timings[name] = round(best, 3)
+            samples.append(time.monotonic() - start)
+        samples.sort()
+        mid = len(samples) // 2
+        med = samples[mid] if len(samples) % 2 else (samples[mid - 1] + samples[mid]) / 2
+        timings[name] = round(med, 3)
         # drop intra-query persists (minhash shingles, LSH signatures):
         # each query's cost must not include GC pressure from the caches
         # the previous queries leaked into the executor heap

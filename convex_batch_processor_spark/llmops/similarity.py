@@ -41,6 +41,55 @@ def cosine_col(a: Column, b: Column) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization of an embedding column — the
+    8× memory compression step before an ANN index ships to serving
+    (FAISS SQ8 style): per-vector scale = max|v|/127, q_i = round(v_i /
+    scale) ∈ [−127, 127].
+
+    Returns (id, scale rounded 9 dp, qnorm = Σq_i² exact int, recon_err =
+    ‖v − q·scale‖₂ rounded 6 dp). Pure JVM Column math, map-side only —
+    no shuffle at any scale. Zero vectors (scale 0) are excluded (nothing
+    to quantize; avoids ±inf division in any engine).
+
+    Determinism: max|v| is order-insensitive (unlike a float sum), the
+    quantized ints are exact, and the residual norm is the same
+    sequential double fold as every vector op here — bit-stable across
+    engines and partitionings, so the oracle replays it exactly.
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x.cast("double"))))
+        / F.lit(127.0)
+    )
+    df = embeddings.select(F.col(id_col), v.alias("_v"), scale.alias("_scale")).filter(
+        F.col("_scale") > 0
+    )
+    # materialize _scale before the lambdas: transform() re-evaluates
+    # inline sub-expressions per element (the fold would run 64× per row)
+    q = F.transform(
+        F.col("_v"), lambda x: F.round(x.cast("double") / F.col("_scale"), 0).cast("long")
+    )
+    df = df.withColumn("_q", q)
+    resid = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda x, qq: x.cast("double") - qq.cast("double") * F.col("_scale"),
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 9).alias("scale"),
+        F.aggregate(
+            F.col("_q"), F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("qnorm"),
+        F.round(F.sqrt(dot_col(resid, resid)), 6).alias("recon_err"),
+    )
+
+
 def knn_bruteforce(
     embeddings: DataFrame,
     query_ids: list[int],

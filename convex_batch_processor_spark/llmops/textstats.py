@@ -48,6 +48,56 @@ def quality_label(text_col: str = "text", min_tokens: int = 20, max_tokens: int 
     ).otherwise("low")
 
 
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 10,
+    max_words: int = 100_000,
+    min_mean_len: float = 2.0,
+    max_mean_len: float = 10.0,
+    min_distinct_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style repetition/shape quality rules, one map-side pass:
+    (id, n_words, mean_word_len, distinct_frac, has_stopword, keep).
+
+    The four Gopher rule families expressible on this corpus: document
+    length band, mean-word-length band (garbage/boilerplate detector),
+    duplicate-token fraction (1 − distinct/total — the repetition rule),
+    and stopword presence (natural-language-ness). All arithmetic is
+    int-count ratios in float64 — bit-stable across engines with no
+    rounding needed. Empty-token docs are excluded (nothing to judge,
+    and 0-denominators diverge between engines).
+    """
+    d = df.select(F.col(id_col), tokens_col(text_col).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n = F.size("toks")
+    mean_len = (
+        F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n
+    )
+    distinct_frac = F.size(F.array_distinct("toks")).cast("double") / n
+    has_stop = F.arrays_overlap(
+        "toks", F.array(*[F.lit(s) for s in STOPWORDS])
+    )
+    out = d.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        distinct_frac.alias("distinct_frac"),
+        has_stop.alias("has_stopword"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("distinct_frac") >= min_distinct_frac)
+        & F.col("has_stopword")
+    )
+    return out.withColumn("keep", keep)
+
+
 def prefix_fingerprint(text_col: str = "text", n_tokens: int = 8) -> Column:
     """Deterministic document fingerprint: md5 of the first-n-token prefix
     (cheap rolling-hash stand-in, portable to the SQL oracle)."""

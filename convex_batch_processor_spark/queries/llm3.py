@@ -1,5 +1,283 @@
-"""Round-3 query registrations (new operators land here).
+"""Round-3 LLM-pipeline queries: corpus quality/repetition rules, mixture
+weighting, curriculum bucketing, per-source caps, TF-IDF term selection,
+int8 embedding quantization, and unsupervised k-means clustering.
 
-Registered after llm2 (the 13 queries awaiting their first driver verdict)
-so new round-3 queries also fall inside the driver's top-50 window.
+Registered after llm2 (first driver check this round) so these also land
+inside the driver's top-50 correctness window. Same oracle discipline as
+queries/llm.py: integer-count ratios stay unrounded (bit-stable division),
+float folds use the proven list_dot_product ≡ zip_with/aggregate pairing,
+ln() is rounded to 9 dp at the leaf, and every top-k has a total-order
+tiebreak.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..llmops import similarity as S
+from ..llmops import textstats as X
+from ..llmops.dedup import tokens_col
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- quality / repetition rules --------------------------------------------
+
+@register(
+    "gopher_quality_filter",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, len(toks) AS n_words,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mean_word_len,
+           CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_frac,
+           len(list_intersect(toks, ['the','a','and','of','to','in'])) > 0
+               AS has_stopword,
+           (len(toks) BETWEEN 10 AND 100000)
+               AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                    / len(toks) BETWEEN 2.0 AND 10.0)
+               AND (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.3)
+               AND (len(list_intersect(toks, ['the','a','and','of','to','in'])) > 0)
+               AS keep
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (length band, mean word length,
+    repetition via distinct-token fraction, stopword presence) — one
+    map-side pass, no shuffle (llmops/textstats.py:gopher_quality)."""
+    return X.gopher_quality(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "repetition_top_bigram",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+        FROM t, unnest(range(1, len(toks))) AS r(i)
+        WHERE len(toks) >= 2
+    ),
+    c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+           CAST(MAX(cnt) AS BIGINT) AS top_count,
+           CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_frac
+    FROM c GROUP BY doc_id
+    """,
+)
+def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detector: fraction of a doc's word-bigram occurrences
+    taken by its most frequent bigram (the Gopher top-n-gram rule). Two
+    doc-keyed aggregation shuffles; no cross-doc traffic — scales with the
+    corpus, not its square."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tokens_col("text").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bg"),
+    )
+    c = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_bigrams"),
+        F.max("cnt").alias("top_count"),
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_frac"),
+    )
+
+
+# --- mixture / sampling / curriculum ---------------------------------------
+
+@register(
+    "mixture_weights_sqrt",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    w AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) AS w_raw FROM c),
+    t AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM w)
+    SELECT lang, n_docs, w_raw, round(w_raw / t.tot, 9) AS weight FROM w, t
+    """,
+)
+def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed mixture weights (α = 0.5): per-language
+    sampling weight ∝ √count, normalized — the standard up-weighting of
+    low-resource slices when composing a training mix. sqrt is IEEE
+    correctly-rounded (engine-identical, unlike pow); the normalizer is a
+    decimal-accumulated sum of the 6-dp-rounded weights so the total is
+    order-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = c.withColumn("w_raw", F.round(F.sqrt(F.col("n_docs")), 6))
+    tot = w.agg(
+        F.sum(F.col("w_raw").cast("decimal(18,6)")).cast("double").alias("tot")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "w_raw",
+        F.round(F.col("w_raw") / F.col("tot"), 9).alias("weight"),
+    )
+
+
+@register(
+    "source_cap_sample",
+    oracle="""
+    SELECT doc_id, source, rn FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 15
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain-cap curation: no single crawl
+    domain may dominate the mix): keep the 15 lowest-id docs per source —
+    deterministic, re-runnable, and one window shuffle keyed by source."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+    )
+
+
+@register(
+    "length_curriculum_buckets",
+    oracle="""
+    SELECT bucket, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars, ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        FROM documents
+    ) GROUP BY bucket
+    """,
+)
+def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: equal-count octiles of document length with
+    per-bucket stats. ntile needs a total order (doc_id tiebreak) — exact
+    deciles are inherently a global sort, which is fine on doc METADATA
+    (ids + lengths, not text); at 100 TB swap in approxQuantile boundaries
+    and a range filter for the same buckets without the sort."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        docs.select("n_chars", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# --- retrieval-ish term weighting ------------------------------------------
+
+@register(
+    "tfidf_topk_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, score FROM (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               round(tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9), 6) AS score,
+               row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY round(tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9), 6) DESC,
+                            tf.term ASC
+               ) AS rn
+        FROM tf JOIN dft USING (term) CROSS JOIN n
+    ) WHERE rn <= 5
+    """,
+)
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF terms per document — keyword extraction / indexing
+    primitive. The document-frequency table is vocabulary-bounded and
+    broadcast; the only corpus-scale shuffle is the (doc, term) count.
+    ln() rounded to 9 dp at the leaf (the BM25 parity discipline)."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 9
+    )
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.round(F.col("tf") * idf, 6))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tf", "score")
+    )
+
+
+# --- embedding ops ----------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+                   / 127.0 AS scale
+        FROM embeddings
+    )
+    SELECT vec_id, round(scale, 9) AS scale,
+           CAST(list_sum(list_transform(v,
+                x -> CAST(round(x / scale) AS BIGINT)
+                     * CAST(round(x / scale) AS BIGINT))) AS BIGINT) AS qnorm,
+           round(sqrt(list_dot_product(
+               list_transform(v, x -> x - CAST(round(x / scale) AS BIGINT) * scale),
+               list_transform(v, x -> x - CAST(round(x / scale) AS BIGINT) * scale)
+           )), 6) AS recon_err
+    FROM s WHERE scale > 0
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    exact reconstruction-error accounting (llmops/similarity.py:
+    quantize_int8). Map-side only — no shuffle at any corpus size."""
+    return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+@register("kmeans_clusters")  # rows-only: iterative float means, not SQL
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised Lloyd's k-means (k=8, 4 iterations, deterministic
+    lowest-id init) over the embedding corpus: (vec_id, cluster_id, dist2).
+    Broadcast centroids, map-side assignment, one (cluster, dim) shuffle
+    per round, checkpointed lineage (llmops/cluster.py). Tests replay the
+    algorithm in numpy and assert identical assignments."""
+    from ..llmops.cluster import kmeans_clusters as km
+
+    return km(_t(spark, sf_dir, "embeddings"), k=8, n_iter=4)

@@ -1,0 +1,82 @@
+"""k-means (llmops/cluster.py) and int8 quantization (similarity.py)
+parity/property tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.llmops.cluster import kmeans_clusters, kmeans_fit
+from convex_batch_processor_spark.llmops.similarity import quantize_int8
+
+
+@pytest.fixture()
+def emb_np(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(emb.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    return emb, ids, mat
+
+
+def _kmeans_ref(ids, mat, k, n_iter):
+    """Numpy replica: lowest-id init, squared-L2 argmin with cluster-id
+    tiebreak (argmin takes the first minimum), empty clusters keep their
+    centroid."""
+    cent = mat[np.argsort(ids)[:k]].copy()
+    for _ in range(n_iter):
+        d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    d2 = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    return cent, d2.argmin(axis=1)
+
+
+def test_kmeans_matches_numpy_replica(spark, sf_dir, emb_np):
+    emb, ids, mat = emb_np
+    k, n_iter = 8, 4
+    ref_cent, ref_assign = _kmeans_ref(ids, mat, k, n_iter)
+
+    got_cent = {
+        r.cluster_id: np.array(r.centroid)
+        for r in kmeans_fit(emb, k=k, n_iter=n_iter).collect()
+    }
+    assert set(got_cent) == set(range(k))
+    for c in range(k):
+        np.testing.assert_allclose(got_cent[c], ref_cent[c], rtol=1e-9, atol=1e-12)
+
+    got = {r.vec_id: r.cluster_id for r in kmeans_clusters(emb, k=k, n_iter=n_iter).collect()}
+    ref = dict(zip(ids.tolist(), ref_assign.tolist()))
+    assert got == ref
+
+
+def test_kmeans_clusters_nontrivial_partition(spark, sf_dir, emb_np):
+    emb, ids, _ = emb_np
+    out = kmeans_clusters(emb, k=8, n_iter=2).collect()
+    assert len(out) == len(ids)  # every vector assigned exactly once
+    sizes = {}
+    for r in out:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+        assert r.dist2 >= 0
+    assert len(sizes) > 1  # not everything collapsed into one cluster
+
+
+def test_quantize_int8_properties(spark, sf_dir, emb_np):
+    emb, ids, mat = emb_np
+    out = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    assert set(out) == set(ids.tolist())
+    for vid, v in zip(ids.tolist(), mat):
+        r = out[vid]
+        scale = np.abs(v).max() / 127.0
+        q = np.round(v / scale)
+        assert abs(r.scale - scale) < 1e-9
+        assert np.abs(q).max() <= 127
+        assert r.qnorm == int((q * q).sum())
+        err = np.sqrt(((v - q * scale) ** 2).sum())
+        assert abs(r.recon_err - err) < 1e-5
+        # quantization error per dim is bounded by scale/2
+        assert r.recon_err <= scale / 2 * np.sqrt(len(v)) + 1e-9

@@ -52,6 +52,13 @@ HEADLINE = [
     "token_pack_greedy",
     # end-to-end curation: LM quality gate → decontaminate → dedup → pack
     "training_pipeline_v2",
+    # round-3 additions: map-side quality rules, TF-IDF term selection
+    # (vocab-bounded broadcast), SQ8 vector quantization (map-only), and
+    # iterative k-means (broadcast centroids, per-round checkpoint)
+    "gopher_quality_filter",
+    "tfidf_topk_terms",
+    "embedding_quantize_int8",
+    "kmeans_clusters",
 ]
 
 

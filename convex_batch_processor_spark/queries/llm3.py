@@ -79,28 +79,52 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition detector: fraction of a doc's word-bigram occurrences
-    taken by its most frequent bigram (the Gopher top-n-gram rule). Two
-    doc-keyed aggregation shuffles; no cross-doc traffic — scales with the
-    corpus, not its square."""
+    taken by its most frequent bigram (the Gopher top-n-gram rule).
+
+    ZERO-shuffle plan: instead of explode → groupBy(doc, bigram) →
+    groupBy(doc) (two corpus-scale shuffles), sort each doc's bigram array
+    and fold it — equal bigrams are adjacent after the sort, so the top
+    count is the longest equal run. Pure per-row Column math; at 100 TB
+    this is a map-only stage."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", tokens_col("text").alias("toks")
     ).filter(F.size("toks") >= 2)
-    bg = toks.select(
-        "doc_id",
-        F.explode(
-            F.zip_with(
-                F.slice("toks", 1, F.size("toks") - 1),
-                F.slice("toks", 2, F.size("toks") - 1),
-                lambda a, b: F.concat_ws(" ", a, b),
-            )
-        ).alias("bg"),
+    bgs = F.array_sort(
+        F.zip_with(
+            F.slice("toks", 1, F.size("toks") - 1),
+            F.slice("toks", 2, F.size("toks") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     )
-    c = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
-    return c.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_bigrams"),
-        F.max("cnt").alias("top_count"),
-        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_frac"),
+    d = toks.select("doc_id", bgs.alias("bgs"))
+    zero = F.lit(0).cast("long")
+    top = F.aggregate(
+        F.col("bgs"),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            zero.alias("run"),
+            zero.alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return d.select(
+        "doc_id",
+        F.size("bgs").cast("long").alias("n_bigrams"),
+        top.alias("top_count"),  # materialized once; frac derives from it
+    ).select(
+        "doc_id",
+        "n_bigrams",
+        "top_count",
+        (F.col("top_count").cast("double") / F.col("n_bigrams")).alias("top_frac"),
     )
 
 
@@ -269,6 +293,98 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact reconstruction-error accounting (llmops/similarity.py:
     quantize_int8). Map-side only — no shuffle at any corpus size."""
     return S.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
+# --- native session windows + bucketed range join ---------------------------
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    g AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        FROM s
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 6 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window, 6 h gap) — the
+    merge-on-gap operator the streaming engine uses for session state,
+    exercised in batch: per (user, session) event count + exact-decimal
+    value sum, session_end = last event + gap (Spark's definition; the
+    oracle replays it as a classic gaps-and-islands). One shuffle keyed by
+    user — the same plan shape Structured Streaming maintains
+    incrementally with watermark-evicted state."""
+    ev = _t(spark, sf_dir, "events")
+    from .registry import dsum
+
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "6 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "view_purchase_attribution",
+    oracle="""
+    SELECT a.event_id AS src_event_id, b.event_id AS dst_event_id, a.user_id,
+           date_diff('microsecond', a.ts, b.ts) AS delta_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+    """,
+)
+def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join: purchases within 6 h after a view by the
+    same user — via the bucketed range join (operators/rangejoin.py). The
+    range predicate becomes an equi-join on (user, time-bucket): hot users
+    spread across their timeline instead of concentrating in one sort-merge
+    task, and there is no nested-loop fallback at any scale."""
+    from ..operators.rangejoin import interval_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("src_event_id"),
+        "user_id",
+        F.col("ts").alias("src_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("dst_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("dst_ts"),
+    )
+    out = interval_join_bucketed(
+        views, purchases, ["user_id"], "src_ts", "dst_ts", 6 * 3600
+    )
+    return out.select(
+        "src_event_id",
+        "dst_event_id",
+        "user_id",
+        (F.unix_micros("dst_ts") - F.unix_micros("src_ts")).alias("delta_us"),
+    )
 
 
 @register("kmeans_clusters")  # rows-only: iterative float means, not SQL

@@ -182,6 +182,23 @@ def test_contamination_and_jaccard_no_cartesian(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """The attribution range join must plan as a plain equi-join on
+    (user, bucket) — no nested-loop/cartesian fallback, and the exact
+    interval predicate is a post-join filter, not a join strategy."""
+    df = q(spark, sf_dir, "view_purchase_attribution")
+    plan = E.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "_bin" in plan  # the bucket key actually reaches the join
+
+
+def test_repetition_top_bigram_no_exchange(spark, sf_dir):
+    """The sorted-array fold form must stay map-only: zero shuffles."""
+    df = q(spark, sf_dir, "repetition_top_bigram")
+    assert E.count_exchanges(df) == 0
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """The posting-list explode must be filtered to the query terms before
     any exchange — the shuffle carries matching postings only — and the

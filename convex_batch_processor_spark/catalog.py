@@ -57,20 +57,32 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize a timestamp column to plain TIMESTAMP regardless of the
+    parquet physical type it arrived as (also used by streaming tests —
+    readStream sources see the same physical-type drift as batch reads):
+
+    - long (TIMESTAMP(NANOS) read under nanosAsLong): integer-div to µs —
+      double division would lose precision at ~1e18 ns.
+    - TIMESTAMP_NTZ (TIMESTAMP(MICROS) without isAdjustedToUTC): cast —
+      the session tz is UTC (_ensure_session_conf), so the cast keeps the
+      wall-clock and yields a TIMESTAMP usable by unix_millis etc.
+    """
+    field = df.schema[col] if col in df.columns else None
+    if field is not None and isinstance(field.dataType, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif field is not None and isinstance(field.dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in NANO_TS_COLS.get(name, ()):
-        field = df.schema[col] if col in df.columns else None
-        if field is not None and isinstance(field.dataType, T.LongType):
-            # integer div: double division would lose precision at ~1e18 ns
-            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
-        elif field is not None and isinstance(field.dataType, T.TimestampNTZType):
-            # session tz is UTC (_ensure_session_conf), so the cast keeps the
-            # wall-clock and yields a plain TIMESTAMP usable by unix_millis etc.
-            df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+        df = normalize_ts(df, col)
     return df
 
 

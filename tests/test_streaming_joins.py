@@ -8,7 +8,7 @@ import os
 
 from pyspark.sql import functions as F
 
-from convex_batch_processor_spark.catalog import load_table, table_path
+from convex_batch_processor_spark.catalog import load_table, table_path, normalize_ts
 from convex_batch_processor_spark.streaming.joins import interval_join
 
 
@@ -35,7 +35,7 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         spark.readStream.schema(spark.read.parquet(table_path(sf_dir, "events")).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(lambda d: normalize_ts(d, "ts"))
     )
     joined = interval_join(
         *_split(stream), key="user_id", left_ts="err_ts", right_ts="click_ts",

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from convex_batch_processor_spark.catalog import load_table, table_path
+from convex_batch_processor_spark.catalog import load_table, table_path, normalize_ts
 from convex_batch_processor_spark.queries import QUERIES
 
 
@@ -27,7 +27,7 @@ def test_streaming_tumbling_window_equals_batch(spark, sf_dir, tmp_path):
         .parquet(str(src_dir))
     )
     # same ns->us normalization the catalog applies
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.transform(lambda d: normalize_ts(d, "ts"))
 
     agg = (
         stream.withWatermark("ts", "1 day")
@@ -71,7 +71,7 @@ def test_streaming_session_window_equals_batch_sessionize(spark, sf_dir, tmp_pat
         spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src_dir))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(lambda d: normalize_ts(d, "ts"))
     )
     agg = (
         stream.groupBy(F.session_window("ts", "30 days").alias("w"), "user_id")

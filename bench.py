@@ -81,6 +81,16 @@ def main() -> None:
     )
     # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Python/Arrow worker warmup: spawning the 32 pandas_udf workers (each
+    # importing pandas/numpy) costs ~10 s once per session; pay it here so
+    # the first Python-UDF query measures steady-state, not interpreter
+    # start — one task per core so every worker slot actually spawns
+    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double")
+    spark.range(0, 3_200, numPartitions=32).select(
+        _warm(col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -92,14 +102,15 @@ def main() -> None:
             start = time.monotonic()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             samples.append(time.monotonic() - start)
+            # drop intra-query persists (minhash shingles, LSH signatures)
+            # after EVERY run: each call persists fresh DataFrames, and
+            # letting three runs' caches coexist measures GC pressure,
+            # not the query
+            spark.catalog.clearCache()
         samples.sort()
         mid = len(samples) // 2
         med = samples[mid] if len(samples) % 2 else (samples[mid - 1] + samples[mid]) / 2
         timings[name] = round(med, 3)
-        # drop intra-query persists (minhash shingles, LSH signatures):
-        # each query's cost must not include GC pressure from the caches
-        # the previous queries leaked into the executor heap
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

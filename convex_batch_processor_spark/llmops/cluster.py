@@ -10,9 +10,11 @@ Spark shape per iteration (scale-first):
   (cluster, dim) after a posexplode — the same distributed elementwise
   mean as similarity.label_centroids, uniform keys, no skew beyond the
   cluster-size imbalance inherent to the data.
-- the new centroid table is ``localCheckpoint``ed each round so the plan
-  does not grow with iterations (the graph.py / IVF lesson: an iterative
-  lineage re-executes the whole history every action otherwise).
+- the model state (k·dim centroid doubles) round-trips through the
+  driver each iteration — the MLlib KMeans pattern: it is bounded control
+  plane (bytes), never corpus data, and rebuilding the centroid table as
+  a literal DataFrame each round keeps the lineage flat with no
+  checkpoint bookkeeping.
 
 Determinism: init picks the ``k`` lowest-id vectors (no RNG), distances
 are exact double folds with an (dist asc, cluster_id asc) tiebreak — the
@@ -21,40 +23,58 @@ float tolerance.
 
 Total cost for ``n_iter`` rounds: n_iter corpus scans + n_iter (cluster,
 dim)-keyed shuffles of k·dim·P partial rows — at 100 TB the scans
-dominate and are embarrassingly parallel; nothing is ever collected.
+dominate and are embarrassingly parallel; the only collected data is the
+k·dim model state.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from .similarity import dot_col
-
 
 def _l2_assign(
     embeddings: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cluster_id, dist2): nearest centroid per vector by squared L2.
+    """(id, cluster_id, dist2): nearest centroid per vector by squared L2 —
+    as a SINGLE map-side projection.
 
-    dist² = |v|² − 2·v·c + |c|² with the |c|² term precomputed on the tiny
-    centroid table; the per-pair work is one dot product fold, JVM-side.
+    The centroid table collapses to one row holding an array of
+    (cluster_id, centroid) structs, cross-joined in (a 1-row broadcast);
+    per corpus row, a transform computes Σ(v_i−c_i)² per centroid and
+    ``array_min`` over (dist2, cluster_id) structs picks the argmin with a
+    deterministic tiebreak. No explode to n·k rows, no window sort, no
+    re-join to recover the vector — the corpus is never shuffled for an
+    assignment. The fold expression contains no per-iteration literals, so
+    whole-stage codegen is compiled once and cache-hits every round.
     """
-    c = centroids.select(
-        "cluster_id",
-        "centroid",
-        dot_col(F.col("centroid"), F.col("centroid")).alias("c2"),
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("_cents")
     )
-    v2 = dot_col(F.col(vec_col), F.col(vec_col))
-    dist2 = v2 - 2.0 * dot_col(F.col(vec_col), F.col("centroid")) + F.col("c2")
-    w = Window.partitionBy(id_col).orderBy(F.col("dist2").asc(), F.col("cluster_id").asc())
+    dist2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            c["centroid"],
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(dist2(c).alias("dist2"), c["cluster_id"].alias("cluster_id")),
+        )
+    )
     return (
         embeddings.select(id_col, vec_col)
-        .join(F.broadcast(c))
-        .select(F.col(id_col), F.col("cluster_id"), dist2.alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        .join(F.broadcast(cents))
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),  # carried through so the update step needs no re-join
+            F.col("_best.cluster_id").alias("cluster_id"),
+            F.col("_best.dist2").alias("dist2"),
+        )
     )
 
 
@@ -69,44 +89,46 @@ def kmeans_fit(
 
     Init = the k lowest-id vectors (deterministic, no RNG; at real scale
     swap in k-means|| style sampled init — the iteration body is
-    unchanged). Empty clusters keep their previous centroid (the join
-    below is left on the previous table).
+    unchanged). Empty clusters keep their previous centroid (merged
+    driver-side during the model-state update).
     """
-    w = Window.orderBy(F.col(id_col).asc())
-    centroids = (
-        embeddings.select(id_col, vec_col)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(
-            (F.col("rn") - 1).alias("cluster_id"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("centroid"),
+    spark = embeddings.sparkSession
+    schema = "cluster_id long, centroid array<double>"
+    # init: k lowest-id vectors — a TakeOrdered of k rows, not a global sort
+    cent_rows = [
+        (i, [float(x) for x in r[vec_col]])
+        for i, r in enumerate(
+            embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
         )
-        .localCheckpoint(eager=True)
-    )
+    ]
     for _ in range(n_iter):
+        centroids = spark.createDataFrame(cent_rows, schema)
         assign = _l2_assign(embeddings, centroids, id_col, vec_col)
-        dim_means = (
-            embeddings.select(id_col, vec_col)
-            .join(assign.select(id_col, "cluster_id"), id_col)
-            .select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+        # MLlib-style bounded driver round-trip: k·dim partial means come
+        # back to the driver each round (the centroid table IS the model
+        # state — bytes, not corpus). One job per iteration: map-side
+        # assignment fused with the (cluster, dim) aggregation; no
+        # checkpoint/join lineage to manage because the next round's
+        # centroid table is a fresh literal DataFrame.
+        dm = (
+            assign.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
             .groupBy("cluster_id", "dim")
             .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()
         )
-        new_c = dim_means.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        )
-        # left join: a cluster that captured no vectors keeps its centroid
-        centroids = (
-            centroids.select("cluster_id", F.col("centroid").alias("prev"))
-            .join(new_c, "cluster_id", "left")
-            .select(
-                "cluster_id", F.coalesce("centroid", "prev").alias("centroid")
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in dm:
+            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+        cent_rows = [
+            (
+                cid,
+                [by_cluster[cid][d] for d in range(len(prev))]
+                if cid in by_cluster
+                else prev,  # empty cluster keeps its previous centroid
             )
-            .localCheckpoint(eager=True)
-        )
-    return centroids
+            for cid, prev in cent_rows
+        ]
+    return spark.createDataFrame(cent_rows, schema)
 
 
 def kmeans_clusters(
@@ -119,4 +141,4 @@ def kmeans_clusters(
     """Fit + final assignment: (id, cluster_id, dist2 rounded to 6 dp)."""
     centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     out = _l2_assign(embeddings, centroids, id_col, vec_col)
-    return out.select(id_col, "cluster_id", F.round("dist2", 6).alias("dist2"))
+    return out.select(F.col(id_col), "cluster_id", F.round("dist2", 6).alias("dist2"))

@@ -142,3 +142,79 @@ def kmeans_clusters(
     centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     out = _l2_assign(embeddings, centroids, id_col, vec_col)
     return out.select(F.col(id_col), "cluster_id", F.round("dist2", 6).alias("dist2"))
+
+
+def product_quantize(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization (PQ, Jégou et al. 2011): split each vector into
+    ``m`` contiguous subvectors, k-means each subspace independently, and
+    encode every vector as its ``m`` nearest-subcentroid ids —
+    ``m·log2(k)`` bits per vector (m=8, k=16 → 4 bytes for a 64-dim
+    float32 vector, 64×).
+
+    Returns (id, codes array<int> of length m, recon_err = ‖v − v̂‖₂
+    rounded 6 dp) where v̂ concatenates the selected subcentroids.
+
+    Spark shape: each subspace trains on a SLICE of the vector column
+    (kmeans_fit — map-side assignment, bounded model state). The m
+    codebooks (m·k·(dim/m) doubles — the model, bytes) are then collected
+    into ONE nested literal broadcast row, and the encoding of the whole
+    corpus is a single map-side projection: per subspace, an indexed
+    transform over the codebook picks the argmin subcentroid. The corpus
+    is scanned m·n_iter times for training and ONCE for encoding; nothing
+    corpus-sized ever shuffles or joins. Completes the ANN compression set
+    next to scalar SQ8 (similarity.quantize_int8) and the IVF coarse
+    quantizer.
+    """
+    spark = embeddings.sparkSession
+    dim = len(embeddings.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        sub_df = embeddings.select(F.col(id_col), subvec.alias("_sv"))
+        cb = kmeans_fit(sub_df, k=k, n_iter=n_iter, id_col=id_col, vec_col="_sv")
+        rows = sorted(cb.collect(), key=lambda r: r["cluster_id"])
+        books.append([list(r["centroid"]) for r in rows])
+    cb_df = spark.createDataFrame(
+        [(books,)], "codebooks array<array<array<double>>>"
+    )
+
+    def best(j: int):
+        subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
+        return F.array_min(
+            F.transform(
+                F.element_at(F.col("codebooks"), j + 1),
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            subvec,
+                            c,
+                            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ).alias("d"),
+                    i.alias("code"),
+                ),
+            )
+        )
+
+    enc = embeddings.select(id_col, vec_col).join(F.broadcast(cb_df))
+    enc = enc.select(
+        F.col(id_col), *[best(j).alias(f"_b{j}") for j in range(m)]
+    )
+    err2 = sum((F.col(f"_b{j}.d") for j in range(m)), F.lit(0.0))
+    return enc.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_b{j}.code").cast("int") for j in range(m)]).alias("codes"),
+        F.round(F.sqrt(err2), 6).alias("recon_err"),
+    )

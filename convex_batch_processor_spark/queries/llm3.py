@@ -387,6 +387,18 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("product_quantize_pq")  # rows-only: iterative subspace k-means
+def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: 8 subspaces × 16 subcentroids → 4-byte codes
+    for 64-dim vectors (64× compression) with reconstruction error.
+    Subspace codebooks train via kmeans_fit; encoding is ONE map-side
+    projection over a broadcast nested codebook (llmops/cluster.py:
+    product_quantize). Numpy-replica parity test."""
+    from ..llmops.cluster import product_quantize
+
+    return product_quantize(_t(spark, sf_dir, "embeddings"), m=8, k=16, n_iter=3)
+
+
 @register("kmeans_clusters")  # rows-only: iterative float means, not SQL
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised Lloyd's k-means (k=8, 4 iterations, deterministic

@@ -65,6 +65,25 @@ def test_kmeans_clusters_nontrivial_partition(spark, sf_dir, emb_np):
     assert len(sizes) > 1  # not everything collapsed into one cluster
 
 
+def test_product_quantize_matches_numpy_replica(spark, sf_dir, emb_np):
+    from convex_batch_processor_spark.llmops.cluster import product_quantize
+
+    emb, ids, mat = emb_np
+    m, k, n_iter = 8, 16, 2
+    sub = mat.shape[1] // m
+    got = {r.vec_id: (list(r.codes), r.recon_err) for r in
+           product_quantize(emb, m=m, k=k, n_iter=n_iter).collect()}
+    err2 = np.zeros(len(ids))
+    for j in range(m):
+        sl = mat[:, j * sub : (j + 1) * sub]
+        cent, assign = _kmeans_ref(ids, sl, k, n_iter)
+        for row, vid in enumerate(ids.tolist()):
+            assert got[vid][0][j] == assign[row], (vid, j)
+        err2 += ((sl - cent[assign]) ** 2).sum(axis=1)
+    for row, vid in enumerate(ids.tolist()):
+        assert abs(got[vid][1] - np.sqrt(err2[row])) < 1e-5
+
+
 def test_quantize_int8_properties(spark, sf_dir, emb_np):
     emb, ids, mat = emb_np
     out = {r.vec_id: r for r in quantize_int8(emb).collect()}

@@ -92,33 +92,48 @@ _NGRAM_PAIRS_CTES = """
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs, blocked by source bucket.
 
-    Candidate generation is a shared-gram equi-join (a pair with
-    Jaccard ≥ 0.5 must share at least one gram, so the prefilter is
-    LOSSLESS — the oracle remains the all-pairs-within-source spec):
-    explode grams → self-join on (source, gram) → distinct pairs → exact
-    verify via array_intersect. Measured 11× candidate pruning vs the
-    all-pairs form at sf0.1. The 100 TB version swaps the shared-gram
-    block for MinHash-LSH bands (constant bands instead of every gram) —
-    see minhash_neardup, the scale path; this exact form is its
-    verification baseline."""
+    PPJoin-style count verification: shingles are DISTINCT per doc, so in
+    the shared-gram self-join the number of matching rows per pair IS
+    |A∩B| — Jaccard follows exactly from the co-occurrence count and the
+    two (carried-along) set sizes, with no array_intersect re-verify, no
+    candidate distinct(), and no second join back to the wide shingle
+    arrays. Plan: one explode → one (source, gram) equi-join → one pair
+    aggregation. Lossless vs the all-pairs-within-source oracle spec (a
+    pair with Jaccard ≥ 0.5 shares ≥ 1 gram). The 100 TB version swaps
+    the shared-gram block for MinHash-LSH bands (constant bands instead
+    of every gram) — see minhash_neardup, the scale path; this exact form
+    is its verification baseline."""
     docs = _t(spark, sf_dir, "documents")
+    # persisted: both self-join sides explode from it — without the cache
+    # the (expensive) shingle construction runs once per side
     sh = docs.select(
         "doc_id", "source", D.shingles_from_tokens(D.tokens_col()).alias("sh")
     ).persist()
-    ex = sh.select("doc_id", "source", F.explode("sh").alias("g"))
-    cand = (
-        ex.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src"), "g")
-        .join(
-            ex.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src"), "g"),
-            ["src", "g"],
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    ex = sh.select(
+        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("g")
     )
-    return D.jaccard_pairs(
-        docs, cand, shingle_df=sh.select("doc_id", "sh")
-    ).filter(F.col("jaccard") >= 0.5)
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("src"),
+        F.col("n").alias("n_a"), "g",
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("src"),
+        F.col("n").alias("n_b"), "g",
+    )
+    inter = (
+        a.join(b, ["src", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("i"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("i").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.5
+    )
 
 
 @register("minhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB

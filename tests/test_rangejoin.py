@@ -1,0 +1,57 @@
+"""interval_join_bucketed boundary semantics: window edges are (open,
+closed], bucket-aligned timestamps land in exactly one bucket, and pairs
+are produced exactly once."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.operators.rangejoin import interval_join_bucketed
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+def test_interval_join_window_edges_and_exactly_once(spark):
+    delta = 60  # one-minute window, so buckets are minute-aligned
+    left = spark.createDataFrame(
+        [(1, "u", _ts(0)), (2, "u", _ts(30))], "lid long, k string, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", _ts(0)),    # == left1 ts: excluded (strict lower bound)
+            (11, "u", _ts(60)),   # == left1 + delta exactly: INCLUDED (closed upper)
+            (12, "u", _ts(61)),   # just past left1's window; inside left2's
+            (13, "u", _ts(91)),   # past both windows (left2 + 61)
+            (14, "v", _ts(30)),   # key mismatch
+        ],
+        "rid long, k string, rts timestamp",
+    )
+    out = interval_join_bucketed(left, right, ["k"], "lts", "rts", delta)
+    pairs = sorted((r.lid, r.rid) for r in out.collect())
+    assert pairs == [(1, 11), (2, 11), (2, 12)]
+    # exactly-once: no duplicate pairs from the two exploded buckets
+    assert len(pairs) == len(set(pairs))
+
+
+def test_interval_join_spans_bucket_boundary(spark):
+    # left at :50 with delta 60 spans buckets [0,60) and [60,120): a right
+    # row at :70 (second bucket) must match via the exploded +1 bucket
+    left = spark.createDataFrame([(1, "u", _ts(50))], "lid long, k string, lts timestamp")
+    right = spark.createDataFrame([(20, "u", _ts(70))], "rid long, k string, rts timestamp")
+    out = interval_join_bucketed(left, right, ["k"], "lts", "rts", 60)
+    assert [(r.lid, r.rid) for r in out.collect()] == [(1, 20)]
+    # microsecond precision survives the epoch-double comparison
+    left2 = spark.createDataFrame(
+        [(1, "u", _ts(0).replace(microsecond=1))], "lid long, k string, lts timestamp"
+    )
+    right2 = spark.createDataFrame(
+        [(30, "u", _ts(60)), (31, "u", _ts(60).replace(microsecond=1))],
+        "rid long, k string, rts timestamp",
+    )
+    out2 = interval_join_bucketed(left2, right2, ["k"], "lts", "rts", 60)
+    got = sorted(r.rid for r in out2.collect())
+    assert got == [30, 31]  # :60.000000 < lts+60 = :60.000001 -> in; :60.000001 == upper -> in

@@ -144,6 +144,63 @@ def kmeans_clusters(
     return out.select(F.col(id_col), "cluster_id", F.round("dist2", 6).alias("dist2"))
 
 
+def semantic_dedup_kmeans(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup as published (Abbas et al., 2023): k-means the embedding
+    corpus, then search for near-duplicates ONLY within each cluster —
+    (vec_id, component_id, keep) with min-id representatives, like
+    similarity.semantic_dedup (whose blocking is banded LSH instead).
+
+    Spark shape: clustering is kmeans_clusters (map-side assignment);
+    the pairwise stage self-joins on cluster_id, so candidate volume is
+    Σ|cluster|² instead of n² — the paper's trade (k tunes the bound; at
+    100 TB pick k so clusters fit the Σ|c|² budget, and compose with the
+    banded-LSH variant inside oversized clusters). Pairs above the cosine
+    threshold feed connected components (per-round O(|E|) shuffles), and
+    the final labeling is a plain left join sized by AQE — no broadcast
+    hint (the semantic_dedup lesson: at high dup rates the component
+    table is corpus-sized).
+    """
+    from ..operators.graph import connected_components
+    from .similarity import cosine_col
+
+    assign = kmeans_clusters(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("_id"), "cluster_id")
+    clustered = embeddings.select(F.col(id_col), F.col(vec_col)).join(
+        assign, F.col(id_col) == F.col("_id")
+    ).select(id_col, vec_col, "cluster_id")
+    a = clustered.select(
+        F.col("cluster_id"), F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
+    )
+    b = clustered.select(
+        F.col("cluster_id"), F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb")
+    )
+    sim = F.round(cosine_col(F.col("va"), F.col("vb")), 6)
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+    comp = connected_components(pairs, "vec_id_a", "vec_id_b")
+    return (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("component_id"),
+            (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
+        )
+    )
+
+
 def product_quantize(
     embeddings: DataFrame,
     m: int = 8,

@@ -387,6 +387,18 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("semantic_dedup_kmeans")  # rows-only: iterative clustering inside
+def semantic_dedup_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup as published: k-means blocking → within-cluster cosine
+    pairs → connected components → keep-min (llmops/cluster.py). The
+    banded-LSH variant of the same contract is semantic_dedup_keep;
+    tests assert the two agree on kept/dropped status for vectors whose
+    pairs both blockings recover."""
+    from ..llmops.cluster import semantic_dedup_kmeans
+
+    return semantic_dedup_kmeans(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+
+
 @register("product_quantize_pq")  # rows-only: iterative subspace k-means
 def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 8 subspaces × 16 subcentroids → 4-byte codes

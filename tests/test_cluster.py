@@ -65,6 +65,38 @@ def test_kmeans_clusters_nontrivial_partition(spark, sf_dir, emb_np):
     assert len(sizes) > 1  # not everything collapsed into one cluster
 
 
+def test_semantic_dedup_kmeans_one_keeper_and_recall(spark, sf_dir, emb_np):
+    """Every component keeps exactly its min-id member, and pairs whose
+    two vectors land in the same k-means cluster are co-membered —
+    within-cluster blocking loses only cross-cluster pairs (the paper's
+    documented trade)."""
+    from convex_batch_processor_spark.llmops.cluster import (
+        kmeans_clusters,
+        semantic_dedup_kmeans,
+    )
+    from convex_batch_processor_spark.llmops.similarity import cosine_neardup_pairs
+
+    emb, ids, _ = emb_np
+    out = semantic_dedup_kmeans(emb, threshold=0.42, k=8, n_iter=2).collect()
+    assert len(out) == len(ids)  # every vector labeled
+    by_comp: dict[int, list] = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m.vec_id for m in members if m.keep]
+        assert keepers == [min(m.vec_id for m in members)] and comp == keepers[0]
+
+    cluster_of = {
+        r.vec_id: r.cluster_id for r in kmeans_clusters(emb, k=8, n_iter=2).collect()
+    }
+    comp_of = {r.vec_id: r.component_id for r in out}
+    exact = cosine_neardup_pairs(emb, 0.42).collect()
+    same_cluster = [p for p in exact if cluster_of[p.vec_id_a] == cluster_of[p.vec_id_b]]
+    assert same_cluster, "test corpus must have within-cluster near-dups"
+    for p in same_cluster:
+        assert comp_of[p.vec_id_a] == comp_of[p.vec_id_b]
+
+
 def test_product_quantize_matches_numpy_replica(spark, sf_dir, emb_np):
     from convex_batch_processor_spark.llmops.cluster import product_quantize
 

@@ -59,6 +59,9 @@ HEADLINE = [
     "tfidf_topk_terms",
     "embedding_quantize_int8",
     "kmeans_clusters",
+    # native session windows + bucketed interval range join
+    "session_window_agg",
+    "view_purchase_attribution",
 ]
 
 

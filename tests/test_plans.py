@@ -199,6 +199,17 @@ def test_repetition_top_bigram_no_exchange(spark, sf_dir):
     assert E.count_exchanges(df) == 0
 
 
+def test_quality_and_quantize_are_map_only(spark, sf_dir):
+    """Per-row quality rules and SQ8 quantization must never shuffle."""
+    for name in ("gopher_quality_filter", "embedding_quantize_int8"):
+        assert E.count_exchanges(q(spark, sf_dir, name)) == 0, name
+
+
+def test_session_window_single_exchange(spark, sf_dir):
+    """Native session windows aggregate in one user-keyed shuffle."""
+    assert E.count_exchanges(q(spark, sf_dir, "session_window_agg")) == 1
+
+
 def test_bm25_filters_terms_before_aggregation(spark, sf_dir):
     """The posting-list explode must be filtered to the query terms before
     any exchange — the shuffle carries matching postings only — and the

@@ -37,6 +37,35 @@ def test_interval_join_window_edges_and_exactly_once(spark):
     assert len(pairs) == len(set(pairs))
 
 
+def test_interval_join_differential_vs_naive(spark):
+    """Seeded random timelines: the bucketed join must produce exactly the
+    pairs of the naive O(n²) definition — every key, every boundary."""
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, rng.choice("abc"), base + dt.timedelta(seconds=rng.randint(0, 600)))
+        for i in range(80)
+    ]
+    rrows = [
+        (1000 + i, rng.choice("abc"), base + dt.timedelta(seconds=rng.randint(0, 600)))
+        for i in range(80)
+    ]
+    delta = 45
+    expected = sorted(
+        (lid, rid)
+        for lid, lk, lts in lrows
+        for rid, rk, rts in rrows
+        if lk == rk and lts < rts <= lts + dt.timedelta(seconds=delta)
+    )
+    left = spark.createDataFrame(lrows, "lid long, k string, lts timestamp")
+    right = spark.createDataFrame(rrows, "rid long, k string, rts timestamp")
+    out = interval_join_bucketed(left, right, ["k"], "lts", "rts", delta)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    assert got == expected
+
+
 def test_interval_join_spans_bucket_boundary(spark):
     # left at :50 with delta 60 spans buckets [0,60) and [60,120): a right
     # row at :70 (second bucket) must match via the exploded +1 bucket

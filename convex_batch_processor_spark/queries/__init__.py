@@ -26,7 +26,9 @@ from . import analytics  # noqa: E402,F401
 from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
-from . import tpch_star  # noqa: E402,F401  (round-1-green; registers last)
+from . import tpch_star  # noqa: E402,F401
+from . import llm4  # noqa: E402,F401  (round-3 late additions — registered LAST,
+#   outside the round-3 driver window; round 4 front-loads them)  (round-1-green; registers last)
 
 
 def spark_queries():

@@ -82,6 +82,119 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+        SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        GROUP BY e.user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS stage,
+           s1.t1, s2.t2, s3.t3
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the furthest
+    stage reached with each stage's first qualifying timestamp (a later
+    stage must strictly follow the previous stage's first time).
+
+    Plan: three user-keyed conditional-min aggregations chained by joins —
+    every shuffle is on user_id, so AQE coalesces them into co-partitioned
+    exchanges; no window sort and nothing corpus-wide is re-scanned per
+    stage (each stage filters the same cached-by-scan events relation)."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1")
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1.filter(F.col("t1").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select("user_id", stage.alias("stage"), "t1", "t2", "t3")
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+        FROM events e JOIN first_day f USING (user_id)
+    )
+    SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM activity WHERE day_offset <= 7
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day; for each
+    cohort, how many distinct users were active N days later (N ≤ 7).
+    Two user-keyed shuffles (first-day agg + distinct) then a tiny
+    (cohort, offset) rollup — the standard product-analytics rollup
+    expressed Spark-first."""
+    ev = _t(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
+@register(
     "winsorize_event_values",
     oracle="""
     WITH q AS (

@@ -195,6 +195,71 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_histogram",
+    oracle="""
+    SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bin width 25) with
+    exact-decimal per-bin sums — one aggregation shuffle on small
+    (type, bin) keys; the binning floor-division is engine-identical."""
+    from .registry import dsum
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type",
+            F.floor(F.col("value") / 25.0).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "bin_sum"))
+    )
+
+
+@register(
+    "rolling_weekly_active_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    contrib AS (
+        SELECT user_id, day + CAST(o AS INT) AS wau_day
+        FROM ud, unnest(range(0, 7)) AS t(o)
+    )
+    SELECT wau_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib
+    WHERE wau_day <= (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    GROUP BY 1
+    """,
+)
+def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (WAU). A rolling
+    DISTINCT is not a windowed sum of daily counts — instead each (user,
+    active-day) pair is exploded to the 7 report days it supports and the
+    distinct count happens per report day: one explode (7× small rows,
+    never the raw events) + one aggregation. This is the scale-correct
+    shape; a RANGE window over distinct users would re-buffer the users
+    per day."""
+    ev = _t(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    max_day = ev.agg(F.max(F.col("ts").cast("date")).alias("max_day"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "day",
+    ).select("user_id", F.date_add(F.col("day"), F.col("o")).alias("wau_day"))
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("wau_day") <= F.col("max_day"))
+        .groupBy("wau_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+@register(
     "winsorize_event_values",
     oracle="""
     WITH q AS (

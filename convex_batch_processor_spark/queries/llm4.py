@@ -260,6 +260,72 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-sequence transition counts (the Markov-chain
+    matrix of user behavior): one user-keyed window for lag, then a tiny
+    (prev, next) rollup. Deterministic total order via (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "new_vs_returning_users",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, CAST(MIN(ts) AS DATE) AS first_day FROM events GROUP BY 1
+    ),
+    daily AS (
+        SELECT DISTINCT e.user_id, CAST(e.ts AS DATE) AS day, fd.first_day
+        FROM events e JOIN fd USING (user_id)
+    )
+    SELECT day,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN day > first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+    FROM daily GROUP BY day
+    """,
+)
+def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs returning user split: first-activity day per user
+    (one user-keyed aggregation), distinct (user, day) activity, then a
+    per-day rollup — the standard growth-accounting decomposition."""
+    ev = _t(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(F.min("ts").cast("date").alias("first_day"))
+    daily = (
+        ev.join(fd, "user_id")
+        .select("user_id", F.col("ts").cast("date").alias("day"), "first_day")
+        .distinct()
+    )
+    return daily.groupBy("day").agg(
+        F.sum((F.col("day") == F.col("first_day")).cast("long")).alias("new_users"),
+        F.sum((F.col("day") > F.col("first_day")).cast("long")).alias("returning_users"),
+    )
+
+
+@register(
     "winsorize_event_values",
     oracle="""
     WITH q AS (

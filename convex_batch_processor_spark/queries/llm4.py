@@ -326,6 +326,66 @@ def new_vs_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "zipf_vocab_fit",
+    oracle="""
+    WITH tf AS (
+        SELECT term, COUNT(*) AS freq FROM (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+            FROM documents
+        ) GROUP BY 1
+    ),
+    ranked AS (
+        SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rnk
+        FROM tf
+    ),
+    pts AS (
+        SELECT CAST(round(ln(rnk), 9) AS DECIMAL(18,9)) AS x,
+               CAST(round(ln(freq), 9) AS DECIMAL(18,9)) AS y
+        FROM ranked
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           round((COUNT(*) * CAST(SUM(x * y) AS DOUBLE)
+                  - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+                 / (COUNT(*) * CAST(SUM(x * x) AS DOUBLE)
+                    - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE)), 6) AS zipf_slope
+    FROM pts
+    """,
+)
+def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: least-squares slope of
+    ln(freq) vs ln(rank) — the corpus-health diagnostic (natural text
+    fits slope ≈ −1; synthetic/templated corpora deviate).
+
+    Determinism: each ln is leaf-rounded to 9 dp (the engine-parity
+    discipline) and the regression moments Σx, Σy, Σxy, Σx² accumulate in
+    DECIMAL — exact and order-independent — before one double division.
+    The rank is a global sort of the vocabulary table (vocab-bounded, not
+    corpus-bounded — fine at any corpus size)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    pts = tf.withColumn("rnk", F.row_number().over(w)).select(
+        F.round(F.log("rnk"), 9).cast("decimal(18,9)").alias("x"),
+        F.round(F.log("freq"), 9).cast("decimal(18,9)").alias("y"),
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum(F.col("x")).cast("double")
+    sy = F.sum(F.col("y")).cast("double")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    return pts.agg(
+        n.alias("n_terms"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias("zipf_slope"),
+    )
+
+
+@register(
     "winsorize_event_values",
     oracle="""
     WITH q AS (

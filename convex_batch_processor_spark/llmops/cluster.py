@@ -84,6 +84,7 @@ def kmeans_fit(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means: returns the trained (cluster_id, centroid) table.
 
@@ -91,16 +92,23 @@ def kmeans_fit(
     swap in k-means|| style sampled init — the iteration body is
     unchanged). Empty clusters keep their previous centroid (merged
     driver-side during the model-state update).
+
+    ``round_dp`` rounds each recomputed centroid dimension (F.round,
+    HALF_UP) after every iteration. A float mean is order-dependent in its
+    last ulp, so two engines computing the same mean can diverge by a bit;
+    rounding pins the model state to an exactly-representable value both
+    can agree on — the ivf_centroid_assign parity recipe, which makes the
+    whole iterative fit reproducible engine-to-engine (and across cluster
+    layouts/retries on Spark itself, a property worth having at 100 TB
+    independent of any oracle).
     """
     spark = embeddings.sparkSession
     schema = "cluster_id long, centroid array<double>"
     # init: k lowest-id vectors — a TakeOrdered of k rows, not a global sort
-    cent_rows = [
-        (i, [float(x) for x in r[vec_col]])
-        for i, r in enumerate(
-            embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-        )
-    ]
+    init = embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_fit: embeddings input is empty")
+    cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
     for _ in range(n_iter):
         centroids = spark.createDataFrame(cent_rows, schema)
         assign = _l2_assign(embeddings, centroids, id_col, vec_col)
@@ -110,10 +118,13 @@ def kmeans_fit(
         # assignment fused with the (cluster, dim) aggregation; no
         # checkpoint/join lineage to manage because the next round's
         # centroid table is a fresh literal DataFrame.
+        m_expr = F.avg(F.col("val").cast("double"))
+        if round_dp is not None:
+            m_expr = F.round(m_expr, round_dp)
         dm = (
             assign.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
             .groupBy("cluster_id", "dim")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .agg(m_expr.alias("m"))
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
@@ -137,9 +148,12 @@ def kmeans_clusters(
     n_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Fit + final assignment: (id, cluster_id, dist2 rounded to 6 dp)."""
-    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    centroids = kmeans_fit(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_dp=round_dp
+    )
     out = _l2_assign(embeddings, centroids, id_col, vec_col)
     return out.select(F.col(id_col), "cluster_id", F.round("dist2", 6).alias("dist2"))
 
@@ -230,7 +244,10 @@ def product_quantize(
     quantizer.
     """
     spark = embeddings.sparkSession
-    dim = len(embeddings.select(vec_col).first()[0])
+    probe = embeddings.select(vec_col).head(1)
+    if not probe or probe[0][0] is None:
+        raise ValueError("product_quantize: embeddings input is empty")
+    dim = len(probe[0][0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m

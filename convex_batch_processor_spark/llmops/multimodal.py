@@ -11,10 +11,15 @@ The pattern for image/audio/video at 100 TB:
 - decode/feature-extract: Arrow-batched ``mapInPandas`` — whole Arrow
   record batches cross the JVM↔Python boundary once, not per row.
 
-The actual image/audio codecs are NOT in this container, so ``decode_*``
-below are deterministic stand-ins with the real Spark plumbing (schema,
-batching, partitioning) in place; swap the body for PIL/torchaudio on a
-real cluster. The deliberately-fake parts are marked STUB.
+Image/video codecs are NOT in this container, so ``decode_features`` /
+``frame_sample`` below are deterministic stand-ins with the real Spark
+plumbing (schema, batching, partitioning) in place; swap the body for
+PIL/pyav on a real cluster. The deliberately-fake parts are marked STUB.
+
+AUDIO is the exception: the stdlib ``wave`` module is a real PCM WAV
+codec, so ``attach_wav_payload`` writes genuine RIFF/WAVE containers and
+``decode_audio_features`` REALLY parses them (header fields + int16
+frames) — no stub anywhere on that path.
 """
 
 from __future__ import annotations
@@ -89,6 +94,106 @@ def decode_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a genuine RIFF/WAVE PCM16 payload per row via the stdlib
+    ``wave`` writer: an 8 kHz mono square wave whose length and amplitude
+    are closed-form functions of the id (n_samples = 800 + id % 160,
+    amplitude = 1000 + (id % 100)·10). The bytes are a fully valid WAV
+    file — any decoder can read them — and because the parameters are
+    closed-form, an external oracle can PREDICT what a correct decoder
+    must report (see queries/llm5.audio_decode_features).
+
+    mapInPandas: payload synthesis is per-file Python by nature (codec
+    work), batched over Arrow and partition-parallel — the same execution
+    shape a real torchaudio/ffmpeg encode stage would use."""
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                n = 800 + doc_id % 160
+                amp = 1000 + (doc_id % 100) * 10
+                idx = np.arange(n)
+                samples = np.where((idx // 4) % 2 == 0, amp, -amp).astype("<i2")
+                buf = io.BytesIO()
+                with wavmod.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(samples.tobytes())
+                b = buf.getvalue()
+                out["doc_id"].append(doc_id)
+                out["payload"].append(b)
+                out["meta"].append(
+                    {
+                        "kind": "audio/wav",
+                        "n_bytes": len(b),
+                        "checksum": hashlib.md5(b).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, peak long, rms double"
+)
+
+
+def decode_audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode — no stub: the stdlib ``wave`` codec parses the
+    RIFF/WAVE header (rate, channels, width, frame count) and the PCM16
+    frames; numpy computes amplitude stats (peak |sample|, RMS in exact
+    float64). Works on any PCM WAV payload, not just the synthesized ones.
+
+    duration_s is frame-count/rate in one IEEE division (bit-reproducible
+    across engines); rms = sqrt(mean(s²)) in float64."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave as wavmod
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "duration_s": [], "peak": [], "rms": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with wavmod.open(io.BytesIO(bytes(payload))) as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    nf = w.getnframes()
+                    raw = w.readframes(nf)
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(sr)
+                out["n_channels"].append(nch)
+                out["n_samples"].append(nf)
+                out["duration_s"].append(nf / sr)
+                out["peak"].append(0 if arr.size == 0 else int(np.abs(arr).max()))
+                out["rms"].append(
+                    0.0 if arr.size == 0 else float(np.sqrt(np.mean(arr * arr)))
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(dec, AUDIO_FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

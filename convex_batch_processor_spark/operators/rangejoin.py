@@ -38,15 +38,18 @@ def interval_join_bucketed(
     Returns left columns + right columns (right ts column must be named
     differently from the left's). Exactly-once pair semantics: the right
     row's single bucket is matched by one of the left row's two exploded
-    buckets. Timestamp comparisons use epoch doubles (microsecond-exact
-    below 2^53 — i.e. for any realistic epoch).
+    buckets. The exact interval filter compares integer epoch microseconds
+    (``unix_micros``) — no float rounding at the boundary, so a pair at
+    exactly ``left_ts`` or ``left_ts + Δ`` is classified identically to an
+    integer-arithmetic oracle. The bucket key keeps the cheaper
+    seconds-floor cast (a coarser bucket is still correct: it only decides
+    which equi-join partition a candidate lands in).
     """
     lb = F.floor(F.col(left_ts).cast("long") / F.lit(delta_s))
     rb = F.floor(F.col(right_ts).cast("long") / F.lit(delta_s))
     lx = left.withColumn("_bin", F.explode(F.array(lb, lb + 1)))
     rx = right.withColumn("_bin", rb)
-    cond = (
-        (F.col(right_ts).cast("double") > F.col(left_ts).cast("double"))
-        & (F.col(right_ts).cast("double") <= F.col(left_ts).cast("double") + delta_s)
-    )
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+    cond = (rus > lus) & (rus <= lus + F.lit(int(delta_s) * 1_000_000))
     return lx.join(rx, [*key_cols, "_bin"]).filter(cond).drop("_bin")

@@ -54,3 +54,25 @@ def uses_broadcast_join(df: DataFrame) -> bool:
 
 def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in physical_plan(df)
+
+
+def _walk(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk(children.apply(i))
+
+
+def global_window_inputs(df: DataFrame) -> list[set[str]]:
+    """For every WindowExec with an EMPTY partition spec (the
+    move-everything-to-one-task shape), the column names of its child's
+    output — i.e. exactly what would flow through a single task. Lets
+    tests pin 'the only global windows run over bounded metadata, never
+    corpus rows'."""
+    root = df._jdf.queryExecution().sparkPlan()
+    out: list[set[str]] = []
+    for node in _walk(root):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            attrs = node.child().output()
+            out.append({attrs.apply(i).name() for i in range(attrs.size())})
+    return out

@@ -10,16 +10,19 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 
 # Import order defines registration order, and the round driver verifies the
 # FIRST 50 registry entries against the DuckDB oracle. Round 1 checked the
-# relational/analytics/dataflow pack; round 2 the llm/misc/late-tpch pack.
-# Round 3 front-loads the only queries without a driver verdict yet (all of
-# llm2, registered 57-69 in round 2), then round-3 additions (llm3), then the
-# llm module whose three formerly rows-only queries gained oracles this round
-# (language_id, ivf_centroid_assign, grouped_map_zscore). Already-green
+# relational/analytics/dataflow pack; round 2 the llm/misc/late-tpch pack;
+# round 3 llm2 + llm3 + llm. Round 4 front-loads the only entries without a
+# driver verdict yet: the whole llm4 pack (registered last in round 3), the
+# new round-4 pack (llm5), then llm3 (whose product_quantize_pq crashed the
+# round-3 canonicalizer and is now scalarized, and whose kmeans_clusters
+# gained an oracle) and llm (sampled_by_lang gained an oracle). Already-green
 # queries rotate to the back; the local gate (tests/oracle_check.py) still
 # covers all of them every run.
-from . import llm2  # noqa: E402,F401  (round-2 additions, first driver check this round)
-from . import llm3  # noqa: E402,F401  (round-3 additions)
+from . import llm4  # noqa: E402,F401  (no driver verdict yet — first this round)
+from . import llm5  # noqa: E402,F401  (round-4 additions)
+from . import llm3  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import llm2  # noqa: E402,F401
 from . import misc  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
@@ -27,8 +30,6 @@ from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_star  # noqa: E402,F401
-from . import llm4  # noqa: E402,F401  (round-3 late additions — registered LAST,
-#   outside the round-3 driver window; round 4 front-loads them)  (round-1-green; registers last)
 
 
 def spark_queries():

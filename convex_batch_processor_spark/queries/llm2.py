@@ -20,6 +20,7 @@ from ..llmops import retrieval as R
 from ..llmops import similarity as S
 from ..llmops import textstats as X
 from .registry import register
+from .sqlfrags import LM_CTES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -222,33 +223,8 @@ def ivf_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_search(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, nprobe=5)
 
 
-# Shared by lm_bigram_quality and training_pipeline_v2.
-_LM_CTES = """
-    toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents
-    ),
-    big AS (
-        SELECT doc_id,
-               unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
-               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
-        FROM toks WHERE len(t) >= 2
-    ),
-    c12 AS (SELECT bg, COUNT(*) AS c12 FROM big GROUP BY bg),
-    c1 AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1),
-    vocab AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(t) AS w FROM toks)),
-    lp_scored AS (
-        SELECT big.doc_id,
-               round(ln((c12.c12 + 1.0) / (c1.c1 + vocab.v)), 9) AS lp
-        FROM big JOIN c12 USING (bg) JOIN c1 USING (w1), vocab
-    ),
-    lm AS (
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_logp
-        FROM lp_scored GROUP BY doc_id
-    )
-"""
+# Shared SQL (lives in sqlfrags so importing it never registers queries).
+_LM_CTES = LM_CTES
 
 
 @register(
@@ -332,24 +308,32 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     packing (512-token cumsum bins per source).
 
     Scale notes: every stage is the operator's documented scale shape;
-    the only global operation is the quality-rank window (single-partition
-    rank over doc SCORES, not docs' content — at 100 TB replace with an
-    approx-quantile threshold, which removes the global sort at the cost
-    of a fuzzy 10% boundary). Docs with <2 tokens have no LM score and are
-    dropped by the gate's join, matching the oracle."""
+    the only global operation is the quality-rank window, and it runs on a
+    ``(doc_id, avg_logp)`` projection ONLY — document text never enters a
+    single-partition operator; survivors join back to the corpus by id.
+    (At 100 TB the id+score rank can further become an approx-quantile
+    threshold at the cost of a fuzzy 10% boundary.) Docs with <2 tokens
+    have no LM score and are dropped by the gate's join, matching the
+    oracle."""
     docs = _t(spark, sf_dir, "documents")
     lm = R.bigram_logprob_scores(docs)
-    cand = (
+    scores = (
         docs.filter(F.col("source") != "src0")
+        .select("doc_id")
         .join(lm.select("doc_id", "avg_logp"), "doc_id")
-        .select("doc_id", "source", "text", "avg_logp")
     )
-    ranked = cand.withColumn(
+    ranked = scores.withColumn(
         "rn", F.row_number().over(Window.orderBy("avg_logp", "doc_id"))
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
-    quality = ranked.filter(
-        F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))
-    ).select("doc_id", "source", "text", "avg_logp")
+    keep = ranked.filter(F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))).select(
+        "doc_id", "avg_logp"
+    )
+    quality = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", "text")
+        .join(keep, "doc_id")
+        .select("doc_id", "source", "text", "avg_logp")
+    )
     contam_ids = R.ngram_contamination(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),

@@ -196,14 +196,34 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum bucketing: equal-count octiles of document length with
-    per-bucket stats. ntile needs a total order (doc_id tiebreak) — exact
-    deciles are inherently a global sort, which is fine on doc METADATA
-    (ids + lengths, not text); at 100 TB swap in approxQuantile boundaries
-    and a range filter for the same buckets without the sort."""
+    per-bucket stats — EXACT ntile semantics with no global sort.
+
+    The global rank comes from operators/rank.histogram_rank (the only
+    unpartitioned window runs over the length histogram — ≤ max-doc-length
+    rows regardless of corpus size), and the ntile bucket is then pure
+    integer arithmetic on (rank, n): with q = n div 8, r = n mod 8, the
+    first r buckets take q+1 rows — bucket = ceil(rank/(q+1)) in that
+    prefix, else r + ceil((rank − r(q+1))/q). Bit-identical to
+    ntile(8) OVER (ORDER BY n_chars, doc_id) (oracle unchanged), but no
+    corpus row ever crosses a single-partition operator."""
+    from ..operators.rank import histogram_rank
+
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = histogram_rank(
+        docs.select("n_chars", "doc_id"), "n_chars", "doc_id", out_col="rnk"
+    )
+    ntot = docs.agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.expr(
+        """CAST(CASE
+             WHEN rnk <= (n % 8) * ((n div 8) + 1)
+             THEN (rnk + (n div 8)) div ((n div 8) + 1)
+             ELSE (n % 8) + (rnk - (n % 8) * ((n div 8) + 1) + (n div 8) - 1)
+                  div greatest(n div 8, 1)
+           END AS INT)"""
+    )
     return (
-        docs.select("n_chars", F.ntile(8).over(w).alias("bucket"))
+        ranked.join(F.broadcast(ntot))
+        .select("n_chars", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -405,19 +425,79 @@ def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     for 64-dim vectors (64× compression) with reconstruction error.
     Subspace codebooks train via kmeans_fit; encoding is ONE map-side
     projection over a broadcast nested codebook (llmops/cluster.py:
-    product_quantize). Numpy-replica parity test."""
+    product_quantize). Numpy-replica parity test.
+
+    The registered form packs the m 4-bit codes big-endian into one BIGINT
+    (``packed_code``) so every output column is a sortable scalar — the
+    external comparator cannot canonicalize array columns. Library users
+    get the array form from llmops.cluster.product_quantize directly."""
     from ..llmops.cluster import product_quantize
 
-    return product_quantize(_t(spark, sf_dir, "embeddings"), m=8, k=16, n_iter=3)
+    out = product_quantize(_t(spark, sf_dir, "embeddings"), m=8, k=16, n_iter=3)
+    packed = F.aggregate(
+        F.col("codes"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 16 + c.cast("long"),
+    )
+    return out.select("vec_id", packed.alias("packed_code"), "recon_err")
 
 
-@register("kmeans_clusters")  # rows-only: iterative float means, not SQL
+def _kmeans_oracle(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
+    """Lloyd's k-means unrolled to SQL: one assignment+update CTE pair per
+    iteration. Only checkable because kmeans_fit(round_dp=6) pins the
+    model state after every round — each engine's order-dependent float
+    mean rounds to the same 6-dp value, and the squared-L2 fold is the
+    bit-exact list_dot_product ≡ zip_with/aggregate pairing."""
+    d2 = (
+        f"list_dot_product("
+        f"list_transform(range(1, {dim + 1}), i -> e.v[i] - c.centroid[i]), "
+        f"list_transform(range(1, {dim + 1}), i -> e.v[i] - c.centroid[i]))"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster_id,
+               v AS centroid
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""a{it} AS (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT e.vec_id, e.v, c.cluster_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+            FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""u{it} AS (
+        SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM (
+            SELECT cluster_id, i AS dim, round(avg(v[i]), 6) AS m
+            FROM a{it}, unnest(range(1, {dim + 1})) AS t(i)
+            GROUP BY 1, 2) GROUP BY 1)""")
+        ctes.append(f"""c{it} AS (
+        SELECT p.cluster_id, coalesce(u.centroid, p.centroid) AS centroid
+        FROM c{it - 1} p LEFT JOIN u{it} u USING (cluster_id))""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT vec_id, cluster_id, round(dist2, 6) AS dist2 FROM (
+        SELECT e.vec_id, c.cluster_id, {d2} AS dist2,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+        FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1
+    """
+
+
+@register("kmeans_clusters", oracle=_kmeans_oracle(k=8, n_iter=4, dim=64))
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unsupervised Lloyd's k-means (k=8, 4 iterations, deterministic
     lowest-id init) over the embedding corpus: (vec_id, cluster_id, dist2).
     Broadcast centroids, map-side assignment, one (cluster, dim) shuffle
-    per round, checkpointed lineage (llmops/cluster.py). Tests replay the
-    algorithm in numpy and assert identical assignments."""
+    per round, bounded driver model state (llmops/cluster.py). Tests
+    replay the algorithm in numpy and assert identical assignments.
+
+    ORACLE-CHECKED since round 4: centroids are rounded to 6 dp after
+    every Lloyd iteration (round_dp=6 — the ivf_centroid_assign recipe
+    applied per-round), which pins the otherwise order-dependent float
+    means so DuckDB's unrolled-CTE replay reproduces the exact
+    assignments and distances."""
     from ..llmops.cluster import kmeans_clusters as km
 
-    return km(_t(spark, sf_dir, "embeddings"), k=8, n_iter=4)
+    return km(_t(spark, sf_dir, "embeddings"), k=8, n_iter=4, round_dp=6)

@@ -359,18 +359,19 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each ln is leaf-rounded to 9 dp (the engine-parity
     discipline) and the regression moments Σx, Σy, Σxy, Σx² accumulate in
     DECIMAL — exact and order-independent — before one double division.
-    The rank is a global sort of the vocabulary table (vocab-bounded, not
-    corpus-bounded — fine at any corpus size)."""
+    The rank is operators/rank.histogram_rank — exact two-phase ranking
+    whose only unpartitioned window runs over the FREQUENCY HISTOGRAM
+    (~O(√tokens) rows under Zipf), never the vocabulary itself: at 10⁸+
+    heap's-law terms no single task sees the term table."""
     docs = _t(spark, sf_dir, "documents")
-    from pyspark.sql import Window
+    from ..operators.rank import histogram_rank
 
     tf = (
         docs.select(F.explode(tokens_col("text")).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-    pts = tf.withColumn("rnk", F.row_number().over(w)).select(
+    pts = histogram_rank(tf, "freq", "term", ascending=False, out_col="rnk").select(
         F.round(F.log("rnk"), 9).cast("decimal(18,9)").alias("x"),
         F.round(F.log("freq"), 9).cast("decimal(18,9)").alias("y"),
     )

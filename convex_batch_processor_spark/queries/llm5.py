@@ -1,0 +1,456 @@
+"""Round-4 query pack: training-data-pipeline operators beyond the round-3
+surface — real audio decode (stdlib ``wave`` IS a PCM codec: no stub),
+CCNet-style per-language perplexity terciles, n-gram novelty scoring,
+largest-remainder token-budget apportionment, epoch snapshot diffing (the
+reference's state-machine epochs re-expressed relationally,
+reference src/component/lib.ts:82 patch/replace semantics), DSIR-style
+importance weights, and incremental-batch exact dedup.
+
+All seven are oracle-checked; registered early (see __init__.py rotation)
+so the round-4 driver window verifies them. Scale notes live on each
+query; the shared discipline: inverted-index shuffles keyed by
+gram/term/key — never doc×doc — and the only unpartitioned windows run
+over bounded inventories (sources), pinned by tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..llmops import retrieval as R
+from ..llmops import textstats as X
+from ..llmops.dedup import shingles_from_tokens, tokens_col
+from .registry import register
+from .sqlfrags import LM_CTES as _LM_CTES
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- multimodal: REAL audio decode -----------------------------------------
+
+@register(
+    "audio_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(800 + doc_id % 160 AS BIGINT) AS n_samples,
+           (800 + doc_id % 160) / 8000.0 AS duration_s,
+           CAST(1000 + (doc_id % 100) * 10 AS BIGINT) AS peak,
+           CAST(1000 + (doc_id % 100) * 10 AS DOUBLE) AS rms
+    FROM documents
+    """,
+)
+def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL audio pipeline: synthesize a genuine RIFF/WAVE PCM16
+    payload per document (stdlib ``wave`` writer), then DECODE it with the
+    stdlib ``wave`` reader — header fields + int16 frames + numpy
+    amplitude stats. Nothing is stubbed on this path (unlike the
+    image/video decode, where the codecs aren't in the container).
+
+    The oracle never sees the bytes: because the synthesis parameters are
+    closed-form in doc_id (8 kHz mono square wave, n = 800 + id%160
+    samples, amplitude 1000 + (id%100)·10), SQL PREDICTS what a correct
+    decoder must report — a wrong header parse, frame count, or RMS fails
+    the hash. duration = n/8000 is one IEEE division on both engines; the
+    square wave makes RMS exactly the amplitude (integer-exact float64).
+
+    Scale shape: both stages are mapInPandas over Arrow batches —
+    partition-parallel codec work with no shuffle at all."""
+    from ..llmops.multimodal import attach_wav_payload, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_audio_features(attach_wav_payload(docs))
+
+
+# --- CCNet-style perplexity terciles ---------------------------------------
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_LM_CTES},
+    scored AS (
+        SELECT d.doc_id, d.lang, lm.avg_logp
+        FROM documents d JOIN lm USING (doc_id)
+    ),
+    b AS (
+        SELECT lang, avg_logp,
+               ntile(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logp DESC, doc_id ASC) AS bucket
+        FROM scored
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_logp) AS min_logp, MAX(avg_logp) AS max_logp
+    FROM b GROUP BY 1, 2
+    """,
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al., 2020): per language,
+    tercile documents by LM quality (corpus-trained bigram log-prob, the
+    lm_bigram_quality scorer) — the standard keep-head / drop-tail
+    curation gate. Buckets: 1 = best (highest avg log-prob).
+
+    Scale: the scorer is inverted-index shaped (vocabulary-bounded count
+    shuffles); the tercile window is PARTITIONED by lang — exact
+    per-stratum quantiles without any global operator. avg_logp doubles
+    are bit-identical cross-engine (decimal-accumulated ln sums), so the
+    ntile order and min/max bounds hash-match exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    lm = R.bigram_logprob_scores(docs)
+    scored = docs.select("doc_id", "lang").join(
+        lm.select("doc_id", "avg_logp"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.select("lang", "avg_logp", F.ntile(3).over(w).alias("bucket"))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logp").alias("min_logp"),
+            F.max("avg_logp").alias("max_logp"),
+        )
+    )
+
+
+# --- n-gram novelty ---------------------------------------------------------
+
+@register(
+    "ngram_novelty_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(1, len(list_filter(string_split(text, ' '), x -> x <> '')) - 6)),
+            i -> array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), i, i + 7), ' ')
+        ))) AS gram FROM documents
+    ),
+    f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1)
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM g JOIN f USING (gram) GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's distinct 8-gram
+    shingles whose FIRST corpus occurrence (min doc_id over docs
+    containing the gram) is the doc itself — the dedup-adjacent curation
+    signal for ordering ingestion (high novelty = new content, low = echo
+    of earlier documents). Docs with <8 tokens have no grams and no row.
+
+    Scale: the inverted-index shape — explode distinct grams (map-side),
+    ONE gram-keyed shuffle for first-occurrence, join back on the gram
+    key, one doc-keyed reduce. Candidate volume is Σ grams, never doc²;
+    the novelty ratio is int/int in double (bit-exact, no rounding)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("t"), 8)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+# --- token budget apportionment --------------------------------------------
+
+@register(
+    "token_budget_allocation",
+    oracle="""
+    WITH tc AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t_total FROM tc),
+    d AS (
+        SELECT source, n_tokens,
+               CAST((500000 * n_tokens) // t_total AS BIGINT) AS base,
+               CAST((500000 * n_tokens) % t_total AS BIGINT) AS rem
+        FROM tc, tot
+    ),
+    r AS (
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+               500000 - SUM(base) OVER () AS leftover
+        FROM d
+    )
+    SELECT source, n_tokens,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM r
+    """,
+)
+def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch planning: apportion a 500k-token training budget across
+    sources proportionally to their token mass with LARGEST-REMAINDER
+    (Hamilton) rounding — allocations are integers, sum exactly to the
+    budget, and every step is integer arithmetic (div/mod/rank), so the
+    result is bit-identical on any engine.
+
+    Scale: one corpus scan reduces to the per-source token table (bounded
+    by the source inventory); the rank/leftover windows run over THAT
+    bounded table only — pinned in test_plans.py. (budget·n_tokens is
+    BIGINT; at petascale token counts move the multiply to DECIMAL.)"""
+    docs = _t(spark, sf_dir, "documents")
+    tc = (
+        docs.select("source", X.token_count().alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    tot = tc.agg(F.sum("n_tokens").alias("t_total"))
+    d = tc.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr("CAST((500000 * n_tokens) div t_total AS BIGINT)").alias("base"),
+        F.expr("CAST((500000 * n_tokens) % t_total AS BIGINT)").alias("rem"),
+    )
+    out = (
+        d.withColumn("leftover", F.lit(500000) - F.sum("base").over(Window.partitionBy()))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source").asc())),
+        )
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long")).alias("alloc"),
+    )
+
+
+# --- epoch snapshot diff ----------------------------------------------------
+
+@register(
+    "snapshot_state_diff",
+    oracle="""
+    WITH before AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        ) WHERE rn = 1
+    ),
+    after AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.event_type,
+           b.value AS old_value, a.value AS new_value,
+           CASE WHEN b.user_id IS NULL THEN 'added'
+                WHEN a.value = b.value THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM after a LEFT JOIN before b USING (user_id, event_type)
+    """,
+)
+def snapshot_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch snapshot diff — the reference's snapshot/epoch semantics
+    (reference src/component/lib.ts:82 state patches; D3 snapshot epochs
+    in SURVEY §2) re-expressed relationally: materialize latest-per-key
+    state at an epoch cutoff and at head, then classify every live key as
+    added / changed / unchanged. The relational core of incremental
+    recompute and state-audit tooling.
+
+    Scale: two latest-per-key reductions (PARTITIONED windows on the
+    state key — the w2_latest_per_key shape) and one equi-join on the
+    same key; everything shuffles once on (user_id, event_type). The
+    before-keys are a subset of after-keys (append-only input), so a left
+    join is total."""
+    ev = _t(spark, sf_dir, "events")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    before = latest(ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")))
+    after = latest(ev)
+    b = before.select(
+        F.col("user_id"), F.col("event_type"), F.col("value").alias("old_value")
+    )
+    joined = after.withColumnRenamed("value", "new_value").join(
+        b, ["user_id", "event_type"], "left"
+    )
+    status = (
+        F.when(F.col("old_value").isNull(), "added")
+        .when(F.col("new_value") == F.col("old_value"), "unchanged")
+        .otherwise("changed")
+    )
+    return joined.select(
+        "user_id", "event_type", "old_value", "new_value", status.alias("status")
+    )
+
+
+# --- DSIR importance weights ------------------------------------------------
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    ct AS (SELECT w, COUNT(*) AS ct FROM tok WHERE source = 'src0' GROUP BY 1),
+    cs AS (SELECT w, COUNT(*) AS cs FROM tok WHERE source <> 'src0' GROUP BY 1),
+    stats AS (
+        SELECT COUNT(DISTINCT w) AS v,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tt,
+               CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS tsrc
+        FROM tok
+    ),
+    contrib AS (
+        SELECT tf.doc_id, tf.tf,
+               CAST(round(ln((coalesce(ct.ct, 0) + 1.0) / (stats.tt + stats.v)), 9)
+                    AS DECIMAL(20,9))
+               - CAST(round(ln((coalesce(cs.cs, 0) + 1.0) / (stats.tsrc + stats.v)), 9)
+                      AS DECIMAL(20,9)) AS dlp
+        FROM tf LEFT JOIN ct USING (w) LEFT JOIN cs USING (w), stats
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(tf AS DECIMAL(10,0)) * dlp) AS DOUBLE) AS weight
+    FROM contrib GROUP BY doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al., 2023): per-doc
+    log-likelihood ratio between a TARGET unigram model (the 'src0'
+    slice standing in for the high-quality target distribution) and the
+    SOURCE model (everything else), both Laplace-smoothed over the shared
+    vocabulary — the importance-resampling score for targeted data
+    selection. weight > 0 ⇒ doc looks more target-like.
+
+    Determinism: each ln is leaf-rounded to 9 dp, the per-term delta is
+    an exact DECIMAL difference, tf·Δ is an exact DECIMAL product, and
+    the per-doc sum accumulates in DECIMAL — order-independent, so
+    Spark's partial aggregation and the oracle's serial sum agree bitwise
+    (the lm_bigram_quality discipline).
+
+    Scale: term-keyed count shuffles (vocabulary-bounded tables joined
+    back on the term key), a 1-row broadcast stats frame, one doc-keyed
+    reduce. No doc×doc, no global operator anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", F.explode(tokens_col("text")).alias("w"))
+    tf = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tok.filter(F.col("source") == "src0").groupBy("w").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    cs = tok.filter(F.col("source") != "src0").groupBy("w").agg(
+        F.count(F.lit(1)).alias("cs")
+    )
+    stats = tok.agg(
+        F.countDistinct("w").alias("v"),
+        F.sum((F.col("source") == "src0").cast("long")).alias("tt"),
+        F.sum((F.col("source") != "src0").cast("long")).alias("tsrc"),
+    )
+    lnt = F.round(
+        F.log((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("tt") + F.col("v"))), 9
+    ).cast("decimal(20,9)")
+    lns = F.round(
+        F.log((F.coalesce(F.col("cs"), F.lit(0)) + 1.0) / (F.col("tsrc") + F.col("v"))),
+        9,
+    ).cast("decimal(20,9)")
+    contrib = (
+        tf.join(ct, "w", "left")
+        .join(cs, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tf", (lnt - lns).alias("dlp"))
+    )
+    # tf must be a NARROW decimal before the product: long×decimal(21,9)
+    # exceeds precision 38 and Spark silently drops scale digits —
+    # decimal(10,0)×decimal(21,9) = decimal(32,9) stays exact.
+    return contrib.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf").cast("decimal(10,0)") * F.col("dlp"))
+        .cast("double")
+        .alias("weight"),
+    )
+
+
+# --- incremental batch dedup ------------------------------------------------
+
+@register(
+    "incremental_dedup_delta",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ),
+    seen AS (SELECT h, MIN(doc_id) AS corpus_doc FROM corpus GROUP BY 1),
+    ranked AS (
+        SELECT b.doc_id, b.h, s.corpus_doc,
+               row_number() OVER (PARTITION BY b.h ORDER BY b.doc_id) AS rn
+        FROM batch b LEFT JOIN seen s USING (h)
+    )
+    SELECT doc_id,
+           CASE WHEN corpus_doc IS NOT NULL THEN 'dup_of_corpus'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           corpus_doc
+    FROM ranked
+    """,
+)
+def incremental_dedup_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion exact dedup: classify an incoming batch
+    (docs with doc_id % 10 = 0 standing in for the new partition) against
+    the already-ingested corpus by content hash — 'dup_of_corpus' (hash
+    exists in corpus; reports the min corpus doc), 'dup_in_batch' (first
+    batch occurrence wins), or 'new'. The day-2 operation of every
+    training-data pipeline: never re-deduplicate the whole corpus, only
+    the delta.
+
+    Scale: the corpus side reduces to (hash, min_id) — one digest-keyed
+    shuffle over the CORPUS DIGESTS (16-byte hashes, not text); the batch
+    joins that table on the hash and ranks within batch-hash groups
+    (partitioned window). Incremental cost is O(batch) + a hash-table
+    probe, the reason this beats rerunning dedup_exact end-to-end."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    seen = corpus.groupBy("h").agg(F.min("doc_id").alias("corpus_doc"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    ranked = (
+        batch.join(seen, "h", "left").withColumn("rn", F.row_number().over(w))
+    )
+    status = (
+        F.when(F.col("corpus_doc").isNotNull(), "dup_of_corpus")
+        .when(F.col("rn") > 1, "dup_in_batch")
+        .otherwise("new")
+    )
+    return ranked.select("doc_id", status.alias("status"), "corpus_doc")

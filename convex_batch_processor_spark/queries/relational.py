@@ -588,12 +588,16 @@ def scalar_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from events.props (the reference's open
-    v.record properties map, example/convex/usage.ts:16) via
-    get_json_object — JVM-side JSON path, no Python."""
+    v.record properties map, example/convex/usage.ts:16) via a single
+    schema-directed from_json per row — JVM-side, no Python. (The
+    get_json_object form re-parses the document once per referencing
+    aggregate; one typed parse in a projection halves the JSON work.)"""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
-    return ev.groupBy("event_type").agg(
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k BIGINT").getField("k").alias("k")
+    )
+    return parsed.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).alias("sum_k"),
-        F.max(k).alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
     )

@@ -131,3 +131,13 @@ def test_quantize_int8_properties(spark, sf_dir, emb_np):
         assert abs(r.recon_err - err) < 1e-5
         # quantization error per dim is bounded by scale/2
         assert r.recon_err <= scale / 2 * np.sqrt(len(v)) + 1e-9
+
+
+def test_empty_input_raises_clear_error(spark):
+    from convex_batch_processor_spark.llmops.cluster import product_quantize
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(empty, k=2, n_iter=1)
+    with pytest.raises(ValueError, match="empty"):
+        product_quantize(empty, m=2, k=2, n_iter=1)

@@ -262,3 +262,28 @@ def test_pipeline_v2_pushes_source_filter_to_scan(spark, sf_dir):
     """The train-split filter must reach the documents parquet scan."""
     df = q(spark, sf_dir, "training_pipeline_v2")
     assert E.has_pushed_filter(df, "source")
+
+
+def test_pipeline_v2_global_rank_never_carries_text(spark, sf_dir):
+    """The quality-gate rank is global by semantics, but it must run over
+    the (doc_id, avg_logp) projection ONLY — document text through a
+    single-partition WindowExec is the 100 TB killer VERDICT r3 flagged."""
+    df = q(spark, sf_dir, "training_pipeline_v2")
+    inputs = E.global_window_inputs(df)
+    assert inputs, "expected the global score-rank window to exist"
+    for cols in inputs:
+        assert "text" not in cols, cols
+        assert cols <= {"doc_id", "avg_logp", "rn"}, cols
+
+
+def test_histogram_rank_global_windows_are_value_bounded(spark, sf_dir):
+    """zipf_vocab_fit and length_curriculum_buckets rank via
+    operators/rank.histogram_rank: the ONLY unpartitioned window allowed
+    in their plans is the (value, count) histogram running sum — never the
+    term table or the corpus."""
+    for name, allowed in (
+        ("zipf_vocab_fit", {"freq", "_cnt"}),
+        ("length_curriculum_buckets", {"n_chars", "_cnt"}),
+    ):
+        for cols in E.global_window_inputs(q(spark, sf_dir, name)):
+            assert cols <= allowed, (name, cols)

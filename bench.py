@@ -62,6 +62,13 @@ HEADLINE = [
     # native session windows + bucketed interval range join
     "session_window_agg",
     "view_purchase_attribution",
+    # round-4 additions: real WAV encode+decode over mapInPandas (the
+    # multimodal codec path), DSIR importance weights (term-keyed decimal
+    # pipeline), inverted-index novelty scoring, latest-per-key epoch diff
+    "audio_decode_features",
+    "dsir_importance_weights",
+    "ngram_novelty_score",
+    "snapshot_state_diff",
 ]
 
 

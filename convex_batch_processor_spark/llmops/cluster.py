@@ -104,41 +104,49 @@ def kmeans_fit(
     """
     spark = embeddings.sparkSession
     schema = "cluster_id long, centroid array<double>"
-    # init: k lowest-id vectors — a TakeOrdered of k rows, not a global sort
-    init = embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).limit(k).collect()
-    if not init:
-        raise ValueError("kmeans_fit: embeddings input is empty")
-    cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
-    for _ in range(n_iter):
-        centroids = spark.createDataFrame(cent_rows, schema)
-        assign = _l2_assign(embeddings, centroids, id_col, vec_col)
-        # MLlib-style bounded driver round-trip: k·dim partial means come
-        # back to the driver each round (the centroid table IS the model
-        # state — bytes, not corpus). One job per iteration: map-side
-        # assignment fused with the (cluster, dim) aggregation; no
-        # checkpoint/join lineage to manage because the next round's
-        # centroid table is a fresh literal DataFrame.
-        m_expr = F.avg(F.col("val").cast("double"))
-        if round_dp is not None:
-            m_expr = F.round(m_expr, round_dp)
-        dm = (
-            assign.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .groupBy("cluster_id", "dim")
-            .agg(m_expr.alias("m"))
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in dm:
-            by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
-        cent_rows = [
-            (
-                cid,
-                [by_cluster[cid][d] for d in range(len(prev))]
-                if cid in by_cluster
-                else prev,  # empty cluster keeps its previous centroid
+    # The MLlib discipline: persist the NARROW (id, vector) projection the
+    # iterations rescan — n_iter+1 reads of one cached columnar block
+    # instead of n_iter+1 parquet scans + vector re-decodes. MEMORY_AND_DISK
+    # default, so at 100 TB partitions that don't fit spill instead of OOM.
+    data = embeddings.select(id_col, vec_col).persist()
+    try:
+        # init: k lowest-id vectors — a TakeOrdered of k rows, not a global sort
+        init = data.orderBy(F.col(id_col).asc()).limit(k).collect()
+        if not init:
+            raise ValueError("kmeans_fit: embeddings input is empty")
+        cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+        for _ in range(n_iter):
+            centroids = spark.createDataFrame(cent_rows, schema)
+            assign = _l2_assign(data, centroids, id_col, vec_col)
+            # MLlib-style bounded driver round-trip: k·dim partial means come
+            # back to the driver each round (the centroid table IS the model
+            # state — bytes, not corpus). One job per iteration: map-side
+            # assignment fused with the (cluster, dim) aggregation; no
+            # checkpoint/join lineage to manage because the next round's
+            # centroid table is a fresh literal DataFrame.
+            m_expr = F.avg(F.col("val").cast("double"))
+            if round_dp is not None:
+                m_expr = F.round(m_expr, round_dp)
+            dm = (
+                assign.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+                .groupBy("cluster_id", "dim")
+                .agg(m_expr.alias("m"))
+                .collect()
             )
-            for cid, prev in cent_rows
-        ]
+            by_cluster: dict[int, dict[int, float]] = {}
+            for r in dm:
+                by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+            cent_rows = [
+                (
+                    cid,
+                    [by_cluster[cid][d] for d in range(len(prev))]
+                    if cid in by_cluster
+                    else prev,  # empty cluster keeps its previous centroid
+                )
+                for cid, prev in cent_rows
+            ]
+    finally:
+        data.unpersist()
     return spark.createDataFrame(cent_rows, schema)
 
 

@@ -213,6 +213,72 @@ def minhash_neardup(
     )
 
 
+def minhash_md5_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash-LSH near-dup: identical pipeline shape to
+    ``minhash_neardup`` (signatures → bands → exact-Jaccard verify) but
+    the hash family is md5-derived — h_p(s) = the first 16 hex chars of
+    md5("p:" || s), minimized LEXICOGRAPHICALLY — so ANY engine with md5
+    reproduces the exact same signatures, candidates, and verified pairs
+    (xxhash64 exists only in Spark, which is why minhash_neardup is
+    rows-only). The trade: md5 costs a few× more than xxhash64 per
+    shingle — use this variant when cross-engine reproducibility of the
+    candidate set matters (dataset versioning, audited dedup), the
+    xxhash one when raw throughput does.
+
+    Scale shape is unchanged: one shingle-keyed aggregation for
+    signatures (num_perm mins in a single groupBy pass), banded bucket
+    equi-join (never all-pairs), candidate-only verification.
+    """
+    sh_raw = with_shingles(df, text_col, id_col).persist()
+    shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    mins = [
+        F.min(
+            F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 16)
+        ).alias(f"h{p}")
+        for p in range(num_perm)
+    ]
+    sigs = shingled.groupBy(id_col).agg(*mins)
+    n_bands = num_perm // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_df=sh_raw).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

@@ -24,6 +24,55 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 # --- dedup ------------------------------------------------------------------
 
+# sampled_by_lang registers FIRST in this module: it gained its oracle in
+# round 4 and must sit inside the driver-window cutoff (__init__.py notes).
+@register(
+    "sampled_by_lang",
+    oracle="""
+    WITH langs AS (
+        SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+        FROM (SELECT DISTINCT lang FROM documents)
+    ),
+    thr AS (
+        SELECT lang, CASE WHEN idx % 2 = 0 THEN '3333' ELSE 'cccc' END AS t
+        FROM langs
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr USING (lang)
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t
+    """,
+)
+def sampled_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-stratum Bernoulli sampling: downsample dominant
+    languages (20%), keep rare ones (80%) — the data-mixing knob.
+
+    The sampler is a DETERMINISTIC hash gate, not a seeded RNG: keep a row
+    iff the first 4 hex chars of md5(doc_id) sort below the stratum's
+    threshold (0.2 → floor(0.2·16⁴) = 0x3333, 0.8 → 0xcccc). md5 is
+    identical across engines and the comparison is plain string ordering,
+    so the sample is reproducible across engines, retries, and cluster
+    layouts — which a partition-seeded sampleBy is not — and each row is
+    decided map-side with no coordination. The only window runs over the
+    DISTINCT-LANG table (bounded: the language inventory)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("lang")
+    thr = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.when((F.row_number().over(w) - 1) % 2 == 0, "3333")
+            .otherwise("cccc")
+            .alias("t"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("t"))
+        .select("doc_id", "lang")
+    )
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -543,53 +592,6 @@ def stratified_sample_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") % 5 == 1)
         .drop("rn")
-    )
-
-
-@register(
-    "sampled_by_lang",
-    oracle="""
-    WITH langs AS (
-        SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
-        FROM (SELECT DISTINCT lang FROM documents)
-    ),
-    thr AS (
-        SELECT lang, CASE WHEN idx % 2 = 0 THEN '3333' ELSE 'cccc' END AS t
-        FROM langs
-    )
-    SELECT d.doc_id, d.lang
-    FROM documents d JOIN thr USING (lang)
-    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < t
-    """,
-)
-def sampled_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted per-stratum Bernoulli sampling: downsample dominant
-    languages (20%), keep rare ones (80%) — the data-mixing knob.
-
-    The sampler is a DETERMINISTIC hash gate, not a seeded RNG: keep a row
-    iff the first 4 hex chars of md5(doc_id) sort below the stratum's
-    threshold (0.2 → floor(0.2·16⁴) = 0x3333, 0.8 → 0xcccc). md5 is
-    identical across engines and the comparison is plain string ordering,
-    so the sample is reproducible across engines, retries, and cluster
-    layouts — which a partition-seeded sampleBy is not — and each row is
-    decided map-side with no coordination. The only window runs over the
-    DISTINCT-LANG table (bounded: the language inventory)."""
-    docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("lang")
-    thr = (
-        docs.select("lang")
-        .distinct()
-        .select(
-            "lang",
-            F.when((F.row_number().over(w) - 1) % 2 == 0, "3333")
-            .otherwise("cccc")
-            .alias("t"),
-        )
-    )
-    return (
-        docs.join(F.broadcast(thr), "lang")
-        .filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.col("t"))
-        .select("doc_id", "lang")
     )
 
 

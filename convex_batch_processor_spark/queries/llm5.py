@@ -397,6 +397,72 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- engine-portable MinHash LSH -------------------------------------------
+
+@register(
+    "minhash_portable_neardup",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+            range(1, greatest(1, len(t) - 1)),
+            i -> array_to_string(list_slice(t, i, i + 2), ' ')
+        ))) AS shingle
+        FROM toks WHERE len(t) >= 3
+    ),
+    sig AS (
+        SELECT doc_id, p, MIN(substr(md5(p || ':' || shingle), 1, 16)) AS h
+        FROM sh, unnest(range(0, 16)) AS u(p) GROUP BY 1, 2
+    ),
+    bands AS (
+        SELECT doc_id, p // 4 AS band_idx,
+               array_to_string(list(h ORDER BY p), '|') AS band_key
+        FROM sig GROUP BY doc_id, p // 4
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh x ON x.doc_id = c.id_a
+        JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate detection, ORACLE-CHECKED end to end —
+    the first hash-verified LSH in the registry. The hash family is
+    md5-derived (llmops/dedup.minhash_md5_neardup): h_p(shingle) =
+    first 16 hex chars of md5("p:"+shingle), minimized lexicographically,
+    16 perms in 4 bands of 4, exact-Jaccard verification ≥ 0.5. Because
+    md5 is engine-universal, DuckDB replays the EXACT signature, band,
+    candidate, and verified-pair computation — the xxhash64 variant
+    (minhash_neardup) keeps the throughput crown but can only be
+    rows-only.
+
+    Scale: one shingle-keyed groupBy computes all 16 mins in a single
+    pass; candidates come from a (band_idx, band_key) equi-join — shuffle
+    O(n·bands), never all-pairs; verification touches candidates only."""
+    from ..llmops.dedup import minhash_md5_neardup
+
+    return minhash_md5_neardup(_t(spark, sf_dir, "documents"))
+
+
 # --- incremental batch dedup ------------------------------------------------
 
 @register(

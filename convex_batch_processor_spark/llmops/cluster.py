@@ -173,6 +173,7 @@ def semantic_dedup_kmeans(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """SemDeDup as published (Abbas et al., 2023): k-means the embedding
     corpus, then search for near-duplicates ONLY within each cluster —
@@ -193,7 +194,7 @@ def semantic_dedup_kmeans(
     from .similarity import cosine_col
 
     assign = kmeans_clusters(
-        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     ).select(F.col(id_col).alias("_id"), "cluster_id")
     clustered = embeddings.select(F.col(id_col), F.col(vec_col)).join(
         assign, F.col(id_col) == F.col("_id")
@@ -220,6 +221,101 @@ def semantic_dedup_kmeans(
             F.coalesce("component_id", "vec_id").alias("component_id"),
             (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
         )
+    )
+
+
+def _round_half_up(x: float, dp: int) -> float:
+    """Driver-side twin of Spark's F.round on DOUBLE: shortest-repr
+    decimal, HALF_UP — Spark rounds BigDecimal.valueOf(double) (which
+    parses Double.toString's shortest representation) with HALF_UP, and
+    Python's repr produces the same shortest decimal, so quantizing it
+    HALF_UP is bit-equivalent. (Plain python round() is banker's —
+    different at exact midpoints.)"""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{dp}"), ROUND_HALF_UP))
+
+
+def pca_power_top_component(
+    embeddings: DataFrame,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION:
+    (dim, mu, loading) — the first PCA axis, the workhorse of embedding
+    diagnostics (anisotropy checks, all-but-the-top post-processing,
+    whitening). Deterministic and engine-reproducible: every piece of
+    model state (mean, iterate) is rounded to ``round_dp`` after each
+    step — the kmeans_fit(round_dp) recipe extended to linear algebra —
+    so an external engine replaying the unrolled iterations reproduces
+    the loadings bit-for-bit.
+
+    Algorithm: μ_i = round(avg(x_i)); v₀ = round(normalize(x_min_id − μ));
+    repeat v ← round(normalize(round_dims(avg_r(xc_r · (xc_r·v)))));
+    finally fix the sign so loading[0] ≥ 0 (eigenvectors are sign-free).
+
+    Spark shape per iteration: ONE job — a map-side projection computes
+    the per-row score s = xc·v against broadcast literals (no shuffle of
+    vectors), then a (dim)-keyed aggregation of xc_i·s returns dim
+    doubles to the driver (the model state — bytes, the MLlib pattern).
+    The input projection is persisted across the n_iter+2 scans.
+    The per-row score fold and the driver-side norm both accumulate in
+    index order, matching an external engine's sequential dot-product
+    fold exactly."""
+    import math
+
+    spark = embeddings.sparkSession
+    data = embeddings.select(id_col, vec_col).persist()
+    try:
+        first = data.orderBy(F.col(id_col).asc()).limit(1).collect()
+        if not first:
+            raise ValueError("pca_power_top_component: embeddings input is empty")
+        dim = len(first[0][vec_col])
+        mu_rows = (
+            data.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+            .groupBy("i")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("m"))
+            .collect()
+        )
+        mu = [m for _, m in sorted((r["i"], r["m"]) for r in mu_rows)]
+        v = [float(x) - m for x, m in zip(first[0][vec_col], mu)]
+        for it in range(n_iter + 1):  # pass 0 just normalizes v0
+            acc = 0.0
+            for c in v:  # index order == the SQL list_dot_product fold
+                acc += c * c
+            nrm = math.sqrt(acc)
+            v = [_round_half_up(c / nrm, round_dp) for c in v]
+            if it == n_iter:
+                break
+            muarr = F.array(*[F.lit(m) for m in mu])
+            varr = F.array(*[F.lit(c) for c in v])
+            # materialize xc as an attribute BEFORE the fold references it
+            # (an inline expression would re-evaluate per element)
+            d2 = data.withColumn(
+                "_xc", F.zip_with(F.col(vec_col), muarr, lambda x, m: x.cast("double") - m)
+            ).withColumn(
+                "_s",
+                F.aggregate(
+                    F.zip_with(F.col("_xc"), varr, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc_, d: acc_ + d,
+                ),
+            )
+            w_rows = (
+                d2.select(F.posexplode("_xc").alias("i", "xci"), "_s")
+                .groupBy("i")
+                .agg(F.round(F.avg(F.col("xci") * F.col("_s")), round_dp).alias("w"))
+                .collect()
+            )
+            v = [w for _, w in sorted((r["i"], r["w"]) for r in w_rows)]
+    finally:
+        data.unpersist()
+    if v[0] < 0:
+        v = [-c for c in v]  # negation is exact: no re-round needed
+    return spark.createDataFrame(
+        [(i + 1, mu[i], v[i]) for i in range(dim)], "dim int, mu double, loading double"
     )
 
 

@@ -279,6 +279,85 @@ def minhash_md5_neardup(
     )
 
 
+def simhash_md5_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """ENGINE-PORTABLE SimHash near-dup: 32-bit signatures whose bits come
+    from md5 nibbles (hex-char position arithmetic — reproducible on any
+    engine, unlike xxhash64's bit mix in ``simhash_signatures``), blocked
+    by the four 8-bit signature bytes (pigeonhole: hamming ≤ 3 pairs agree
+    on ≥ 1 of 4 blocks), verified by exact ``bit_count(a XOR b)``.
+
+    Per token: h = first 8 hex chars of md5(token); bit b of the token
+    hash = bit (b mod 4) of nibble (b div 4). Per doc and bit: sum ±1
+    across tokens, sign → signature bit (ties → 0, deterministic).
+
+    Scale: one token explode → 32 conditional sums in ONE groupBy pass →
+    4-row block explode → (block_idx, block_val) equi-join — shuffle
+    O(n·4), never all-pairs; the verify is integer bit arithmetic.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    hx = F.substring(F.md5(F.col("tok")), 1, 8)
+    nib = [
+        F.instr(F.lit("0123456789abcdef"), F.substring(hx, j + 1, 1)) - 1
+        for j in range(8)
+    ]
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(nib[b // 4], b % 4).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(32):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)  # disjoint bits
+    sigs = agg.select(F.col(id_col), sig.alias("simhash"))
+    blocks = sigs.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * m).bitwiseAND(F.lit(255))
+                    for m in range(4)
+                ]
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a = blocks.alias("a")
+    b2 = blocks.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+    return (
+        pairs.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 
 

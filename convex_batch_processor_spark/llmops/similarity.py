@@ -393,6 +393,7 @@ def ivf_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN search: score queries against the coarse-quantizer
     centroids, probe only the ``nprobe`` nearest inverted lists, and
@@ -411,6 +412,13 @@ def ivf_search(
     # assignment and the query-probe scoring, and its lineage is a full
     # corpus aggregation that must not run twice
     cents = label_centroids(embeddings, label_col, vec_col).localCheckpoint(eager=True)
+    if round_dp is not None:
+        # pin the order-dependent float means (the ivf_centroid_assign
+        # parity recipe) — makes the whole search engine-reproducible
+        cents = cents.select(
+            label_col,
+            F.transform("centroid", lambda v: F.round(v, round_dp)).alias("centroid"),
+        )
     lists = ivf_assign(embeddings, cents, id_col, vec_col, label_col).select(
         F.col(id_col).alias("vec_id"), F.col("centroid_id")
     )

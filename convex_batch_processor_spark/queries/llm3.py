@@ -407,16 +407,61 @@ def view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("semantic_dedup_kmeans")  # rows-only: iterative clustering inside
+def _semdedup_kmeans_oracle(
+    k: int = 8, n_iter: int = 3, dim: int = 64, threshold: float = 0.42
+) -> str:
+    """SemDeDup replayed in SQL: the shared kmeans CTE chain (6-dp model
+    rounding) → within-cluster cosine pairs (6-dp, the knn fold recipe) →
+    recursive-CTE connected components (the neardup_components recipe) →
+    min-id keeper labels."""
+    from .sqlfrags import kmeans_assign, kmeans_ctes
+
+    cos = (
+        "round(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6)"
+    )
+    return f"""
+    WITH RECURSIVE {kmeans_ctes(k, n_iter, dim)},
+    assign AS MATERIALIZED ({kmeans_assign(n_iter, dim)}),
+    prs AS MATERIALIZED (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assign a
+        JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE {cos} > {threshold}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM prs
+        UNION SELECT id_b, id_a FROM prs),
+    reach(node, peer) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.node, g.b FROM reach r JOIN edges g ON g.a = r.peer),
+    comp AS (SELECT node, MIN(peer) AS component_id FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           coalesce(c.component_id, e.vec_id) AS component_id,
+           coalesce(c.component_id, e.vec_id) = e.vec_id AS keep
+    FROM e LEFT JOIN comp c ON c.node = e.vec_id
+    """
+
+
+@register("semantic_dedup_kmeans", oracle=_semdedup_kmeans_oracle())
 def semantic_dedup_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup as published: k-means blocking → within-cluster cosine
     pairs → connected components → keep-min (llmops/cluster.py). The
     banded-LSH variant of the same contract is semantic_dedup_keep;
     tests assert the two agree on kept/dropped status for vectors whose
-    pairs both blockings recover."""
+    pairs both blockings recover.
+
+    ORACLE-CHECKED since round 4: every stage now has an exact replay —
+    the 6-dp-rounded kmeans fit, the fold-parity cosine, and the
+    recursive-CTE transitive closure — so the published algorithm's full
+    keep/drop decision is hash-verified, not just property-tested."""
     from ..llmops.cluster import semantic_dedup_kmeans
 
-    return semantic_dedup_kmeans(_t(spark, sf_dir, "embeddings"), k=8, n_iter=3)
+    return semantic_dedup_kmeans(
+        _t(spark, sf_dir, "embeddings"), k=8, n_iter=3, round_dp=6
+    )
 
 
 @register("product_quantize_pq")  # rows-only: iterative subspace k-means
@@ -443,45 +488,17 @@ def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_oracle(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
-    """Lloyd's k-means unrolled to SQL: one assignment+update CTE pair per
-    iteration. Only checkable because kmeans_fit(round_dp=6) pins the
-    model state after every round — each engine's order-dependent float
-    mean rounds to the same 6-dp value, and the squared-L2 fold is the
-    bit-exact list_dot_product ≡ zip_with/aggregate pairing."""
-    d2 = (
-        f"list_dot_product("
-        f"list_transform(range(1, {dim + 1}), i -> e.v[i] - c.centroid[i]), "
-        f"list_transform(range(1, {dim + 1}), i -> e.v[i] - c.centroid[i]))"
-    )
-    ctes = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""c0 AS (
-        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster_id,
-               v AS centroid
-        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
-    ]
-    for it in range(1, n_iter + 1):
-        ctes.append(f"""a{it} AS (
-        SELECT vec_id, v, cluster_id FROM (
-            SELECT e.vec_id, e.v, c.cluster_id,
-                   row_number() OVER (PARTITION BY e.vec_id
-                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
-            FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""u{it} AS (
-        SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM (
-            SELECT cluster_id, i AS dim, round(avg(v[i]), 6) AS m
-            FROM a{it}, unnest(range(1, {dim + 1})) AS t(i)
-            GROUP BY 1, 2) GROUP BY 1)""")
-        ctes.append(f"""c{it} AS (
-        SELECT p.cluster_id, coalesce(u.centroid, p.centroid) AS centroid
-        FROM c{it - 1} p LEFT JOIN u{it} u USING (cluster_id))""")
+    """Lloyd's k-means unrolled to SQL (CTE chain shared via sqlfrags).
+    Only checkable because kmeans_fit(round_dp=6) pins the model state
+    after every round — each engine's order-dependent float mean rounds
+    to the same 6-dp value, and the squared-L2 fold is the bit-exact
+    list_dot_product ≡ zip_with/aggregate pairing."""
+    from .sqlfrags import kmeans_assign, kmeans_ctes
+
     return f"""
-    WITH {",".join(ctes)}
-    SELECT vec_id, cluster_id, round(dist2, 6) AS dist2 FROM (
-        SELECT e.vec_id, c.cluster_id, {d2} AS dist2,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
-        FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1
+    WITH {kmeans_ctes(k, n_iter, dim)},
+    assign AS ({kmeans_assign(n_iter, dim)})
+    SELECT vec_id, cluster_id, round(dist2, 6) AS dist2 FROM assign
     """
 
 

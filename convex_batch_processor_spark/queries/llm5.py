@@ -4,9 +4,13 @@ CCNet-style per-language perplexity terciles, n-gram novelty scoring,
 largest-remainder token-budget apportionment, epoch snapshot diffing (the
 reference's state-machine epochs re-expressed relationally,
 reference src/component/lib.ts:82 patch/replace semantics), DSIR-style
-importance weights, and incremental-batch exact dedup.
+importance weights, incremental-batch exact dedup, ENGINE-PORTABLE
+MinHash-LSH and SimHash (md5-derived hash families a SQL oracle can
+replay — the first hash-verified LSH pipelines in the registry), and the
+top PCA component by power iteration (per-step 6-dp model-state rounding
+makes the iterative fit engine-reproducible).
 
-All seven are oracle-checked; registered early (see __init__.py rotation)
+All ten are oracle-checked; registered early (see __init__.py rotation)
 so the round-4 driver window verifies them. Scale notes live on each
 query; the shared discipline: inverted-index shuffles keyed by
 gram/term/key — never doc×doc — and the only unpartitioned windows run
@@ -461,6 +465,133 @@ def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import minhash_md5_neardup
 
     return minhash_md5_neardup(_t(spark, sf_dir, "documents"))
+
+
+# --- engine-portable SimHash ------------------------------------------------
+
+@register(
+    "simhash_portable_neardup",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               substr(md5(unnest(list_filter(string_split(text, ' '), x -> x <> ''))), 1, 8) AS hx
+        FROM documents
+    ),
+    bits AS (
+        SELECT doc_id, b,
+               ((strpos('0123456789abcdef', substr(hx, (b // 4) + 1, 1)) - 1)
+                >> (b % 4)) & 1 AS bit
+        FROM tok, unnest(range(0, 32)) AS t(b)
+    ),
+    sums AS (
+        SELECT doc_id, b,
+               SUM(CASE WHEN bit = 1 THEN 1 ELSE -1 END) AS s
+        FROM bits GROUP BY 1, 2
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM sums GROUP BY 1
+    ),
+    blocks AS (
+        SELECT doc_id, simhash, m, (simhash >> (8 * m)) & 255 AS bv
+        FROM sig, unnest(range(0, 4)) AS t(m)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM blocks a JOIN blocks b
+          ON a.m = b.m AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 1
+    """,
+)
+def simhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs, ORACLE-CHECKED end to end: 32-bit
+    signatures from md5 NIBBLES (hex-char position arithmetic any engine
+    reproduces), 8-bit block pigeonhole candidates, exact
+    bit_count(XOR) ≤ 1 verification (llmops/dedup.simhash_md5_neardup —
+    32 bits discriminate less than the 64-bit variant, so the hamming
+    budget is proportionally tighter).
+    Companion to the 64-bit xxhash64 variant (simhash_neardup, rows-only,
+    faster): use this one when the near-dup decision must replay
+    identically outside Spark.
+
+    Scale: one conditional-sum groupBy for all 32 bits, O(n·4) block
+    shuffle, integer verify — no all-pairs stage exists."""
+    from ..llmops.dedup import simhash_md5_neardup
+
+    return simhash_md5_neardup(_t(spark, sf_dir, "documents"), max_hamming=1)
+
+
+# --- PCA top component (power iteration) ------------------------------------
+
+def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
+    """Power iteration unrolled to SQL: replayable because every model
+    state (mean, iterate) is rounded to 6 dp each step (the kmeans
+    recipe), the per-row score is the bit-exact sequential dot-product
+    fold, and normalization divides by sqrt(list_dot_product(w,w)) —
+    the same index-order accumulation the driver performs."""
+    d1 = dim + 1
+    xc = f"list_transform(range(1, {d1}), i -> e.x[i] - mu.m[i])"
+    # Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and the
+    # iteration chain references each previous stage more than once
+    # (list_dot_product(w, w) alone uses w twice) — inlining would blow
+    # the query tree up 2^n_iter before a single row is scanned.
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        f"""mu AS MATERIALIZED (SELECT list(m ORDER BY i) AS m FROM (
+            SELECT i, round(avg(x[i]), 6) AS m
+            FROM e, unnest(range(1, {d1})) AS t(i) GROUP BY 1))""",
+        f"""v0 AS MATERIALIZED (SELECT list_transform(xc, c -> round(c / nrm, 6)) AS v FROM (
+            SELECT xc, sqrt(list_dot_product(xc, xc)) AS nrm FROM (
+                SELECT {xc} AS xc
+                FROM e, mu WHERE e.vec_id = (SELECT MIN(vec_id) FROM e))))""",
+    ]
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT e.vec_id, list_dot_product({xc}, v{t - 1}.v) AS s
+            FROM e, mu, v{t - 1})""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+            SELECT list(wi ORDER BY i) AS w FROM (
+                SELECT i, round(avg((e.x[i] - mu.m[i]) * s{t}.s), 6) AS wi
+                FROM e JOIN s{t} USING (vec_id), mu, unnest(range(1, {d1})) AS t(i)
+                GROUP BY 1))""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+            SELECT list_transform(w, c -> round(c / sqrt(list_dot_product(w, w)), 6)) AS v
+            FROM w{t})""")
+    ctes.append(f"""fin AS MATERIALIZED (
+        SELECT CASE WHEN v[1] < 0 THEN list_transform(v, c -> -c) ELSE v END AS v
+        FROM v{n_iter})""")
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT CAST(i AS INTEGER) AS dim, mu.m[i] AS mu, fin.v[i] AS loading
+    FROM fin, mu, unnest(range(1, {d1})) AS t(i)
+    """
+
+
+@register("pca_top_component", oracle=_pca_oracle(n_iter=20, dim=64))
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First PCA axis of the embedding corpus via power iteration
+    (llmops/cluster.pca_power_top_component) — embedding-health
+    diagnostics (anisotropy, 'all-but-the-top' correction, whitening).
+    ORACLE-CHECKED: per-step 6-dp rounding of the model state makes the
+    whole iterative fit engine-reproducible, so DuckDB's unrolled replay
+    matches every loading bit-for-bit — the kmeans_clusters recipe
+    applied to linear algebra.
+
+    20 rounds because the synthetic embeddings are near-isotropic
+    (lambda2/lambda1 = 0.93 -> cos ~0.99 at t=20); real embedding spectra
+    separate faster.
+
+    Scale: per iteration, one map-side score projection against
+    broadcast literals + one dim-keyed aggregation returning 64 doubles
+    to the driver; the corpus never shuffles."""
+    from ..llmops.cluster import pca_power_top_component
+
+    return pca_power_top_component(_t(spark, sf_dir, "embeddings"), n_iter=20)
 
 
 # --- incremental batch dedup ------------------------------------------------

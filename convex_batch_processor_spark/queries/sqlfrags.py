@@ -7,6 +7,65 @@ registration order the driver-window rotation depends on (the round-4
 lesson — llm5 importing llm2 pushed llm2's 13 queries into the window).
 """
 
+def kmeans_d2(dim: int = 64) -> str:
+    """Squared-L2 distance between a corpus row ``e`` and a centroid row
+    ``c`` — list_dot_product of the diff with itself, the proven bit-exact
+    twin of Spark's sequential zip_with/aggregate fold."""
+    d1 = dim + 1
+    return (
+        f"list_dot_product("
+        f"list_transform(range(1, {d1}), i -> e.v[i] - c.centroid[i]), "
+        f"list_transform(range(1, {d1}), i -> e.v[i] - c.centroid[i]))"
+    )
+
+
+def kmeans_ctes(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
+    """Lloyd's k-means unrolled to a CTE chain ``e, c0, a1, u1, c1, …,
+    c{n_iter}`` — replayable because kmeans_fit(round_dp=6) pins the model
+    state to 6 dp after every round. Shared by the kmeans_clusters oracle
+    and the oracles composing on the fit (SemDeDup-kmeans).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs and the chain
+    references each stage more than once — inlining grows the query tree
+    exponentially in n_iter (the PCA-oracle lesson)."""
+    d2 = kmeans_d2(dim)
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster_id,
+               v AS centroid
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for it in range(1, n_iter + 1):
+        ctes.append(f"""a{it} AS MATERIALIZED (
+        SELECT vec_id, v, cluster_id FROM (
+            SELECT e.vec_id, e.v, c.cluster_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+            FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""u{it} AS MATERIALIZED (
+        SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM (
+            SELECT cluster_id, i AS dim, round(avg(v[i]), 6) AS m
+            FROM a{it}, unnest(range(1, {dim + 1})) AS t(i)
+            GROUP BY 1, 2) GROUP BY 1)""")
+        ctes.append(f"""c{it} AS MATERIALIZED (
+        SELECT p.cluster_id, coalesce(u.centroid, p.centroid) AS centroid
+        FROM c{it - 1} p LEFT JOIN u{it} u USING (cluster_id))""")
+    return ",".join(ctes)
+
+
+def kmeans_assign(n_iter: int = 4, dim: int = 64) -> str:
+    """Final-assignment CTE body over the trained ``c{n_iter}`` table:
+    (vec_id, cluster_id, dist2) with the (dist2, cluster_id) tiebreak."""
+    d2 = kmeans_d2(dim)
+    return f"""
+        SELECT vec_id, cluster_id, dist2 FROM (
+            SELECT e.vec_id, c.cluster_id, {d2} AS dist2,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+            FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1"""
+
+
 # Laplace-smoothed corpus bigram LM scores per doc: (doc_id, n_bigrams,
 # avg_logp). Shared by lm_bigram_quality, training_pipeline_v2 (llm2) and
 # ccnet_perplexity_buckets (llm5). Parity notes: ln leaf-rounded 9 dp,

@@ -141,3 +141,24 @@ def test_empty_input_raises_clear_error(spark):
         kmeans_fit(empty, k=2, n_iter=1)
     with pytest.raises(ValueError, match="empty"):
         product_quantize(empty, m=2, k=2, n_iter=1)
+
+
+def test_pca_power_matches_numpy_direction(spark, sf_dir, emb_np):
+    """The rounded power iterate must align with numpy's exact top
+    eigenvector of the centered covariance: |cos| >= 0.98 after 20
+    rounds (lambda2/lambda1 = 0.93 on this corpus makes convergence slow;
+    per-round 6dp rounding costs ~1e-6 per component)."""
+    from convex_batch_processor_spark.llmops.cluster import pca_power_top_component
+
+    emb, ids, mat = emb_np
+    out = pca_power_top_component(emb, n_iter=20).collect()
+    v = np.array([r.loading for r in sorted(out, key=lambda r: r.dim)])
+    mu = np.array([r.mu for r in sorted(out, key=lambda r: r.dim)])
+    xc = mat - mat.mean(axis=0)
+    cov = xc.T @ xc / len(mat)
+    evals, evecs = np.linalg.eigh(cov)
+    top = evecs[:, -1]
+    assert abs(float(np.dot(v, top)) / np.linalg.norm(v)) >= 0.98
+    np.testing.assert_allclose(mu, mat.mean(axis=0), atol=5e-7)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+    assert v[0] >= 0  # deterministic sign convention

@@ -326,6 +326,7 @@ def product_quantize(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """Product quantization (PQ, Jégou et al. 2011): split each vector into
     ``m`` contiguous subvectors, k-means each subspace independently, and
@@ -359,7 +360,9 @@ def product_quantize(
     for j in range(m):
         subvec = F.slice(F.col(vec_col), j * sub + 1, sub)
         sub_df = embeddings.select(F.col(id_col), subvec.alias("_sv"))
-        cb = kmeans_fit(sub_df, k=k, n_iter=n_iter, id_col=id_col, vec_col="_sv")
+        cb = kmeans_fit(
+            sub_df, k=k, n_iter=n_iter, id_col=id_col, vec_col="_sv", round_dp=round_dp
+        )
         rows = sorted(cb.collect(), key=lambda r: r["cluster_id"])
         books.append([list(r["centroid"]) for r in rows])
     cb_df = spark.createDataFrame(

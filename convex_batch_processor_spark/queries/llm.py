@@ -420,10 +420,31 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_features")  # rows-only: mapInPandas stub decode
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS head_byte,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                                  i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+                     / length(text) END AS feat_mean
+    FROM documents
+    """,
+)
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over binary payloads
-    (decode body is a deterministic STUB — codecs not in container)."""
+    (image/video decode body is a deterministic STUB — those codecs are
+    not in the container; the REAL decode path is audio_decode_features).
+
+    ORACLE-CHECKED since round 4 via prediction: the payload is the
+    utf-8 text bytes, and this corpus is pure ASCII (byte ≡ code point,
+    asserted by the oracle itself: a non-ASCII regeneration would
+    hash-fail loudly), so SQL predicts byte length, first byte, and mean
+    byte value without running any Python — verifying the whole
+    JVM→Arrow→pandas→JVM plumbing end to end."""
     return M.decode_features(M.attach_payload(_t(spark, sf_dir, "documents")))
 
 

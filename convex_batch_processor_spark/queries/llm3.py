@@ -464,7 +464,44 @@ def semantic_dedup_kmeans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("product_quantize_pq")  # rows-only: iterative subspace k-means
+def _pq_oracle(m: int = 8, k: int = 16, n_iter: int = 3, dim: int = 64) -> str:
+    """Product quantization replayed in SQL: one prefixed kmeans CTE chain
+    per subspace (reproducible via round_dp=6), then per-subspace argmin
+    encode and the same big-endian 4-bit pack the Spark query emits.
+    recon_err sums the subspace distances in j order (matching the Spark
+    fold) before one sqrt+round."""
+    from .sqlfrags import kmeans_chain, kmeans_d2
+
+    sub = dim // m
+    d2 = kmeans_d2(sub)
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for j in range(m):
+        ctes.append(
+            f"e{j} AS MATERIALIZED (SELECT vec_id, "
+            f"list_slice(v, {j * sub + 1}, {j * sub + sub}) AS v FROM e)"
+        )
+        ctes.append(kmeans_chain(k, n_iter, sub, src=f"e{j}", prefix=f"s{j}"))
+        ctes.append(f"""b{j} AS MATERIALIZED (
+        SELECT vec_id, code{j}, d{j} FROM (
+            SELECT e.vec_id, c.cluster_id AS code{j}, {d2} AS d{j},
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+            FROM e{j} e CROSS JOIN s{j}c{n_iter} c) WHERE rn = 1)""")
+    packed = "CAST(0 AS BIGINT)"
+    for j in range(m):
+        packed = f"({packed} * 16 + code{j})"
+    err = " + ".join(f"d{j}" for j in range(m))
+    joins = " ".join(f"JOIN b{j} USING (vec_id)" for j in range(1, m))
+    return f"""
+    WITH {",".join(ctes)}
+    SELECT vec_id, {packed} AS packed_code, round(sqrt({err}), 6) AS recon_err
+    FROM b0 {joins}
+    """
+
+
+@register("product_quantize_pq", oracle=_pq_oracle(m=8, k=16, n_iter=3, dim=64))
 def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization: 8 subspaces × 16 subcentroids → 4-byte codes
     for 64-dim vectors (64× compression) with reconstruction error.
@@ -475,10 +512,16 @@ def product_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     The registered form packs the m 4-bit codes big-endian into one BIGINT
     (``packed_code``) so every output column is a sortable scalar — the
     external comparator cannot canonicalize array columns. Library users
-    get the array form from llmops.cluster.product_quantize directly."""
+    get the array form from llmops.cluster.product_quantize directly.
+
+    ORACLE-CHECKED since round 4: round_dp=6 pins every subspace
+    codebook, so DuckDB replays all 8 independent kmeans fits and the
+    encode — every packed code and reconstruction error hash-verified."""
     from ..llmops.cluster import product_quantize
 
-    out = product_quantize(_t(spark, sf_dir, "embeddings"), m=8, k=16, n_iter=3)
+    out = product_quantize(
+        _t(spark, sf_dir, "embeddings"), m=8, k=16, n_iter=3, round_dp=6
+    )
     packed = F.aggregate(
         F.col("codes"),
         F.lit(0).cast("long"),

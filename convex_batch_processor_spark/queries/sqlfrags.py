@@ -19,51 +19,65 @@ def kmeans_d2(dim: int = 64) -> str:
     )
 
 
-def kmeans_ctes(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
-    """Lloyd's k-means unrolled to a CTE chain ``e, c0, a1, u1, c1, …,
-    c{n_iter}`` — replayable because kmeans_fit(round_dp=6) pins the model
-    state to 6 dp after every round. Shared by the kmeans_clusters oracle
-    and the oracles composing on the fit (SemDeDup-kmeans).
+def kmeans_chain(
+    k: int, n_iter: int, dim: int, src: str = "e", prefix: str = ""
+) -> str:
+    """Lloyd's k-means unrolled to a CTE chain ``{prefix}c0, {prefix}a1,
+    …, {prefix}c{n_iter}`` over source CTE ``src`` (columns vec_id,
+    v DOUBLE[dim]) — replayable because kmeans_fit(round_dp=6) pins the
+    model state to 6 dp after every round. ``prefix`` lets several
+    independent fits coexist in one statement (the PQ subspace oracle).
 
     Every CTE is MATERIALIZED: DuckDB inlines plain CTEs and the chain
     references each stage more than once — inlining grows the query tree
     exponentially in n_iter (the PCA-oracle lesson)."""
     d2 = kmeans_d2(dim)
     ctes = [
-        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
-        f"""c0 AS MATERIALIZED (
+        f"""{prefix}c0 AS MATERIALIZED (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) AS BIGINT) - 1 AS cluster_id,
                v AS centroid
-        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""",
+        FROM (SELECT vec_id, v FROM {src} ORDER BY vec_id LIMIT {k}))""",
     ]
     for it in range(1, n_iter + 1):
-        ctes.append(f"""a{it} AS MATERIALIZED (
+        ctes.append(f"""{prefix}a{it} AS MATERIALIZED (
         SELECT vec_id, v, cluster_id FROM (
             SELECT e.vec_id, e.v, c.cluster_id,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
-            FROM e CROSS JOIN c{it - 1} c) WHERE rn = 1)""")
-        ctes.append(f"""u{it} AS MATERIALIZED (
+            FROM {src} e CROSS JOIN {prefix}c{it - 1} c) WHERE rn = 1)""")
+        ctes.append(f"""{prefix}u{it} AS MATERIALIZED (
         SELECT cluster_id, list(m ORDER BY dim) AS centroid FROM (
             SELECT cluster_id, i AS dim, round(avg(v[i]), 6) AS m
-            FROM a{it}, unnest(range(1, {dim + 1})) AS t(i)
+            FROM {prefix}a{it}, unnest(range(1, {dim + 1})) AS t(i)
             GROUP BY 1, 2) GROUP BY 1)""")
-        ctes.append(f"""c{it} AS MATERIALIZED (
+        ctes.append(f"""{prefix}c{it} AS MATERIALIZED (
         SELECT p.cluster_id, coalesce(u.centroid, p.centroid) AS centroid
-        FROM c{it - 1} p LEFT JOIN u{it} u USING (cluster_id))""")
+        FROM {prefix}c{it - 1} p LEFT JOIN {prefix}u{it} u USING (cluster_id))""")
     return ",".join(ctes)
 
 
-def kmeans_assign(n_iter: int = 4, dim: int = 64) -> str:
-    """Final-assignment CTE body over the trained ``c{n_iter}`` table:
-    (vec_id, cluster_id, dist2) with the (dist2, cluster_id) tiebreak."""
+def kmeans_ctes(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
+    """``e`` (the cast embeddings table) + the full-dimension kmeans
+    chain — the common single-fit case."""
+    return (
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)," + kmeans_chain(k, n_iter, dim)
+    )
+
+
+def kmeans_assign(
+    n_iter: int = 4, dim: int = 64, src: str = "e", prefix: str = ""
+) -> str:
+    """Final-assignment CTE body over the trained ``{prefix}c{n_iter}``
+    table: (vec_id, cluster_id, dist2) with the (dist2, cluster_id)
+    tiebreak."""
     d2 = kmeans_d2(dim)
     return f"""
         SELECT vec_id, cluster_id, dist2 FROM (
             SELECT e.vec_id, c.cluster_id, {d2} AS dist2,
                    row_number() OVER (PARTITION BY e.vec_id
                                       ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
-            FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1"""
+            FROM {src} e CROSS JOIN {prefix}c{n_iter} c) WHERE rn = 1"""
 
 
 # Laplace-smoothed corpus bigram LM scores per doc: (doc_id, n_bigrams,

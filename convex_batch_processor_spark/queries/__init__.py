@@ -19,7 +19,7 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 # queries rotate to the back; the local gate (tests/oracle_check.py) still
 # covers all of them every run.
 from . import llm4  # noqa: E402,F401  (no driver verdict yet — first this round)
-from . import llm5  # noqa: E402,F401  (round-4 additions)
+from . import llm5  # noqa: E402,F401  (round-4 additions incl. relocated ivf_search_topk)
 from . import llm3  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import llm2  # noqa: E402,F401

@@ -30,6 +30,7 @@ from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_star  # noqa: E402,F401
+from . import llm6  # noqa: E402,F401  (round-4 sketch pack — rotates forward in r5)
 
 
 def spark_queries():

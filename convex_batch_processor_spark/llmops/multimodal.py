@@ -11,15 +11,23 @@ The pattern for image/audio/video at 100 TB:
 - decode/feature-extract: Arrow-batched ``mapInPandas`` — whole Arrow
   record batches cross the JVM↔Python boundary once, not per row.
 
-Image/video codecs are NOT in this container, so ``decode_features`` /
-``frame_sample`` below are deterministic stand-ins with the real Spark
-plumbing (schema, batching, partitioning) in place; swap the body for
-PIL/pyav on a real cluster. The deliberately-fake parts are marked STUB.
+Compressed image/video codecs (JPEG/PNG/H.264) are NOT in this
+container, so ``decode_features`` / ``frame_sample`` below are
+deterministic stand-ins with the real Spark plumbing (schema, batching,
+partitioning) in place; swap the body for PIL/pyav on a real cluster.
+The deliberately-fake parts are marked STUB.
 
-AUDIO is the exception: the stdlib ``wave`` module is a real PCM WAV
-codec, so ``attach_wav_payload`` writes genuine RIFF/WAVE containers and
-``decode_audio_features`` REALLY parses them (header fields + int16
-frames) — no stub anywhere on that path.
+AUDIO and (since round 4) IMAGES are the exceptions:
+- the stdlib ``wave`` module is a real PCM WAV codec, so
+  ``attach_wav_payload`` writes genuine RIFF/WAVE containers and
+  ``decode_audio_features`` REALLY parses them (header fields + int16
+  frames) — no stub anywhere on that path;
+- BMP (24-bit uncompressed BI_RGB) is a real image container fully
+  specified by its header, so ``attach_bmp_payload`` writes genuine BMP
+  files (BITMAPINFOHEADER, BGR byte order, 4-byte row padding, bottom-up
+  rows) and ``decode_image_features`` REALLY parses them with
+  struct+numpy — a working decoder for any 24-bit BI_RGB BMP, exercised
+  against hand-built foreign files in tests.
 """
 
 from __future__ import annotations
@@ -194,6 +202,120 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(dec, AUDIO_FEATURE_SCHEMA)
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a genuine 24-bit BMP per row: width = 4 + id % 13 (odd
+    widths exercise the 4-byte row padding), height = 2 + id % 7, pixel
+    (x, y) = BGR((id+x) % 256, (id+y) % 256, (id+x+y) % 256) with y = 0
+    the TOP row (stored bottom-up, as BMP requires). The bytes are a
+    fully valid BI_RGB BMP any viewer opens; because the dimensions and
+    pixels are closed-form in the id, an external oracle can PREDICT the
+    header fields and channel means a correct decoder must report
+    (queries/llm6.image_decode_features).
+
+    mapInPandas — the same partition-parallel, Arrow-batched execution
+    shape a real image encode stage uses."""
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                w, h = 4 + doc_id % 13, 2 + doc_id % 7
+                stride = (3 * w + 3) // 4 * 4
+                xs = np.arange(w)
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                for y in range(h):
+                    px = np.empty((w, 3), dtype=np.uint8)
+                    px[:, 0] = (doc_id + xs) % 256          # B
+                    px[:, 1] = (doc_id + y) % 256           # G
+                    px[:, 2] = (doc_id + xs + y) % 256      # R
+                    rows[y, : 3 * w] = px.reshape(-1)
+                data = rows[::-1].tobytes()  # bottom-up storage
+                header = struct.pack(
+                    "<2sIHHI", b"BM", 54 + len(data), 0, 0, 54
+                ) + struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+                )
+                b = header + data
+                out["doc_id"].append(doc_id)
+                out["payload"].append(b)
+                out["meta"].append(
+                    {
+                        "kind": "image/bmp",
+                        "n_bytes": len(b),
+                        "checksum": hashlib.md5(b).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bpp int, n_bytes long, "
+    "mean_b double, mean_g double, mean_r double"
+)
+
+
+def decode_image_features(df: DataFrame) -> DataFrame:
+    """REAL image decode — no stub: struct parses the BMP file header +
+    BITMAPINFOHEADER (magic, pixel-array offset, dimensions, bit depth,
+    compression), numpy strides out the padded bottom-up BGR rows. Works
+    on any uncompressed 24-bit BI_RGB BMP, not just the synthesized ones
+    (tests feed it a hand-built foreign file).
+
+    Channel means are float64 over exact small-integer sums —
+    bit-reproducible, so the closed-form oracle hash-matches them."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bpp": [],
+                "n_bytes": [], "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", b, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP payload (doc {doc_id})")
+                _hsz, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", b, 14)
+                if bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP variant bpp={bpp} comp={comp}")
+                stride = (3 * w + 3) // 4 * 4
+                flipped = h > 0  # positive height = bottom-up storage
+                h = abs(h)
+                rows = np.frombuffer(
+                    b, dtype=np.uint8, count=stride * h, offset=offset
+                ).reshape(h, stride)
+                if flipped:
+                    rows = rows[::-1]
+                px = rows[:, : 3 * w].reshape(h, w, 3).astype(np.float64)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bpp"].append(bpp)
+                out["n_bytes"].append(len(b))
+                out["mean_b"].append(float(px[:, :, 0].mean()))
+                out["mean_g"].append(float(px[:, :, 1].mean()))
+                out["mean_r"].append(float(px[:, :, 2].mean()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(dec, IMAGE_FEATURE_SCHEMA)
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:

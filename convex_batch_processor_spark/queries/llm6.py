@@ -218,3 +218,51 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("n_true_hits"), F.lit(0)).cast("long").alias("n_true_hits"),
         )
     )
+
+
+# --- REAL image decode (BMP) ------------------------------------------------
+
+
+@register(
+    "image_decode_features",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 13 AS w, 2 + doc_id % 7 AS h FROM documents)
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(24 AS INTEGER) AS bpp,
+           CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(0, w), x -> (doc_id + x) % 256))
+                AS DOUBLE) / w AS mean_b,
+           CAST(list_sum(list_transform(range(0, h), y -> (doc_id + y) % 256))
+                AS DOUBLE) / h AS mean_g,
+           CAST(list_sum(list_transform(range(0, w), x ->
+                list_sum(list_transform(range(0, h), y -> (doc_id + x + y) % 256))))
+                AS DOUBLE) / (w * h) AS mean_r
+    FROM dims
+    """,
+)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image pipeline (the audio_decode_features recipe
+    applied to images): synthesize a genuine 24-bit BMP per document —
+    BITMAPINFOHEADER, BGR order, 4-byte row padding, bottom-up rows —
+    then DECODE it with a real struct+numpy BMP parser. Nothing stubbed:
+    the decoder handles any BI_RGB 24-bit BMP (foreign-file test in
+    tests/test_llmops.py); only JPEG/PNG stay stubbed (no codec libs in
+    the container).
+
+    The oracle never sees the bytes: dimensions and pixels are
+    closed-form in doc_id, so SQL PREDICTS the header fields (width,
+    height, bpp, file size incl. row padding) and per-channel means a
+    correct decoder must report — a wrong stride, row order, or channel
+    order fails the hash. Channel means are exact small-integer sums in
+    float64 (bit-reproducible; B is constant per column, G per row, so
+    sum/(w·h) and per-axis sum/w round identically — same real quotient).
+
+    Scale shape: both stages are mapInPandas over Arrow batches —
+    partition-parallel codec work, zero shuffle."""
+    from ..llmops.multimodal import attach_bmp_payload, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_image_features(attach_bmp_payload(docs))

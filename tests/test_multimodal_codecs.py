@@ -1,0 +1,102 @@
+"""Real-codec paths in llmops/multimodal.py: the BMP decoder must handle
+FOREIGN files (not just its own synthesizer's output), including top-down
+storage and row padding; the WAV decoder likewise."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import pytest
+
+from convex_batch_processor_spark.llmops.multimodal import (
+    attach_bmp_payload,
+    attach_wav_payload,
+    decode_audio_features,
+    decode_image_features,
+)
+
+
+def _bmp_bytes(width, height, pixel_rows, bottom_up=True):
+    """Hand-build a 24-bit BI_RGB BMP. pixel_rows[y][x] = (b, g, r) with
+    y=0 the TOP row; bottom_up controls the storage convention."""
+    stride = (3 * width + 3) // 4 * 4
+    rows = []
+    order = range(height - 1, -1, -1) if bottom_up else range(height)
+    for y in order:
+        row = bytearray(stride)
+        for x, (b, g, r) in enumerate(pixel_rows[y]):
+            row[3 * x : 3 * x + 3] = bytes((b, g, r))
+        rows.append(bytes(row))
+    data = b"".join(rows)
+    stored_h = height if bottom_up else -height
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, stored_h, 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+        + data
+    )
+
+
+@pytest.mark.parametrize("bottom_up", [True, False])
+def test_bmp_decoder_reads_foreign_file(spark, bottom_up):
+    # 3x2, odd width -> 1 pad byte per row; distinct channel values
+    pixel_rows = [
+        [(10, 20, 30), (11, 21, 31), (12, 22, 32)],   # top row
+        [(110, 120, 130), (111, 121, 131), (112, 122, 132)],
+    ]
+    payload = _bmp_bytes(3, 2, pixel_rows, bottom_up=bottom_up)
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    row = decode_image_features(df).collect()[0]
+    assert (row.width, row.height, row.bpp) == (3, 2, 24)
+    assert row.n_bytes == len(payload) == 54 + 2 * 12
+    assert row.mean_b == pytest.approx((10 + 11 + 12 + 110 + 111 + 112) / 6)
+    assert row.mean_g == pytest.approx((20 + 21 + 22 + 120 + 121 + 122) / 6)
+    assert row.mean_r == pytest.approx((30 + 31 + 32 + 130 + 131 + 132) / 6)
+
+
+def test_bmp_decoder_rejects_non_bmp(spark):
+    df = spark.createDataFrame([(1, b"JUNKJUNKJUNKJUNK" * 8)], "doc_id long, payload binary")
+    with pytest.raises(Exception):
+        decode_image_features(df).collect()
+
+
+def test_bmp_roundtrip_matches_closed_form(spark):
+    ids = [0, 1, 12, 13, 99, 100]  # crosses both the %13 and %7 seams
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    feats = {r.doc_id: r for r in decode_image_features(attach_bmp_payload(docs)).collect()}
+    for i in ids:
+        w, h = 4 + i % 13, 2 + i % 7
+        r = feats[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.n_bytes == 54 + ((3 * w + 3) // 4 * 4) * h
+        assert r.mean_b == pytest.approx(sum((i + x) % 256 for x in range(w)) / w)
+        assert r.mean_g == pytest.approx(sum((i + y) % 256 for y in range(h)) / h)
+        assert r.mean_r == pytest.approx(
+            sum((i + x + y) % 256 for x in range(w) for y in range(h)) / (w * h)
+        )
+
+
+def test_wav_decoder_reads_foreign_file(spark):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(44100)
+        wv.writeframes(struct.pack("<4h", 100, -100, 200, -200))
+    df = spark.createDataFrame([(7, buf.getvalue())], "doc_id long, payload binary")
+    row = decode_audio_features(df).collect()[0]
+    assert (row.sample_rate, row.n_channels, row.n_samples) == (44100, 1, 4)
+    assert row.peak == 200
+    assert row.rms == pytest.approx(((100**2 + 100**2 + 200**2 + 200**2) / 4) ** 0.5)
+
+
+def test_wav_roundtrip(spark):
+    docs = spark.createDataFrame([(i,) for i in (0, 5, 160, 259)], "doc_id long")
+    feats = {r.doc_id: r for r in decode_audio_features(attach_wav_payload(docs)).collect()}
+    for i in (0, 5, 160, 259):
+        r = feats[i]
+        assert r.n_samples == 800 + i % 160
+        assert r.peak == 1000 + (i % 100) * 10
+        assert r.rms == pytest.approx(float(r.peak))  # square wave

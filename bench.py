@@ -69,6 +69,11 @@ HEADLINE = [
     "dsir_importance_weights",
     "ngram_novelty_score",
     "snapshot_state_diff",
+    # late round-4 additions: sketch pack (CMS build+probe, bloom-pruned
+    # decontamination) and the real BMP image codec over mapInPandas
+    "cms_heavy_hitters",
+    "bloom_decontamination_prefilter",
+    "image_decode_features",
 ]
 
 

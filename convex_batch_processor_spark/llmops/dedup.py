@@ -46,10 +46,31 @@ def shingles_from_tokens(toks, n: int = 3):
 def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, out: str = "sh") -> DataFrame:
     """(id, shingle-array) projection with the tokens materialized first
-    (see shingles_from_tokens perf contract)."""
+    (see shingles_from_tokens perf contract).
+
+    USE ONLY FOR ARRAY CONSUMERS (array_intersect verification, signature
+    folds) or behind a persist(). If you are about to ``explode`` the
+    array, use :func:`exploded_shingles` instead: exploding a projected
+    array column triggers InferFiltersFromGenerate + PushDownPredicate,
+    which duplicates the WHOLE shingle pipeline (split included) into a
+    pushed-down ``size(...) > 0`` filter — every row then builds its gram
+    array twice (measured 4.7× slower at sf0.1)."""
     return (
         df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
         .select(F.col(id_col), shingles_from_tokens("_toks", n).alias(out))
+    )
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      n: int = 3, out: str = "shingle") -> DataFrame:
+    """(id, shingle) ROWS in the inferred-filter-safe shape: the shingle
+    expression stays INSIDE the Generate (explode) node, where Catalyst
+    does not infer a pushed-down size() filter over a copy of the whole
+    pipeline (see with_shingles). Always prefer this for explode
+    consumers — same output, none of the double compute."""
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    return toks.select(
+        F.col(id_col), F.explode(shingles_from_tokens("_toks", n)).alias(out)
     )
 
 
@@ -86,9 +107,7 @@ def minhash_signatures(
     One explode + one groupBy(id) — the signature table is narrow
     (id + num_perm longs) no matter how large the corpus.
     """
-    shingled = with_shingles(df, text_col, id_col).select(
-        F.col(id_col), F.explode("sh").alias("shingle")
-    )
+    shingled = exploded_shingles(df, text_col, id_col)
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]
@@ -188,9 +207,15 @@ def minhash_neardup(
     sh_raw = with_shingles(df, text_col, id_col)
     if persist_mode == "shingles":
         sh_raw = sh_raw.persist()
-    elif persist_mode != "signatures":
+        # exploding the CACHED array is safe (the inferred size() filter
+        # can't substitute past the InMemoryRelation boundary)
+        shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    elif persist_mode == "signatures":
+        # unpersisted: keep the shingle expr inside Generate (see
+        # exploded_shingles) or the whole pipeline is computed twice
+        shingled = exploded_shingles(df, text_col, id_col)
+    else:
         raise ValueError(f"unknown persist_mode {persist_mode!r}")
-    shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
     mins = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}") for i in range(num_perm)
     ]

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..llmops import sketches as K
-from ..llmops.dedup import tokens_col, with_shingles
+from ..llmops.dedup import exploded_shingles, tokens_col
 from .registry import register
 
 _TOK_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -185,38 +185,38 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     positives are visible as n_bloom_hits > n_true_hits, and no false
     negatives exist by construction (pinned in tests).
 
-    Scale: this is the join-pruning pattern for 100 TB decontamination —
-    the bloom relation is ≤ 65536 rows (broadcast), so the corpus is
-    pruned to candidate grams WITHOUT shuffling against the eval set; the
-    exact gram join then runs on the surviving sliver. (Spark's native
-    runtime bloom join does this transparently for equi-joins; the
-    relational form persists/ships the filter between jobs.)"""
-    g = with_shingles(_t(spark, sf_dir, "documents"), n=_BLOOM_N, out="sh")
-    grams = g.select("doc_id", F.explode("sh").alias("gram"))
+    Scale: this is the join-pruning pattern for 100 TB decontamination.
+    The filter is COLLECTED as a ≤ 8 KB literal bitmap (bounded by
+    m_bits, not the corpus — the k-means-centroid collect pattern) and
+    the membership test is a pure map-side column expression: the corpus
+    gram stream is scored in ONE pass with ONE doc-keyed shuffle, no
+    position explode, no join against the eval set except the broadcast
+    in_eval flag join (eval sets are bounded by construction). An
+    earlier draft built three separate aggregation branches over the
+    shingle explode and re-ran it 4×: 5.4 s → this shape at sf0.1.
+    (Spark's native runtime bloom join does the same trick transparently
+    for equi-joins; this form persists/ships the filter between jobs.)"""
+    grams = exploded_shingles(
+        _t(spark, sf_dir, "documents"), n=_BLOOM_N, out="gram"
+    )
     eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
     corpus = grams.filter(F.col("doc_id") % 50 != 0)
-    bits = K.bloom_bits(eval_grams, "gram", _BLOOM_M, _BLOOM_K)
-    flagged = K.bloom_contains(corpus, bits, "gram", _BLOOM_M, _BLOOM_K)
-    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    bh = (
-        flagged.filter(F.col("bloom_hit"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
-    )
-    th = (
-        corpus.join(eval_grams, "gram", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_true_hits"))
-    )
+    words = K.bloom_bitmap(eval_grams, "gram", _BLOOM_M, _BLOOM_K)
     return (
-        per_doc.join(bh, "doc_id")
-        .join(th, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_grams",
-            "n_bloom_hits",
-            F.coalesce(F.col("n_true_hits"), F.lit(0)).cast("long").alias("n_true_hits"),
+        corpus.withColumn(
+            "bloom_hit", K.bloom_hit_col("gram", words, _BLOOM_M, _BLOOM_K)
         )
+        .join(
+            F.broadcast(eval_grams.withColumn("in_eval", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("in_eval"), F.lit(0)).cast("long")).alias("n_true_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+        .select("doc_id", "n_grams", "n_bloom_hits", "n_true_hits")
     )
 
 
@@ -266,3 +266,54 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return decode_image_features(attach_bmp_payload(docs))
+
+
+# --- REAL video decode (uncompressed RIFF/AVI) ------------------------------
+
+
+@register(
+    "video_frame_stats",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, 4 + doc_id % 5 AS w, 2 + doc_id % 3 AS h,
+               3 + doc_id % 4 AS nf
+        FROM documents),
+    fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf, 2)) AS f FROM dims)
+    SELECT doc_id,
+           CAST(f AS INTEGER) AS frame_idx,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(10.0 AS DOUBLE) AS fps,
+           CAST(list_sum(list_transform(range(0, w), x -> (doc_id + f + x) % 256))
+                AS DOUBLE) / w AS mean_b,
+           CAST(list_sum(list_transform(range(0, h), y -> (doc_id + f + y) % 256))
+                AS DOUBLE) / h AS mean_g,
+           CAST(list_sum(list_transform(range(0, w), x ->
+                list_sum(list_transform(range(0, h), y -> (doc_id + f + x + y) % 256))))
+                AS DOUBLE) / (w * h) AS mean_r
+    FROM fr
+    """,
+)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL video pipeline: synthesize a genuine uncompressed
+    RIFF/AVI ('vids'/'DIB ' raw-BGR frames, valid avih/strh/strf headers,
+    movi '00db' chunks) per document, then DECODE it with a real RIFF
+    chunk walker + numpy frame parser, sampling every 2nd frame —
+    (doc_id, frame_idx, dims, n_frames, fps, per-channel means). The
+    video stub is retired: this decoder handles any uncompressed
+    DIB-frames AVI (foreign-file test in tests/test_multimodal_codecs.py);
+    only compressed codecs (H.264/VP9) remain stubbed in frame_sample.
+
+    The oracle never sees the bytes: dimensions, frame count, timing, and
+    pixels are closed-form in doc_id, so SQL predicts what a correct
+    container parse + frame decode must report — a wrong chunk walk, row
+    stride, or frame order fails the hash (the audio/image recipe).
+
+    Scale shape: encode and decode are mapInPandas over Arrow batches —
+    partition-parallel, zero shuffle; frame sampling multiplies rows
+    map-side only."""
+    from ..llmops.multimodal import attach_avi_payload, decode_video_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_video_frames(attach_avi_payload(docs), every_n=2)

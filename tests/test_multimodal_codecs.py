@@ -100,3 +100,98 @@ def test_wav_roundtrip(spark):
         assert r.n_samples == 800 + i % 160
         assert r.peak == 1000 + (i % 100) * 10
         assert r.rms == pytest.approx(float(r.peak))  # square wave
+
+
+def _avi_bytes(frames_px, fps=25):
+    """Hand-build an uncompressed AVI. frames_px: list of h×w×(b,g,r) row
+    lists (y=0 top). Uses '00dc' chunks, a JUNK chunk, and an odd-size
+    vedt chunk to exercise word-alignment in the walker."""
+    h = len(frames_px[0])
+    w = len(frames_px[0][0])
+    stride = (3 * w + 3) // 4 * 4
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind, body):
+        return chunk(b"LIST", kind + body)
+
+    def frame_bytes(px_rows):
+        rows = []
+        for y in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray(stride)
+            for x, (bb, gg, rr) in enumerate(px_rows[y]):
+                row[3 * x : 3 * x + 3] = bytes((bb, gg, rr))
+            rows.append(bytes(row))
+        return b"".join(rows)
+
+    frame_size = stride * h
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 1_000_000 // fps, frame_size * fps, 0, 0x10, len(frames_px),
+        0, 1, frame_size, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"DIB " + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames_px),
+        frame_size, 0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    movi_body = chunk(b"vedt", b"odd")  # 3-byte chunk: walker must word-align
+    for px_rows in frames_px:
+        movi_body += chunk(b"00dc", frame_bytes(px_rows))
+    movi = lst(b"movi", movi_body)
+    junk = chunk(b"JUNK", b"\x00" * 10)
+    body = b"AVI " + hdrl + junk + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_decoder_reads_foreign_file(spark):
+    from convex_batch_processor_spark.llmops.multimodal import decode_video_frames
+
+    f0 = [[(10, 20, 30), (40, 50, 60)]]           # 2x1
+    f1 = [[(110, 120, 130), (140, 150, 160)]]
+    f2 = [[(210, 220, 230), (240, 250, 251)]]
+    payload = _avi_bytes([f0, f1, f2], fps=25)
+    df = spark.createDataFrame([(9, payload)], "doc_id long, payload binary")
+    rows = {r.frame_idx: r for r in decode_video_frames(df, every_n=2).collect()}
+    assert sorted(rows) == [0, 2]  # every 2nd of 3 frames
+    r0, r2 = rows[0], rows[2]
+    assert (r0.width, r0.height, r0.n_frames) == (2, 1, 3)
+    assert r0.fps == pytest.approx(25.0)
+    assert r0.mean_b == pytest.approx((10 + 40) / 2)
+    assert r0.mean_g == pytest.approx((20 + 50) / 2)
+    assert r0.mean_r == pytest.approx((30 + 60) / 2)
+    assert r2.mean_b == pytest.approx((210 + 240) / 2)
+    assert r2.mean_r == pytest.approx((230 + 251) / 2)
+
+
+def test_avi_decoder_rejects_non_avi(spark):
+    from convex_batch_processor_spark.llmops.multimodal import decode_video_frames
+
+    df = spark.createDataFrame(
+        [(1, b"RIFF\x10\x00\x00\x00WAVEjunkjunkjunk")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        decode_video_frames(df).collect()
+
+
+def test_avi_roundtrip_matches_closed_form(spark):
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_avi_payload,
+        decode_video_frames,
+    )
+
+    ids = [0, 4, 5, 11, 59]  # crosses the %5, %3, %4 seams
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = decode_video_frames(attach_avi_payload(docs), every_n=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r
+    for i in ids:
+        w, h, nf = 4 + i % 5, 2 + i % 3, 3 + i % 4
+        assert sorted(by_doc[i]) == list(range(0, nf, 2))
+        for f, r in by_doc[i].items():
+            assert (r.width, r.height, r.n_frames) == (w, h, nf)
+            assert r.fps == pytest.approx(10.0)
+            assert r.mean_b == pytest.approx(sum((i + f + x) % 256 for x in range(w)) / w)
+            assert r.mean_g == pytest.approx(sum((i + f + y) % 256 for y in range(h)) / h)

@@ -1,0 +1,127 @@
+"""Streaming sketches (streaming/sketches.py): the state maintained over
+micro-batches must equal the batch-built sketch over the same rows —
+sketch updates are order-independent merges, so splitting the input into
+arbitrary micro-batches cannot change the result."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from convex_batch_processor_spark.llmops.sketches import md5_int
+from convex_batch_processor_spark.streaming.sketches import (
+    streaming_cms_cells,
+    streaming_hll_registers,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("lang", T.StringType()),
+        T.StructField("term", T.StringType()),
+    ]
+)
+
+ROWS = [
+    ("en", t)
+    for t in "the quick brown fox jumps over the lazy dog the end the".split()
+] + [
+    ("de", t)
+    for t in "der schnelle braune fuchs der hund der".split()
+]
+
+
+def _stage_batches(spark, src, n_batches=3):
+    """Write ROWS as n separate files -> n micro-batches with maxFilesPerTrigger=1."""
+    per = (len(ROWS) + n_batches - 1) // n_batches
+    for i in range(n_batches):
+        chunk = ROWS[i * per : (i + 1) * per]
+        if chunk:
+            spark.createDataFrame(chunk, SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(src))
+
+
+def _run_complete(spark, stream_df, name, ckpt):
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_streaming_cms_equals_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _stage_batches(spark, src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        (r.j, r.bucket): r.counter
+        for r in _run_complete(
+            spark, streaming_cms_cells(stream, "term", 4, 64), "cms_stream", tmp_path / "c1"
+        )
+    }
+
+    batch = spark.read.parquet(str(src))
+    want = {
+        (r.j, r.bucket): r.counter
+        for r in streaming_cms_cells(batch, "term", 4, 64).collect()
+    }
+    assert got == want
+    assert sum(v for (j, _), v in got.items() if j == 0) == len(ROWS)
+
+
+def test_streaming_hll_registers_equal_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _stage_batches(spark, src)
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    got = {
+        (r.lang, r.bucket): r.m_reg
+        for r in _run_complete(
+            spark,
+            streaming_hll_registers(stream, "term", ["lang"], b=6),
+            "hll_stream",
+            tmp_path / "c2",
+        )
+    }
+
+    batch = spark.read.parquet(str(src))
+    want = {
+        (r.lang, r.bucket): r.m_reg
+        for r in streaming_hll_registers(batch, "term", ["lang"], b=6).collect()
+    }
+    assert got == want
+    # registers reflect only that group's keys: distinct buckets bounded by m
+    assert all(1 <= v <= 55 for v in got.values())
+    assert len({k for k in got if k[0] == "de"}) <= 64
+
+
+def test_streaming_cms_state_is_bounded(spark, tmp_path):
+    """The 100 TB point: state rows never exceed depth x width however many
+    distinct terms stream through."""
+    src = tmp_path / "src"
+    src.mkdir()
+    many = [("en", f"term_{i}") for i in range(500)]
+    spark.createDataFrame(many, SCHEMA).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    rows = _run_complete(
+        spark, streaming_cms_cells(stream, "term", 4, 32), "cms_bounded", tmp_path / "c3"
+    )
+    assert len(rows) <= 4 * 32
+    assert sum(r.counter for r in rows if r.j == 2) == 500

@@ -20,6 +20,7 @@ from .registry import QUERIES, QuerySpec, register  # noqa: F401
 # covers all of them every run.
 from . import llm4  # noqa: E402,F401  (no driver verdict yet — first this round)
 from . import llm5  # noqa: E402,F401  (round-4 additions incl. relocated ivf_search_topk)
+from . import llm6  # noqa: E402,F401  (late-r4 sketch pack + image/video codecs — all oracle-backed)
 from . import llm3  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
 from . import llm2  # noqa: E402,F401
@@ -30,7 +31,6 @@ from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_star  # noqa: E402,F401
-from . import llm6  # noqa: E402,F401  (round-4 sketch pack — rotates forward in r5)
 
 
 def spark_queries():

@@ -192,21 +192,6 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
-def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(32)+LSH(8 bands×4) near-dup pipeline with exact-Jaccard
-    verification ≥0.5 — the scale path for ngram_jaccard_pairs. Checked
-    rows-only by the driver; tests assert it finds exactly the exact-Jaccard
-    pairs (LSH@this config catches jaccard≥0.5 w.h.p.)."""
-    return D.minhash_neardup(_t(spark, sf_dir, "documents"))
-
-
-@register("simhash_neardup")  # rows-only: bit-mix hashing, no SQL equivalent
-def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 3) with 16-bit-chunk blocking."""
-    return D.simhash_neardup(_t(spark, sf_dir, "documents"))
-
-
 # --- similarity search ------------------------------------------------------
 
 @register(
@@ -255,23 +240,6 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``cosine_neardup_bucketed`` (banded LSH + rerank, shuffle O(n·bands));
     use that one on real corpora."""
     return S.cosine_neardup_pairs(_t(spark, sf_dir, "embeddings"), 0.42)
-
-
-@register("cosine_neardup_bucketed")  # rows-only: seeded-hyperplane buckets, not SQL
-def cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above 0.42 via banded hyperplane LSH:
-    candidates from any-band bucket collisions (equi-join on (band,
-    bucket)), exact cosine rerank of the deduped candidate set. Precision
-    1.0 vs ``embedding_neardup_pairs``; recall asserted in
-    tests/test_llmops.py."""
-    return S.cosine_neardup_pairs_bucketed(_t(spark, sf_dir, "embeddings"), 0.42)
-
-
-@register("lsh_ann_probe")  # rows-only: seeded-hyperplane buckets, not SQL
-def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane-LSH ANN: probe the query's bucket, exact-rerank
-    inside. Tests measure recall vs knn_bruteforce."""
-    return S.lsh_ann(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_bits=8)
 
 
 @register(
@@ -836,3 +804,42 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+# --- rows-only (xxhash / seeded-hyperplane) variants -----------------------
+# Registered LAST within this module: they are rows-only by design (hash
+# families a SQL oracle cannot replay; each has a parity/recall test and an
+# engine-portable oracle-checked twin in llm5), so the driver-window
+# rotation keeps oracle-backed entries ahead of them (queries/__init__.py).
+
+
+@register("minhash_neardup")  # rows-only: xxhash64 not reproducible in DuckDB
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands×4) near-dup pipeline with exact-Jaccard
+    verification ≥0.5 — the scale path for ngram_jaccard_pairs. Checked
+    rows-only by the driver; tests assert it finds exactly the exact-Jaccard
+    pairs (LSH@this config catches jaccard≥0.5 w.h.p.)."""
+    return D.minhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+@register("simhash_neardup")  # rows-only: bit-mix hashing, no SQL equivalent
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 3) with 16-bit-chunk blocking."""
+    return D.simhash_neardup(_t(spark, sf_dir, "documents"))
+
+
+@register("cosine_neardup_bucketed")  # rows-only: seeded-hyperplane buckets, not SQL
+def cosine_neardup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs above 0.42 via banded hyperplane LSH:
+    candidates from any-band bucket collisions (equi-join on (band,
+    bucket)), exact cosine rerank of the deduped candidate set. Precision
+    1.0 vs ``embedding_neardup_pairs``; recall asserted in
+    tests/test_llmops.py."""
+    return S.cosine_neardup_pairs_bucketed(_t(spark, sf_dir, "embeddings"), 0.42)
+
+
+@register("lsh_ann_probe")  # rows-only: seeded-hyperplane buckets, not SQL
+def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane-LSH ANN: probe the query's bucket, exact-rerank
+    inside. Tests measure recall vs knn_bruteforce."""
+    return S.lsh_ann(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_bits=8)

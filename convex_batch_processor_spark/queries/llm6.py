@@ -7,9 +7,10 @@ makes every sketch REPLAYABLE IN SQL, so all three are oracle-checked:
 the DuckDB twin builds the identical sketch and the hash compare verifies
 cell counters, register ranks, and bit positions bit-for-bit.
 
-Registered LAST (after tpch_star in queries/__init__.py): the round-4
-driver window is already allocated to never-verified entries; these
-rotate forward in round 5.
+Registered INSIDE the round-4 driver window (after llm5 in
+queries/__init__.py): all entries here are oracle-backed and
+never-verified, exactly what the window is for; the 4 rows-only hash
+variants they displaced moved to the back of queries/llm.py.
 """
 
 from __future__ import annotations

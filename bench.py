@@ -74,6 +74,7 @@ HEADLINE = [
     "cms_heavy_hitters",
     "bloom_decontamination_prefilter",
     "image_decode_features",
+    "video_frame_stats",
 ]
 
 

@@ -498,3 +498,59 @@ def minhash_estimate_neardup(
         )
         .filter(F.col("jaccard_est") >= threshold)
     )
+
+
+def edit_distance_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 4,
+    max_rel_dist: float = 0.4,
+) -> DataFrame:
+    """Edit-distance (Levenshtein) near-dup pairs — the fuzzy-dedup family
+    MinHash cannot express: catches typo-level and small-edit duplicates
+    whose shingle sets already diverge. Blocking: docs sharing an md5
+    fingerprint of their first ``block_tokens`` tokens pair up (same
+    prefix ⇒ same block); within a block every (id_a < id_b) pair gets
+    exact ``levenshtein`` (JVM built-in, O(len²) per pair) and survives
+    iff dist / max(len_a, len_b) ≤ ``max_rel_dist``.
+
+    Output: (id_a, id_b, dist, rel_dist).
+
+    Scale: the self-join is on the block fingerprint — an equi-join, so
+    only same-block docs ever meet and the pair count is Σ|block|², never
+    corpus². At 100 TB, cap block sizes (count-filter oversized blocks,
+    typically boilerplate) and run this as the VERIFY stage behind a
+    MinHash candidate pass. Portability caveat: Spark's levenshtein
+    counts CHARS while DuckDB's counts BYTES — identical on ASCII text
+    (this corpus), so the oracle replays exactly; on multibyte corpora
+    the oracle-side distance would differ (documented, not hit here).
+    """
+    from .textstats import prefix_fingerprint
+
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.length(F.col(text_col)).alias("_len"),
+        prefix_fingerprint(text_col, block_tokens).alias("_blk"),
+    )
+    a = base.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("_ta"),
+        F.col("_len").alias("_la"),
+    )
+    b = base.select(
+        F.col("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("_tb"),
+        F.col("_len").alias("_lb"),
+    )
+    dist = F.levenshtein("_ta", "_tb")
+    rel = dist.cast("double") / F.greatest("_la", "_lb").cast("double")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"), rel.alias("rel_dist"))
+        .filter(F.col("rel_dist") <= max_rel_dist)
+    )

@@ -843,3 +843,36 @@ def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH ANN: probe the query's bucket, exact-rerank
     inside. Tests measure recall vs knn_bruteforce."""
     return S.lsh_ann(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_bits=8)
+
+
+
+# --- edit-distance near-dup -------------------------------------------------
+
+
+@register(
+    "edit_distance_neardup",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS len,
+               md5(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' ')) AS blk
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
+           CAST(levenshtein(a.text, b.text) AS DOUBLE)
+               / greatest(a.len, b.len) AS rel_dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+              / greatest(a.len, b.len) <= 0.4
+    """,
+)
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs with 4-token-prefix blocking — the
+    fuzzy-dedup family shingle methods miss (typo-level edits). Exact
+    char-level DP distance on candidate pairs only; see
+    llmops/dedup.py:edit_distance_neardup for the blocking/scale story
+    (equi-join blocks, Σ|block|² pairs, never corpus²; ASCII corpus makes
+    Spark's char-based and DuckDB's byte-based levenshtein identical)."""
+    from ..llmops.dedup import edit_distance_neardup as _ed
+
+    return _ed(_t(spark, sf_dir, "documents"))

@@ -147,6 +147,18 @@ def hll_distinct(
     map-side to ≤ m rows per group per task; per-group state is m
     registers whatever the corpus size. Missing registers contribute
     (m - present)·2^K without materializing empty rows."""
+    return hll_estimate_from_registers(
+        hll_registers(df, key_col, group_cols, b), group_cols, b, out
+    )
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str], b: int = 8
+) -> DataFrame:
+    """The HLL state: (group..., bucket, m_reg) max-rank registers — the
+    MERGEABLE form (union of key sets ≡ element-wise max of registers),
+    which is what lets HLL state combine across partitions, micro-batches,
+    and groups without ever revisiting the data."""
     m = 1 << b
     ebits = 4 * PORTABLE_HASH_HEX - b  # bits in the rank word w
     k_exp = ebits + 1  # rho of w == 0 (all-zeros word)
@@ -156,7 +168,7 @@ def hll_distinct(
         raise ValueError(f"b={b} too small for the 60-bit hash: 2^{b + k_exp} >= 2^63")
     h = md5_int(key_col)
     # rank word w = h div m must use INTEGER division (F.expr `div`, never `/`)
-    regs = (
+    return (
         df.select(
             *group_cols,
             (h % m).alias("bucket"),
@@ -168,6 +180,15 @@ def hll_distinct(
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("m_reg"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list[str], b: int = 8, out: str = "hll_est"
+) -> DataFrame:
+    """Estimate from a (group..., bucket, m_reg) register table — shared by
+    hll_distinct and any register-MERGED estimate (unions of sketches)."""
+    m = 1 << b
+    k_exp = 4 * PORTABLE_HASH_HEX - b + 1
     alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(float(m)))
     agg = regs.groupBy(*group_cols).agg(
         # pyspark's shiftleft() only takes a literal numBits — SQL form needed
@@ -193,42 +214,63 @@ def md5_spark_sql(col: str) -> str:
     return f"CAST(conv(substring(md5({col}), 1, {PORTABLE_HASH_HEX}), 16, 10) AS BIGINT)"
 
 
-def hll_oracle_ctes(
-    key_expr: str, group_expr: str, src: str, b: int = 8
-) -> str:
-    """DuckDB CTE chain replaying :func:`hll_distinct` over ``src`` (a CTE
-    with columns ``{group_expr}`` and ``{key_expr}``); exposes
-    ``hll_agg(grp, zero_registers, hll_est)``."""
+def hll_estimate_sql_ctes(regs_cte: str, prefix: str = "hll", b: int = 8) -> str:
+    """DuckDB twin of :func:`hll_estimate_from_registers` over a register
+    CTE ``{regs_cte}(grp, bucket, m_reg)``; exposes
+    ``{prefix}_agg(grp, zero_registers, hll_est)``."""
     m = 1 << b
-    ebits = 4 * PORTABLE_HASH_HEX - b
-    k_exp = ebits + 1
-    h = md5_int_sql(key_expr)
+    k_exp = 4 * PORTABLE_HASH_HEX - b + 1
     alpha = (
         f"(CAST(0.7213 AS DOUBLE) / "
         f"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST({m}.0 AS DOUBLE)))"
     )
+    return f"""
+    {prefix}_pre AS (
+        SELECT grp,
+               CAST({m} - COUNT(*) AS BIGINT) AS zero_registers,
+               {alpha} * CAST({m * m} AS DOUBLE) * CAST({1 << k_exp} AS DOUBLE)
+                   / CAST(CAST(SUM(1::BIGINT << ({k_exp} - m_reg)) AS BIGINT)
+                          + ({m} - COUNT(*)) * {1 << k_exp} AS DOUBLE) AS raw_est
+        FROM {regs_cte} GROUP BY 1),
+    {prefix}_agg AS (
+        SELECT grp, zero_registers,
+               CASE WHEN raw_est <= CAST({2.5 * m} AS DOUBLE) AND zero_registers > 0
+                    THEN CAST({m} AS DOUBLE)
+                         * round(ln(CAST({m} AS DOUBLE) / CAST(zero_registers AS DOUBLE)), 9)
+                    ELSE raw_est END AS hll_est
+        FROM {prefix}_pre)
+    """
+
+
+def hll_registers_sql_ctes(
+    key_expr: str, group_expr: str, src: str, b: int = 8
+) -> str:
+    """DuckDB twin of :func:`hll_registers` over ``src``; exposes
+    ``hll_regs(grp, bucket, m_reg)``."""
+    m = 1 << b
+    k_exp = 4 * PORTABLE_HASH_HEX - b + 1
+    h = md5_int_sql(key_expr)
     return f"""
     hll_h AS (SELECT {group_expr} AS grp, {h} AS h FROM {src}),
     hll_regs AS MATERIALIZED (
         SELECT grp, h % {m} AS bucket,
                MAX(CASE WHEN h // {m} = 0 THEN {k_exp}
                         ELSE {k_exp} - length(bin(h // {m})) END) AS m_reg
-        FROM hll_h GROUP BY 1, 2),
-    hll_pre AS (
-        SELECT grp,
-               CAST({m} - COUNT(*) AS BIGINT) AS zero_registers,
-               {alpha} * CAST({m * m} AS DOUBLE) * CAST({1 << k_exp} AS DOUBLE)
-                   / CAST(CAST(SUM(1::BIGINT << ({k_exp} - m_reg)) AS BIGINT)
-                          + ({m} - COUNT(*)) * {1 << k_exp} AS DOUBLE) AS raw_est
-        FROM hll_regs GROUP BY 1),
-    hll_agg AS (
-        SELECT grp, zero_registers,
-               CASE WHEN raw_est <= CAST({2.5 * m} AS DOUBLE) AND zero_registers > 0
-                    THEN CAST({m} AS DOUBLE)
-                         * round(ln(CAST({m} AS DOUBLE) / CAST(zero_registers AS DOUBLE)), 9)
-                    ELSE raw_est END AS hll_est
-        FROM hll_pre)
+        FROM hll_h GROUP BY 1, 2)
     """
+
+
+def hll_oracle_ctes(
+    key_expr: str, group_expr: str, src: str, b: int = 8
+) -> str:
+    """DuckDB CTE chain replaying :func:`hll_distinct` over ``src`` (a CTE
+    with columns ``{group_expr}`` and ``{key_expr}``); exposes
+    ``hll_agg(grp, zero_registers, hll_est)``."""
+    return (
+        hll_registers_sql_ctes(key_expr, group_expr, src, b)
+        + ","
+        + hll_estimate_sql_ctes("hll_regs", "hll", b)
+    )
 
 
 # --- Bloom filter -----------------------------------------------------------

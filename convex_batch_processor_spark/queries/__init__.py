@@ -31,6 +31,7 @@ from . import dataflow  # noqa: E402,F401
 from . import analytics2  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import tpch_star  # noqa: E402,F401
+from . import llm7  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 def spark_queries():

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..llmops.sketches import PORTABLE_HASH_HEX, md5_int
+from ..llmops.sketches import md5_int
 
 
 def streaming_cms_cells(
@@ -61,24 +61,12 @@ def streaming_hll_registers(
 ) -> DataFrame:
     """Maintain HLL registers over a stream: per (group, bucket) the max
     leading-zero rank seen so far. State is ≤ groups × 2^b rows; the
-    snapshot feeds the same estimate formula as the batch operator
-    (llmops/sketches.py:hll_distinct)."""
-    m = 1 << b
-    ebits = 4 * PORTABLE_HASH_HEX - b
-    k_exp = ebits + 1
-    h = md5_int(key_col)
-    md5_sql = (
-        f"CAST(conv(substring(md5({key_col}), 1, {PORTABLE_HASH_HEX}), 16, 10) AS BIGINT)"
-    )
-    return (
-        stream.select(
-            *group_cols,
-            (h % m).alias("bucket"),
-            F.expr(
-                f"CASE WHEN ({md5_sql} div {m}) = 0 THEN {k_exp} "
-                f"ELSE {k_exp} - length(bin({md5_sql} div {m})) END"
-            ).alias("rho"),
-        )
-        .groupBy(*group_cols, "bucket")
-        .agg(F.max("rho").alias("m_reg"))
-    )
+    snapshot feeds the same estimate formula as the batch operator.
+
+    Delegates to the batch builder — a max-aggregation is an allowed
+    streaming stateful op, and sharing the expression guarantees the
+    streaming state is bit-identical to a batch-built sketch (and
+    MERGEABLE with one: llmops/sketches.py:hll_registers)."""
+    from ..llmops.sketches import hll_registers
+
+    return hll_registers(stream, key_col, group_cols, b)

@@ -102,3 +102,36 @@ def test_bloom_prunes_before_exact_join(spark, sf_dir):
     n_true = corpus.join(eval_grams, "gram", "left_semi").count()
     assert n_true <= n_candidates  # superset
     assert n_candidates < n_total / 10  # actually prunes
+
+
+def test_hll_register_merge_equals_union_build(spark, sf_dir):
+    """Mergeability: max-merging two groups' registers must give EXACTLY
+    the registers of a sketch built over the union of their key sets."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    st = docs.select("source", F.explode(tokens_col("text")).alias("term")).distinct()
+    two = st.filter(F.col("source").isin("src0", "src1"))
+    regs = K.hll_registers(two, "term", ["source"], b=6)
+    merged = {
+        r.bucket: r.m_reg
+        for r in regs.groupBy("bucket").agg(F.max("m_reg").alias("m_reg")).collect()
+    }
+    union_keys = two.select("term").distinct().withColumn("g", F.lit("u"))
+    direct = {
+        r.bucket: r.m_reg
+        for r in K.hll_registers(union_keys, "term", ["g"], b=6).collect()
+    }
+    assert merged == direct
+
+
+def test_hll_union_estimate_bounds(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from convex_batch_processor_spark.queries.llm7 import hll_union_sources
+
+    rows = hll_union_sources(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_intersect_exact <= r.n_union_exact
+        # union estimate within the documented HLL error of exact (b=8)
+        assert abs(r.hll_union_est - r.n_union_exact) / r.n_union_exact < 0.35

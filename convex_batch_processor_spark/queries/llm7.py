@@ -73,8 +73,15 @@ def hll_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang inventory windows); exact counts exist for verification and
     would be dropped at scale — they are the quadratic part."""
     docs = _t(spark, sf_dir, "documents")
-    st = docs.select("source", F.explode(tokens_col("text")).alias("term")).distinct()
-    regs = K.hll_registers(st, "term", ["source"], b=8)
+    # persisted: four consumers (registers, per-source exacts, both sides of
+    # the exact-intersection self-join) would otherwise each rescan the
+    # corpus — the plan test pins the scan count
+    st = (
+        docs.select("source", F.explode(tokens_col("text")).alias("term"))
+        .distinct()
+        .persist()
+    )
+    regs = K.hll_registers(st, "term", ["source"], b=8).persist()
     est = K.hll_estimate_from_registers(regs, ["source"], b=8).select(
         "source", F.col("hll_est").alias("e")
     )

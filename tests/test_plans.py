@@ -287,3 +287,63 @@ def test_histogram_rank_global_windows_are_value_bounded(spark, sf_dir):
     ):
         for cols in E.global_window_inputs(q(spark, sf_dir, name)):
             assert cols <= allowed, (name, cols)
+
+
+# --- late-r4: sketch pack + explode-duplication guards ----------------------
+
+
+def _optimized(df):
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_no_inferred_filter_duplicates_shingle_pipeline(spark, sf_dir):
+    """The InferFiltersFromGenerate regression guard: exploding a projected
+    array column makes Catalyst push a size() filter containing a COPY of
+    the whole per-gram transform pipeline (4.7x measured). A filter that
+    merely re-derives the token COUNT (one extra split per row) is cheap
+    and allowed; a `transform(` inside any Filter line is the pathology."""
+    for name in ("bloom_decontamination_prefilter", "ngram_novelty_score",
+                 "dup_span_coverage", "minhash_neardup", "eval_contamination"):
+        plan = _optimized(QUERIES[name].fn(spark, sf_dir))
+        bad = [
+            ln for ln in plan.split("\n")
+            if "Filter" in ln and "transform(" in ln
+        ]
+        assert not bad, (name, bad[:1])
+
+
+def test_exploded_shingles_computes_split_once(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from convex_batch_processor_spark.llmops.dedup import exploded_shingles
+
+    df = exploded_shingles(load_table(spark, sf_dir, "documents"), n=8)
+    plan = _optimized(df)
+    assert plan.count("split(text") == 1, plan[:400]
+
+
+def test_cms_probe_broadcasts_the_sketch(spark, sf_dir):
+    df = QUERIES["cms_heavy_hitters"].fn(spark, sf_dir)
+    assert E.uses_broadcast_join(df)
+
+
+def test_bloom_query_is_single_aggregation_no_position_join(spark, sf_dir):
+    """The bitmap form: membership is a map-side expression, so the plan
+    must have no join on a bit-position column and only doc-keyed
+    aggregation exchanges plus the broadcast of the eval-gram flags."""
+    df = QUERIES["bloom_decontamination_prefilter"].fn(spark, sf_dir)
+    # one shuffle for the final doc_id aggregation; everything else broadcast
+    assert E.uses_broadcast_join(df)
+    assert E.count_exchanges(df) <= 3, E.count_exchanges(df)
+
+
+def test_hll_union_runs_on_register_state_not_corpus(spark, sf_dir):
+    """The pairwise union work must join register tables (bounded), never
+    re-scan documents per pair: documents appears a bounded number of
+    times in the plan (distinct + exact branches), not once per pair."""
+    df = QUERIES["hll_union_sources"].fn(spark, sf_dir)
+    plan = E.physical_plan(df)
+    # every consumer of the (source, term) distinct and of the register
+    # table must read the cache, not rescan the corpus (InMemoryRelation
+    # descriptions embed the original FileScan text, so count cache scans,
+    # not parquet mentions)
+    assert plan.count("InMemoryTableScan") >= 5, plan.count("InMemoryTableScan")

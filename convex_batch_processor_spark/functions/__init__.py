@@ -9,8 +9,19 @@ The engine's function surface, grouped:
 """
 
 from ..iterator import backoff_ms  # noqa: F401
-from ..llmops.dedup import content_hash, shingles_from_tokens, tokens_col, with_shingles  # noqa: F401
+from ..llmops.dedup import (  # noqa: F401
+    content_hash,
+    exploded_shingles,
+    shingles_from_tokens,
+    tokens_col,
+    with_shingles,
+)
 from ..llmops.similarity import cosine_col, dot_col, norm_col  # noqa: F401
+from ..llmops.sketches import (  # noqa: F401
+    bloom_hit_col,
+    md5_int,
+    md5_int_sql,
+)
 from ..llmops.textstats import (  # noqa: F401
     prefix_fingerprint,
     quality_label,

@@ -53,6 +53,41 @@ def streaming_cms_cells(
     )
 
 
+def streaming_cms_windowed(
+    stream: DataFrame,
+    ts_col: str,
+    term_col: str = "term",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Time-windowed CMS: one sketch per tumbling event-time window, with
+    watermark-driven state EVICTION — the form an always-on pipeline
+    runs, where an unwindowed sketch would conflate all of history and
+    its state, while bounded, would never age out. State is
+    (live windows) × depth × width cells; once the watermark passes a
+    window, its cells finalize (append-mode emittable) and leave the
+    store. Output: (win, j, bucket, counter)."""
+    cells = stream.withWatermark(ts_col, watermark).select(
+        F.window(F.col(ts_col), window_duration).alias("win"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    (md5_int(F.col(term_col), j) % width).alias("bucket"),
+                )
+                for j in range(depth)
+            ])
+        ).alias("cell"),
+    )
+    return (
+        cells.select("win", "cell.j", "cell.bucket")
+        .groupBy("win", "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
 def streaming_hll_registers(
     stream: DataFrame,
     key_col: str,

@@ -125,3 +125,67 @@ def test_streaming_cms_state_is_bounded(spark, tmp_path):
     )
     assert len(rows) <= 4 * 32
     assert sum(r.counter for r in rows if r.j == 2) == 500
+
+
+def test_streaming_windowed_cms_equals_batch_and_appends(spark, tmp_path):
+    """Windowed sketch: per-window cells match the batch computation, and
+    append mode works (watermark finalizes closed windows)."""
+    import datetime as dt
+
+    from convex_batch_processor_spark.streaming.sketches import (
+        streaming_cms_windowed,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("term", T.StringType()),
+        ]
+    )
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for h in range(3):  # three 1-hour windows
+        for i, t in enumerate("alpha beta alpha gamma".split()):
+            rows.append((base + dt.timedelta(hours=h, minutes=i), t))
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    for chunk in (rows[:half], rows[half:]):
+        spark.createDataFrame(chunk, schema).coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_cms_windowed(stream, "ts", "term", "1 hour", "30 minutes", 4, 64)
+    q = (
+        out.writeStream.outputMode("append")  # watermark makes append legal
+        .format("memory")
+        .queryName("cms_win")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win.start.hour, r.j, r.bucket): r.counter
+        for r in spark.sql("SELECT * FROM cms_win").collect()
+    }
+
+    batch = spark.read.parquet(str(src))
+    want = {
+        (r.win.start.hour, r.j, r.bucket): r.counter
+        for r in streaming_cms_windowed(batch, "ts", "term", "1 hour", "30 minutes", 4, 64)
+        .collect()
+    }
+    # append mode emits only watermark-CLOSED windows; whatever was emitted
+    # must match the batch value exactly. With the final watermark at
+    # 02:03 - 30min = 01:33, window 0 is definitely closed; windows 1-2 may
+    # legitimately still be open at stream end.
+    assert got
+    for k, v in got.items():
+        assert want[k] == v, k
+    emitted_hours = {h for (h, _, _) in got}
+    assert 0 in emitted_hours
+    assert 2 not in emitted_hours  # never emitted while open

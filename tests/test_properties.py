@@ -131,3 +131,78 @@ def test_pack_greedy_property(spark, token_counts, capacity):
             assert r.bin_id == bin_id
             fill += r.n_tokens
             assert fill <= capacity or (fill == r.n_tokens)
+
+
+# --- sketch properties (late r4) --------------------------------------------
+
+_term = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=6, deadline=None)  # each example is a Spark job
+@given(st.lists(_term, min_size=1, max_size=120))
+def test_cms_point_estimate_never_underestimates_property(spark, terms):
+    """CMS one-sided guarantee on arbitrary inputs (collisions included)."""
+    from convex_batch_processor_spark.llmops import sketches as K
+
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    counts = df.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    sketch = K.cms_sketch(counts, "term", "cnt", depth=3, width=16)  # tiny -> forced collisions
+    est = K.cms_estimate(counts, sketch, "term", depth=3, width=16)
+    rows = counts.join(est, "term").collect()
+    total = len(terms)
+    for r in rows:
+        assert r.cms_est >= r.cnt, (r.term, r.cnt, r.cms_est)
+        assert r.cms_est <= total  # a cell can never exceed the stream length
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_term, min_size=1, max_size=80),
+    st.lists(_term, min_size=1, max_size=80),
+)
+def test_hll_merge_commutes_with_union_property(spark, a_keys, b_keys):
+    """Register max-merge of two sketches == sketch of the union, for any
+    key sets (the mergeability law, on adversarial random inputs)."""
+    from convex_batch_processor_spark.llmops import sketches as K
+
+    df = spark.createDataFrame(
+        [("a", t) for t in a_keys] + [("b", t) for t in b_keys], "g string, term string"
+    )
+    regs = K.hll_registers(df, "term", ["g"], b=4)
+    merged = {
+        r.bucket: r.m_reg
+        for r in regs.groupBy("bucket").agg(F.max("m_reg").alias("m_reg")).collect()
+    }
+    union = spark.createDataFrame(
+        [("u", t) for t in set(a_keys) | set(b_keys)], "g string, term string"
+    )
+    direct = {r.bucket: r.m_reg for r in K.hll_registers(union, "term", ["g"], b=4).collect()}
+    assert merged == direct
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(_term, min_size=1, max_size=60),
+    st.lists(_term, min_size=1, max_size=60),
+)
+def test_bloom_no_false_negatives_property(spark, members, probes):
+    """For ANY member/probe sets: every member passes its own filter."""
+    from convex_batch_processor_spark.llmops import sketches as K
+
+    keys = spark.createDataFrame([(t,) for t in set(members)], "k string")
+    words = K.bloom_bitmap(keys, "k", m_bits=256, k=2)  # tiny -> heavy fp, fine
+    probe = spark.createDataFrame(
+        [(t,) for t in set(members) | set(probes)], "k string"
+    )
+    hits = {
+        r.k: r.hit
+        for r in probe.select(
+            "k", K.bloom_hit_col("k", words, 256, 2).alias("hit")
+        ).collect()
+    }
+    for m in set(members):
+        assert hits[m], m

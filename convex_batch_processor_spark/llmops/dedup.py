@@ -95,6 +95,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+# --- Winnowing (MOSS) fingerprints ------------------------------------------
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, MOSS):
+    hash every k-token gram (first 8 hex chars of md5 — engine-portable),
+    then keep the minimum hash of each sliding window of ``w`` consecutive
+    gram hashes. Returns distinct (id, fp) rows.
+
+    Guarantee: any shared token run of length >= k + w - 1 between two
+    documents yields at least one shared fingerprint; expected density is
+    ~2/(w+1) of the grams. Documents shorter than k + w - 1 tokens emit
+    nothing (callers wanting whole-short-doc coverage can union an md5 of
+    the full text for those).
+
+    Plan shape: the gram-hash array is MATERIALIZED in its own projection
+    (transform lambdas re-evaluate inline sub-expressions per element —
+    see shingles_from_tokens), and the window-min selection stays INSIDE
+    the Generate (explode of an expression, not of a projected array — see
+    exploded_shingles). Entirely map-side: no shuffle until the caller
+    aggregates.
+    """
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("_toks"))
+    hs = toks.filter(F.size("_toks") >= k + w - 1).select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(1), F.size("_toks") - (k - 1)),
+            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))), 1, 8),
+        ).alias("_h"),
+    )
+    return hs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_h") - (w - 1)),
+                    lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+                )
+            )
+        ).alias("fp"),
+    )
+
+
 # --- MinHash + LSH ----------------------------------------------------------
 
 

@@ -1,0 +1,133 @@
+"""llm8 warehouse/pipeline pack: plan contracts + winnowing properties.
+
+Correctness of every llm8 query is already covered by the DuckDB parity
+gate (test_oracle_parity); these tests pin the 100 TB plan shapes and the
+winnowing guarantee on inputs the fixed testdata never produces.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from convex_batch_processor_spark.llmops.dedup import winnow_fingerprints
+from convex_batch_processor_spark.plans import explain as E
+from convex_batch_processor_spark.queries import QUERIES
+
+
+def q(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+# --- plan contracts ---------------------------------------------------------
+
+
+def test_winnowing_pairs_no_cartesian(spark, sf_dir):
+    """Fingerprint pairing must stay an inverted-index equi-join — never
+    an all-pairs doc x doc plan."""
+    plan = E.physical_plan(q(spark, sf_dir, "winnowing_fingerprint_pairs"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_winnow_fingerprints_is_map_only(spark, sf_dir):
+    """Fingerprint extraction itself shuffles nothing: hash array +
+    window-min explode are one map-side pipeline."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert E.count_exchanges(winnow_fingerprints(docs)) == 0
+
+
+def test_pagerank_scans_events_once(spark, sf_dir):
+    """The iteration loop must run on the persisted edge aggregate
+    (|types|^2 rows) — exactly one corpus scan for edge extraction, not
+    one per PR iteration."""
+    df = q(spark, sf_dir, "pagerank_event_graph")
+    try:
+        plan = E.physical_plan(df)
+        # every parquet-scan occurrence in the plan text sits inside a
+        # cached InMemoryRelation printout — i.e. no subtree reads events
+        # directly; the cache materializes the one real scan
+        assert "InMemoryTableScan" in plan
+        assert plan.count("Scan parquet") == plan.count("InMemoryRelation"), plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    """A-ES top-n must compile to TakeOrdered (per-partition top-n +
+    driver merge), never a global sort shuffle."""
+    assert E.uses_take_ordered(q(spark, sf_dir, "weighted_sample_orders"))
+
+
+def test_mad_outliers_broadcasts_median_state(spark, sf_dir):
+    """The med/MAD join-backs are bounded per-type rows: broadcast, no
+    shuffle of the event stream for the join."""
+    assert E.uses_broadcast_join(q(spark, sf_dir, "mad_outliers"))
+
+
+def test_scd2_no_global_window(spark, sf_dir):
+    """Every window in the SCD2 build is user-partitioned — a global
+    (unpartitioned) window over events would serialize the corpus."""
+    assert E.global_window_inputs(q(spark, sf_dir, "scd2_user_state")) == []
+
+
+def test_gapfill_no_cartesian(spark, sf_dir):
+    plan = E.physical_plan(q(spark, sf_dir, "gapfill_daily_counts"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- winnowing properties ---------------------------------------------------
+
+_K = 4
+_W = 4
+
+_tok = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+
+
+def _fps(spark, docs):
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = {}
+    for r in winnow_fingerprints(df, k=_K, w=_W).collect():
+        out.setdefault(r.doc_id, set()).add(r.fp)
+    return out
+
+
+@settings(max_examples=6, deadline=None)  # each example is a Spark job
+@given(
+    st.lists(_tok, min_size=_K + _W - 1, max_size=20),  # shared span
+    st.lists(_tok, min_size=0, max_size=15),  # doc-a prefix
+    st.lists(_tok, min_size=0, max_size=15),  # doc-a suffix
+    st.lists(_tok, min_size=0, max_size=15),  # doc-b prefix
+    st.lists(_tok, min_size=0, max_size=15),  # doc-b suffix
+)
+def test_winnowing_shared_span_guarantee(spark, span, pa, sa, pb, sb):
+    """The MOSS guarantee: two docs sharing a contiguous run of
+    >= k + w - 1 tokens share at least one selected fingerprint,
+    wherever the run sits in either doc."""
+    fps = _fps(spark, [pa + span + sa, pb + span + sb])
+    assert fps.get(0, set()) & fps.get(1, set())
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(_tok, min_size=0, max_size=_K + _W - 2))
+def test_winnowing_short_docs_emit_nothing(spark, toks):
+    """Docs below the k + w - 1 guarantee threshold yield no
+    fingerprints (callers union a whole-doc hash if they need them)."""
+    assert _fps(spark, [toks]) == {}
+
+
+@pytest.mark.parametrize("w", [2, 4, 8])
+def test_winnowing_density_shrinks_with_window(spark, sf_dir, w):
+    """Winnowing selects ~2/(w+1) of gram hashes: a larger window must
+    never select more fingerprints (per doc, distinct-counted)."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    n = winnow_fingerprints(docs, w=w).count()
+    n2 = winnow_fingerprints(docs, w=w * 2).count()
+    assert n2 <= n

@@ -79,6 +79,31 @@ def test_gapfill_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_rag_chunking_is_map_only(spark, sf_dir):
+    """Chunking must not shuffle: token array + integer-sequence explode
+    + slice/hash is one map-side pipeline."""
+    assert E.count_exchanges(q(spark, sf_dir, "rag_chunk_overlap")) == 0
+
+
+def test_hard_negatives_broadcast_query_side(spark, sf_dir):
+    assert E.uses_broadcast_join(q(spark, sf_dir, "hard_negative_mining"))
+
+
+def test_time_decay_single_user_shuffle(spark, sf_dir):
+    """Decay weighting is map-side; the only corpus-scale exchange is the
+    final user-keyed aggregation (the reference-date scalar runs through
+    a 1-row SinglePartition + broadcast, which is control-plane)."""
+    plan = E.physical_plan(q(spark, sf_dir, "time_decay_user_score"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_label_balance_no_global_window(spark, sf_dir):
+    """The undersample rank is label-partitioned — never a global
+    window over the corpus."""
+    assert E.global_window_inputs(q(spark, sf_dir, "label_balance_undersample")) == []
+
+
 # --- winnowing properties ---------------------------------------------------
 
 _K = 4

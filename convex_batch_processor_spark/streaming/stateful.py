@@ -158,3 +158,91 @@ def gap_sessions_per_key(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+SCD2_OUTPUT_SCHEMA = (
+    "user_id long, version long, state string, valid_from_us long, valid_to_us long"
+)
+SCD2_STATE_SCHEMA = "cur_state string, version long, since_us long, last_us long, last_seq long"
+
+
+def scd2_closed_intervals_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_us_col: str = "ts_us",
+    type_col: str = "event_type",
+    seq_col: str = "event_id",
+) -> DataFrame:
+    """Streaming SCD type-2 maintenance: the incremental twin of the batch
+    ``scd2_user_state`` query. Each key's open version lives in the state
+    store as (state, version, since); every observed state CHANGE closes
+    the previous version and emits its interval row exactly then — the
+    closed-interval stream is append-only, so downstream can sink it
+    straight into the history table the batch query would rebuild from
+    scratch.
+
+    Given the same events in the same per-key (ts, seq) order, the emitted
+    rows are EXACTLY the batch query's ``is_current = false`` rows (the
+    open version per key stays in state, unemitted — drain it with a final
+    snapshot read if the stream ends). Events at or before the key's last
+    processed (ts, seq) position are dropped (out-of-order arrivals older
+    than already-closed history cannot retro-split intervals; bound
+    staleness upstream with a watermark).
+
+    Scale: one shuffle per micro-batch on the key; state is ONE tiny row
+    per key regardless of history length (closed intervals leave
+    immediately) — the batch rebuild holds the full event history, this
+    holds the open version only.
+    """
+
+    def update_scd2(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        events: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            events.extend(
+                zip(
+                    pdf[ts_us_col].astype("int64"),
+                    pdf[seq_col].astype("int64"),
+                    pdf[type_col].astype("object"),
+                )
+            )
+        if not events:
+            return
+        events.sort(key=lambda e: (e[0], e[1]))
+
+        cur = state.get if state.exists else None  # (state, ver, since, last, seq)
+        out: list[tuple[int, str, int, int]] = []  # (version, state, from, to)
+        for ts, eid, et in events:
+            if cur is not None and (ts, eid) <= (cur[3], cur[4]):
+                continue  # at/before already-processed position: drop
+            if cur is None:
+                cur = (et, 1, ts, ts, eid)
+            elif et != cur[0]:
+                out.append((cur[1], cur[0], cur[2], ts))
+                cur = (et, cur[1] + 1, ts, ts, eid)
+            else:
+                cur = (cur[0], cur[1], cur[2], ts, eid)
+        state.update(cur)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out),
+                    "version": [o[0] for o in out],
+                    "state": [o[1] for o in out],
+                    "valid_from_us": [o[2] for o in out],
+                    "valid_to_us": [o[3] for o in out],
+                }
+            )
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            update_scd2,
+            outputStructType=SCD2_OUTPUT_SCHEMA,
+            stateStructType=SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

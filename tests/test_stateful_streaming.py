@@ -137,3 +137,68 @@ def test_gap_sessions_event_time_timeout(spark, tmp_path):
     assert sessions[(2, t0 + 40 * minute)] == (1, t0 + 40 * minute, 20.0)
     # the sentinel's own session: watermark never passes it -> still open
     assert (99, t0 + 1000 * minute) not in sessions
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
+    """Differential: streaming SCD2 over the events table (two time-split
+    micro-batches) emits exactly the batch scd2_user_state query's CLOSED
+    intervals (is_current = false); open versions stay in state."""
+    import pyspark.sql.functions as F
+
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.queries import QUERIES
+    from convex_batch_processor_spark.streaming.stateful import (
+        scd2_closed_intervals_per_key,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "event_id",
+    )
+    cut = ev.agg(F.expr("percentile(ts_us, 0.5)")).first()[0]
+
+    src = tmp_path / "scd2_src"
+    src.mkdir()
+    # earlier-half file first (earlier mtime -> processed first); the time
+    # split keeps per-key order across batches
+    ev.filter(F.col("ts_us") <= cut).coalesce(1).write.parquet(str(src / "a"))
+    ev.filter(F.col("ts_us") > cut).coalesce(1).write.parquet(str(src / "b"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        scd2_closed_intervals_per_key(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_out")
+        .option("checkpointLocation", str(tmp_path / "scd2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.version, r.state, r.valid_from_us, r.valid_to_us)
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+    expected = {
+        (r.user_id, r.version, r.state, r.from_us, r.to_us)
+        for r in QUERIES["scd2_user_state"]
+        .fn(spark, sf_dir)
+        .filter(~F.col("is_current"))
+        .select(
+            "user_id",
+            "version",
+            "state",
+            F.unix_micros("valid_from").alias("from_us"),
+            F.unix_micros("valid_to").alias("to_us"),
+        )
+        .collect()
+    }
+    assert got == expected
+    assert len(got) > 0

@@ -75,6 +75,13 @@ HEADLINE = [
     "bloom_decontamination_prefilter",
     "image_decode_features",
     "video_frame_stats",
+    # post-window round-4 additions: warehouse/ML-dataset packs — MOSS
+    # winnowing pairs, SCD2 history build, map-only RAG chunking, exact
+    # power-of-two recency decay
+    "winnowing_fingerprint_pairs",
+    "scd2_user_state",
+    "rag_chunk_overlap",
+    "time_decay_user_score",
 ]
 
 

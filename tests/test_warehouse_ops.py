@@ -104,6 +104,30 @@ def test_label_balance_no_global_window(spark, sf_dir):
     assert E.global_window_inputs(q(spark, sf_dir, "label_balance_undersample")) == []
 
 
+def test_supplier_triangles_all_equi_joins(spark, sf_dir):
+    """Ordered-edge triangle enumeration must stay equi-joins — a
+    nested-loop anywhere means the hot-part cap or the join keys broke."""
+    try:
+        plan = E.physical_plan(q(spark, sf_dir, "supplier_triangles"))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_token_pmi_prunes_postings_with_broadcast_vocab(spark, sf_dir):
+    try:
+        assert E.uses_broadcast_join(q(spark, sf_dir, "token_pmi_pairs"))
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_burst_detection_no_global_window(spark, sf_dir):
+    """Trailing windows are type-partitioned over the bounded grid —
+    never an unpartitioned window."""
+    assert E.global_window_inputs(q(spark, sf_dir, "burst_detection_daily")) == []
+
+
 # --- winnowing properties ---------------------------------------------------
 
 _K = 4

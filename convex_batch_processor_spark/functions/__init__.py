@@ -14,6 +14,7 @@ from ..llmops.dedup import (  # noqa: F401
     exploded_shingles,
     shingles_from_tokens,
     tokens_col,
+    winnow_fingerprints,
     with_shingles,
 )
 from ..llmops.similarity import cosine_col, dot_col, norm_col  # noqa: F401

@@ -188,3 +188,79 @@ def foreach_partition_push(df: DataFrame, make_handler, batch_size: int = 1000) 
             handler(buf)
 
     df.foreachPartition(run)
+
+
+# --- Z-order (Morton) layout -------------------------------------------------
+
+
+def morton_interleave(xn, yn, bits: int = 8):
+    """Morton (Z-order) code of two NORMALIZED non-negative int columns in
+    [0, 2^bits): bit i of x lands at position 2i+1, bit i of y at 2i.
+    Pure integer shifts/masks — exact and engine-portable.
+
+    Z-ordering is the multi-column clustering trick (Delta OPTIMIZE
+    ZORDER BY, Hudi, Iceberg sort orders): sorting by the interleaved code
+    gives every contiguous file range a BOUNDED span in BOTH dimensions,
+    so min/max file stats prune on either predicate — a plain sort only
+    prunes its leading column."""
+    xn = F.col(xn) if isinstance(xn, str) else xn
+    yn = F.col(yn) if isinstance(yn, str) else yn
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(xn.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i + 1)
+            + F.shiftleft(F.shiftright(yn.cast("long"), i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    return code
+
+
+def morton_interleave_sql(x: str, y: str, bits: int = 8) -> str:
+    """The same Morton code as DuckDB-SQL text (oracle twin of
+    :func:`morton_interleave`)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    x_min: int,
+    x_max: int,
+    y_min: int,
+    y_max: int,
+    bits: int = 8,
+    num_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the Morton code of two columns: each
+    dimension is min-max normalized to [0, 2^bits) with exact integer
+    arithmetic, codes are range-partitioned (repartitionByRange = sample
+    + range split, no global sort of rows within files needed for file
+    stats) and sorted within partitions so parquet row-group stats are
+    tight in BOTH dimensions.
+
+    Pass the min/max bounds explicitly (from a prior 1-row agg or table
+    stats) — computing them inline would add a scan; at 100 TB bounds
+    come from the catalog."""
+    span_x = max(x_max - x_min, 1)
+    span_y = max(y_max - y_min, 1)
+    top = (1 << bits) - 1
+    xn = ((F.col(x_col).cast("long") - x_min) * top) / span_x
+    yn = ((F.col(y_col).cast("long") - y_min) * top) / span_y
+    code = morton_interleave(
+        F.floor(xn).cast("long"), F.floor(yn).cast("long"), bits
+    ).alias("_z")
+    (
+        df.select("*", code)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )

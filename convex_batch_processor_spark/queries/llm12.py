@@ -207,3 +207,106 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wi").alias("weight_scaled"),
         (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long")).alias("alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable cosine-LSH near-dup (fully oracle-replayable banding)
+# ---------------------------------------------------------------------------
+
+_PLSH_BANDS = 4
+_PLSH_BITS = 4
+_PLSH_DIM = 64
+_PLSH_SEED = 42
+_PLSH_THRESHOLD = 0.42
+
+
+def _plsh_oracle() -> str:
+    """DuckDB twin of the 4x4 literal-hyperplane banding: bucket = sign
+    bits of list_dot_product against the SAME 6-dp plane literals the
+    Spark side bakes into its fold (sequential fold == list_dot_product
+    bit-for-bit, NOTES)."""
+    from ..llmops.similarity import _hyperplanes
+
+    band_exprs = []
+    for band in range(_PLSH_BANDS):
+        planes = _hyperplanes(_PLSH_BITS, _PLSH_DIM, _PLSH_SEED + band)
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(w) for w in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        band_exprs.append(f"SELECT vec_id, {band} AS band, ({bits}) AS bucket FROM embeddings")
+    sig = " UNION ALL ".join(band_exprs)
+    cos = (
+        "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6)"
+    )
+    return f"""
+    WITH sig AS MATERIALIZED ({sig}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id)
+    SELECT c.vec_id_a, c.vec_id_b, {cos} AS sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+    WHERE {cos} > {_PLSH_THRESHOLD!r}
+    """
+
+
+@register("cosine_lsh_portable_neardup", oracle=_plsh_oracle())
+def cosine_lsh_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH near-dup, ENGINE-PORTABLE VERIFICATION
+    VARIANT: {bands}x{bits} literal hyperplanes evaluated as JVM
+    sequential folds (== DuckDB list_dot_product bit-for-bit), bucket
+    equi-join candidates, exact 6-dp cosine rerank — the whole banded
+    pipeline (signatures, banding, candidates, rerank) replayed by the
+    oracle, the cosine twin of minhash_portable_neardup.
+
+    The PRODUCTION path is cosine_neardup_bucketed (24x4 planes in one
+    Arrow matmul — 96 Column folds would blow up codegen; recall >= 0.98
+    at this threshold). This portable variant keeps the plane count where
+    Column math is cheap; its banding recall (~1-(1-p^4)^4) is
+    deliberately traded for end-to-end cross-engine verifiability —
+    precision of emitted pairs is exactly 1.0 (every pair reranked
+    exactly), and the candidate plan shape is the same O(n*bands)
+    equi-join as production."""
+    from ..llmops.similarity import dot_col, hyperplane_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = []
+    for band in range(_PLSH_BANDS):
+        s = hyperplane_lsh_buckets(
+            emb, n_bits=_PLSH_BITS, dim=_PLSH_DIM, seed=_PLSH_SEED + band
+        ).select("vec_id", F.lit(band).alias("band"), "bucket")
+        sigs.append(s)
+    sig = sigs[0]
+    for s in sigs[1:]:
+        sig = sig.unionAll(s)
+    sig = sig.persist()  # both sides of the candidate self-join
+    a = sig.select(F.col("vec_id").alias("vec_id_a"), "band", "bucket")
+    b = sig.select(F.col("vec_id").alias("vec_id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    na = F.sqrt(dot_col(F.col("va"), F.col("va")))
+    nb = F.sqrt(dot_col(F.col("vb"), F.col("vb")))
+    sim = F.round(dot_col(F.col("va"), F.col("vb")) / (na * nb), 6)
+    return (
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > _PLSH_THRESHOLD)
+    )
+
+
+cosine_lsh_portable_neardup.__doc__ = cosine_lsh_portable_neardup.__doc__.format(
+    bands=_PLSH_BANDS, bits=_PLSH_BITS
+)

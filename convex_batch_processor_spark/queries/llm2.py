@@ -139,12 +139,40 @@ def token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.pack_chunks(_t(spark, sf_dir, "documents"), capacity=512)
 
 
-@register("token_pack_greedy")  # rows-only: sequential first-fit, not SQL-expressible
+@register(
+    "token_pack_greedy",
+    # late-r4: the "not SQL-expressible" claim was wrong — a sequential
+    # fold IS expressible as a linear recursive CTE that advances every
+    # source by one row per step (state = (bin_id, fill)); depth = max
+    # docs per source. Converted from rows-only to a full oracle.
+    oracle="""
+    WITH RECURSIVE sized AS MATERIALIZED (
+        SELECT source, doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
+                   AS n_tokens,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    walk(source, rn, doc_id, n_tokens, bin_id, fill) AS (
+        SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT), CAST(n_tokens AS BIGINT)
+        FROM sized WHERE rn = 1
+        UNION ALL
+        SELECT s.source, s.rn, s.doc_id, s.n_tokens,
+               CASE WHEN w.fill > 0 AND w.fill + s.n_tokens > 512
+                    THEN w.bin_id + 1 ELSE w.bin_id END,
+               CASE WHEN w.fill > 0 AND w.fill + s.n_tokens > 512
+                    THEN CAST(s.n_tokens AS BIGINT) ELSE w.fill + s.n_tokens END
+        FROM walk w JOIN sized s ON s.source = w.source AND s.rn = w.rn + 1
+    )
+    SELECT source, doc_id, n_tokens, bin_id FROM walk
+    """,
+)
 def token_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing, first-fit variant: bins never exceed 512 tokens
     (oversize docs alone excepted). Sequential per source →
     applyInPandas with source as the parallelism unit; verified against a
-    python oracle in tests (llmops/packing.py)."""
+    python reference in tests (llmops/packing.py) AND against a DuckDB
+    recursive-CTE replay of the identical fold."""
     return P.pack_greedy(_t(spark, sf_dir, "documents"), capacity=512)
 
 

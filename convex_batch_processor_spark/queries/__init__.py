@@ -37,6 +37,7 @@ from . import llm9  # noqa: E402,F401  (late-r4, post-window — round-5 rotatio
 from . import llm10  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm11  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm12  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm13  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 def spark_queries():

@@ -43,6 +43,10 @@ def test_pagerank_scans_events_once(spark, sf_dir):
     """The iteration loop must run on the persisted edge aggregate
     (|types|^2 rows) — exactly one corpus scan for edge extraction, not
     one per PR iteration."""
+    # other tests (and the parity gate) leave persisted DataFrames on the
+    # shared session; Catalyst cache substitution would skew the plan's
+    # scan/InMemoryRelation counts — start from a clean cache
+    spark.catalog.clearCache()
     df = q(spark, sf_dir, "pagerank_event_graph")
     try:
         plan = E.physical_plan(df)

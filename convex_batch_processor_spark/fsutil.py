@@ -70,3 +70,20 @@ def read_text(spark: SparkSession, path: str) -> str:
         )
     finally:
         stream.close()
+
+
+def write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small control-plane file ATOMICALLY: create ``path.tmp``,
+    then rename over ``path``. Rename is atomic on HDFS/local posix; on
+    S3-style stores it is copy+delete — pair with a unique target name
+    (version-stamped manifests) so a half-committed file is never read."""
+    fs, jp = _fs_path(spark, path)
+    tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(text.encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(jp):
+        fs.delete(jp, False)
+    fs.rename(tmp, jp)

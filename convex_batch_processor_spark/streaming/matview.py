@@ -1,0 +1,209 @@
+"""Incremental materialized-view maintenance with copy-on-write bucket
+snapshots.
+
+The reference's accumulator maintains APPEND state (staged items + a
+history log); this module maintains AGGREGATE state: a keyed mergeable
+aggregate (count / decimal sum / min / max) kept continuously up to date
+from a stream, readable at any committed version.
+
+Storage layout (a miniature LSM/Delta-style table):
+
+    root/
+      data/v=<epoch>/bucket=<b>/part-*.parquet   only buckets CHANGED in e
+      manifest/v<epoch>.json                     {bucket: version-that-owns-it}
+
+Each epoch merges its delta into ONLY the hash buckets the delta touches
+(copy-on-write: untouched buckets stay owned by older versions, carried
+forward by manifest reference — never rewritten). The manifest commit is
+an atomic rename, and a REPLAYED epoch (at-least-once delivery after a
+failure) rewrites exactly its own version dir + manifest from the same
+parent, so the view is idempotent under retry: exactly-once state from
+at-least-once delivery — the same contract the reference's flush loop
+targets (lib.ts:546-597), achieved by versioning instead of locks.
+
+Scale: per-epoch write cost is O(changed buckets), not O(state);
+``n_buckets`` controls the rewrite granularity (4096+ on a real cluster —
+a skewed epoch touching one hot key rewrites 1/4096th of the state).
+Readers pay one manifest read + a bucket-pruned scan per referenced
+version; ``vacuum`` bounds version sprawl.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import fsutil
+
+
+@dataclass
+class IncrementalAggView:
+    """Continuously-maintained keyed aggregate: count, exact decimal sum,
+    min, max of ``value_col`` per ``key_cols``."""
+
+    spark: SparkSession
+    root: str
+    key_cols: list[str]
+    value_col: str
+    n_buckets: int = 16
+
+    # --- layout -------------------------------------------------------------
+
+    @property
+    def _data_dir(self) -> str:
+        return os.path.join(self.root, "data")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def _version_dir(self, version: int) -> str:
+        return os.path.join(self._data_dir, f"v={version}")
+
+    # --- manifests ----------------------------------------------------------
+
+    def committed_versions(self) -> list[int]:
+        out = []
+        for name in fsutil.listdir(self.spark, self._manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict[str, int]:
+        path = os.path.join(self._manifest_dir, f"v{version}.json")
+        return json.loads(fsutil.read_text(self.spark, path))
+
+    def _parent_manifest(self, epoch_id: int) -> dict[str, int]:
+        """Latest committed manifest STRICTLY BELOW this epoch — a replayed
+        epoch must merge from the same parent it used the first time, never
+        from its own (possibly half-written) output."""
+        parents = [v for v in self.committed_versions() if v < epoch_id]
+        return self._read_manifest(max(parents)) if parents else {}
+
+    # --- the aggregate ------------------------------------------------------
+
+    def _bucket(self):
+        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.key_cols])
+        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
+
+    def _aggregate(self, df: DataFrame) -> DataFrame:
+        """Mergeable partial aggregate of raw rows OR of prior partials —
+        the same shape in and out (count/sum re-sum, min/max re-min/max),
+        which is what makes epochs composable."""
+        if "n_rows" in df.columns:
+            n = F.sum("n_rows").alias("n_rows")
+            sm = F.sum("sum_v").alias("sum_v")
+            mn, mx = F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v")
+        else:
+            v = F.col(self.value_col)
+            n = F.count(F.lit(1)).alias("n_rows")
+            sm = F.sum(v.cast("decimal(28,2)")).cast("decimal(28,2)").alias("sum_v")
+            mn, mx = F.min(v).alias("min_v"), F.max(v).alias("max_v")
+        return (
+            df.withColumn("bucket", F.coalesce(F.col("bucket"), self._bucket()))
+            if "bucket" in df.columns
+            else df.withColumn("bucket", self._bucket())
+        ).groupBy("bucket", *self.key_cols).agg(n, sm, mn, mx)
+
+    # --- epoch merge (foreachBatch target) ----------------------------------
+
+    def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        """Merge one micro-batch into the view as version ``epoch_id``.
+        Idempotent: replaying an epoch overwrites its own version dir and
+        manifest, derived from the same parent manifest."""
+        delta = self._aggregate(batch_df).persist()
+        try:
+            changed = [r.bucket for r in delta.select("bucket").distinct().collect()]
+            if not changed:
+                return
+            parent = self._parent_manifest(epoch_id)
+            prev_parts = []
+            by_version: dict[int, list[int]] = {}
+            for b in changed:
+                if str(b) in parent:
+                    by_version.setdefault(parent[str(b)], []).append(b)
+            for ver, buckets in by_version.items():
+                prev_parts.append(
+                    self.spark.read.parquet(self._version_dir(ver)).filter(
+                        F.col("bucket").isin(buckets)
+                    )
+                )
+            merged = delta
+            for p in prev_parts:
+                merged = merged.unionByName(p)
+            merged = self._aggregate(merged)
+            (
+                merged.repartition(1, "bucket")
+                .write.mode("overwrite")
+                .partitionBy("bucket")
+                .parquet(self._version_dir(epoch_id))
+            )
+            manifest = dict(parent)
+            manifest.update({str(b): epoch_id for b in changed})
+            fsutil.mkdirs(self.spark, self._manifest_dir)
+            fsutil.write_text(
+                self.spark,
+                os.path.join(self._manifest_dir, f"v{epoch_id}.json"),
+                json.dumps(manifest, sort_keys=True),
+            )
+        finally:
+            delta.unpersist()
+
+    # --- readers ------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """The view at a committed version (default: latest) — one
+        bucket-pruned scan per version the manifest references."""
+        versions = self.committed_versions()
+        if not versions:
+            raise FileNotFoundError(f"no committed version under {self.root}")
+        if version is None:
+            version = versions[-1]
+        manifest = self._read_manifest(version)
+        by_version: dict[int, list[int]] = {}
+        for b, ver in manifest.items():
+            by_version.setdefault(ver, []).append(int(b))
+        parts = [
+            self.spark.read.parquet(self._version_dir(ver)).filter(
+                F.col("bucket").isin(buckets)
+            )
+            for ver, buckets in sorted(by_version.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.drop("bucket")
+
+    # --- maintenance --------------------------------------------------------
+
+    def vacuum(self, keep_versions: int = 1) -> list[int]:
+        """Drop version dirs no committed-and-kept manifest references and
+        manifests older than the newest ``keep_versions``. Returns removed
+        version ids."""
+        versions = self.committed_versions()
+        kept_manifests = versions[-keep_versions:]
+        referenced: set[int] = set()
+        for v in kept_manifests:
+            referenced.update(self._read_manifest(v).values())
+        removed = []
+        for name in fsutil.listdir(self.spark, self._data_dir):
+            if not name.startswith("v="):
+                continue
+            ver = int(name[2:])
+            if ver not in referenced:
+                self.spark._jvm.org.apache.hadoop.fs.Path(  # recursive delete
+                    os.path.join(self._data_dir, name)
+                ).getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
+                    self.spark._jvm.org.apache.hadoop.fs.Path(
+                        os.path.join(self._data_dir, name)
+                    ),
+                    True,
+                )
+                removed.append(ver)
+        for v in versions[:-keep_versions] if keep_versions else versions:
+            fsutil.delete(self.spark, os.path.join(self._manifest_dir, f"v{v}.json"))
+        return sorted(removed)

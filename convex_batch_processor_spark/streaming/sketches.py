@@ -105,3 +105,86 @@ def streaming_hll_registers(
     from ..llmops.sketches import hll_registers
 
     return hll_registers(stream, key_col, group_cols, b)
+
+
+TOPK_OUTPUT_SCHEMA = "grp string, item string, count_est long, overcount_max long"
+TOPK_STATE_SCHEMA = "items array<string>, counts array<long>, errs array<long>"
+
+
+def spacesaving_topk_per_key(
+    stream: DataFrame,
+    capacity: int,
+    key_col: str = "grp",
+    item_col: str = "item",
+) -> DataFrame:
+    """Space-Saving heavy hitters per key (Metwally/Agrawal/El Abbadi):
+    each key keeps at most ``capacity`` monitored (item, count, error)
+    entries; an unmonitored arrival EVICTS the current minimum and
+    inherits its count as its overestimation bound.
+
+    Guarantees (the tests' contract): count_est >= true count;
+    count_est - overcount_max <= true count; any item with true count
+    > N/capacity is monitored. This is the bounded-state answer to
+    streaming "top items per key" — an exact groupBy(term) grows without
+    bound; CMS answers point queries but cannot enumerate its heavy
+    items without a candidate set; Space-Saving keeps the candidates.
+
+    applyInPandasWithState (not a stateful agg: eviction is not an
+    order-independent merge): one shuffle per micro-batch on the key,
+    state is exactly ``capacity`` rows' worth per key forever. Each epoch
+    emits the key's full monitored table (update semantics downstream).
+    """
+
+    def update_topk(key, pdfs, state):
+        import pandas as pd
+
+        (grp,) = key
+        if state.exists:
+            items_raw, counts_raw, errs_raw = state.get
+            table = {
+                it: [c, e]
+                for it, c, e in zip(list(items_raw), list(counts_raw), list(errs_raw))
+            }
+        else:
+            table = {}
+        cap = capacity
+        for pdf in pdfs:
+            for it in pdf[item_col].astype("object"):
+                if it in table:
+                    table[it][0] += 1
+                elif len(table) < cap:
+                    table[it] = [1, 0]
+                else:
+                    evict = min(table.items(), key=lambda kv: (kv[1][0], kv[0]))
+                    mc = evict[1][0]
+                    del table[evict[0]]
+                    table[it] = [mc + 1, mc]
+        items = sorted(table.items(), key=lambda kv: (-kv[1][0], kv[0]))
+        state.update(
+            (
+                [it for it, _ in items],
+                [v[0] for _, v in items],
+                [v[1] for _, v in items],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [grp] * len(items),
+                "item": [it for it, _ in items],
+                "count_est": [v[0] for _, v in items],
+                "overcount_max": [v[1] for _, v in items],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.groupBy(F.col(key_col).alias("grp"))
+        .applyInPandasWithState(
+            update_topk,
+            outputStructType=TOPK_OUTPUT_SCHEMA,
+            stateStructType=TOPK_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

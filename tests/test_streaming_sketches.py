@@ -189,3 +189,85 @@ def test_streaming_windowed_cms_equals_batch_and_appends(spark, tmp_path):
     emitted_hours = {h for (h, _, _) in got}
     assert 0 in emitted_hours
     assert 2 not in emitted_hours  # never emitted while open
+
+
+def test_spacesaving_topk_guarantees(spark, sf_dir, tmp_path):
+    """Space-Saving invariants vs exact batch counts, with state carried
+    ACROSS a query restart (two availableNow runs over one checkpoint):
+    est >= true, est - err <= true, and every item with true count >
+    N/capacity is monitored."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from convex_batch_processor_spark.catalog import load_table, table_path
+    from convex_batch_processor_spark.streaming.sketches import spacesaving_topk_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    sel = ev.select(F.col("user_id").cast("string").alias("grp"),
+                    F.col("event_type").alias("item"), "event_id")
+    src = tmp_path / "ss_src"
+    src.mkdir()
+    sel.filter(F.col("event_id") % 2 == 0).drop("event_id").coalesce(1).write.parquet(
+        str(src / "a")
+    )
+    cap = 3  # < 5 event types -> evictions actually happen
+
+    emitted: list = []  # (epoch, row) — memory sink can't recover
+    # checkpoints (NOTES), so restart tests collect via foreachBatch
+
+    def run():
+        stream = (
+            spark.readStream.schema("grp string, item string")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            spacesaving_topk_per_key(stream, capacity=cap)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend((eid, r) for r in df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # first half builds state
+    first_rows = len(emitted)
+    sel.filter(F.col("event_id") % 2 == 1).drop("event_id").coalesce(1).write.parquet(
+        str(src / "b")
+    )
+    run()  # restart: second half merges into recovered state
+    assert len(emitted) > first_rows  # the restarted run really emitted
+
+    # each key's FINAL monitored table = its rows from its LAST epoch
+    last_epoch: dict = {}
+    for eid, r in emitted:
+        last_epoch[r.grp] = max(last_epoch.get(r.grp, -1), eid)
+    got = {}
+    for eid, r in emitted:
+        if eid == last_epoch[r.grp]:
+            got.setdefault(r.grp, {})[r.item] = (r.count_est, r.overcount_max)
+
+    ev = load_table(spark, sf_dir, "events")
+    true = {
+        (str(r.user_id), r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals = {}
+    for (grp, _), n in true.items():
+        totals[grp] = totals.get(grp, 0) + n
+
+    assert got, "no output"
+    for grp, items in got.items():
+        assert len(items) <= cap
+        for item, (est, err) in items.items():
+            t = true.get((grp, item), 0)
+            assert est >= t, (grp, item, est, t)
+            assert est - err <= t, (grp, item, est, err, t)
+        # heavy-hitter guarantee
+        for (g2, item), t in true.items():
+            if g2 == grp and t > totals[grp] / cap:
+                assert item in items, (grp, item, t, totals[grp])

@@ -132,6 +132,18 @@ def test_burst_detection_no_global_window(spark, sf_dir):
     assert E.global_window_inputs(q(spark, sf_dir, "burst_detection_daily")) == []
 
 
+def test_pareto_and_km_global_windows_are_value_bounded(spark, sf_dir):
+    """revenue_pareto_bands and km_signup_to_purchase run their only
+    unpartitioned windows over VALUE-BOUNDED tables (price bands / day
+    grid), never over corpus rows — same contract as histogram_rank."""
+    for name, allowed in [
+        ("revenue_pareto_bands", {"band", "n_orders", "rev"}),
+        ("km_signup_to_purchase", {"day", "n_events", "n_censored", "n_risk", "lf"}),
+    ]:
+        for cols in E.global_window_inputs(q(spark, sf_dir, name)):
+            assert cols <= allowed, (name, cols)
+
+
 # --- winnowing properties ---------------------------------------------------
 
 _K = 4

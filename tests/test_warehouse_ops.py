@@ -138,7 +138,12 @@ def test_pareto_and_km_global_windows_are_value_bounded(spark, sf_dir):
     grid), never over corpus rows — same contract as histogram_rank."""
     for name, allowed in [
         ("revenue_pareto_bands", {"band", "n_orders", "rev"}),
-        ("km_signup_to_purchase", {"day", "n_events", "n_censored", "n_risk", "lf"}),
+        # two bounded windows: the risk-set cumsum (per-day counts + the
+        # N scalar + Spark's internal window attr) and the lf cumsum
+        (
+            "km_signup_to_purchase",
+            {"day", "d_t", "c_t", "n0", "_w1", "n_events", "n_censored", "n_risk", "lf"},
+        ),
     ]:
         for cols in E.global_window_inputs(q(spark, sf_dir, name)):
             assert cols <= allowed, (name, cols)

@@ -132,3 +132,48 @@ def test_matview_end_to_end_streaming(spark, sf_dir, tmp_path):
     q.awaitTermination()
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
     assert _got(view) == _expected(ev)
+
+
+def test_matview_empty_epoch_is_a_noop(spark, sf_dir, tmp_path):
+    """An epoch whose delta is empty commits nothing: no version dir, no
+    manifest, reads unchanged."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view"), ["user_id", "event_type"], "value", n_buckets=8
+    )
+    view.foreach_batch(ev, 0)
+    before = _got(view)
+    view.foreach_batch(ev.filter(F.lit(False)), 1)
+    assert view.committed_versions() == [0]
+    assert _got(view) == before
+
+
+def test_matview_random_epoch_partition_property(spark, sf_dir, tmp_path):
+    """Property: ANY disjoint partition of the input into epochs yields
+    the same final state as the batch aggregate (merge associativity)."""
+    from hypothesis import given, settings, strategies as st
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    expected = _expected(ev)
+
+    @settings(max_examples=3, deadline=None)  # each example is several Spark jobs
+    @given(st.integers(min_value=2, max_value=5), st.integers(min_value=0, max_value=10**6))
+    def prop(k, salt):
+        import shutil
+
+        root = tmp_path / f"view_{k}_{salt}"
+        if root.exists():
+            shutil.rmtree(root)
+        view = IncrementalAggView(
+            spark, str(root), ["user_id", "event_type"], "value", n_buckets=4
+        )
+        part = F.pmod(F.xxhash64(F.col("event_id") + salt), F.lit(k))
+        for epoch in range(k):
+            view.foreach_batch(
+                ev.filter(part == epoch).select("user_id", "event_type", "value"), epoch
+            )
+        assert _got(view) == expected
+
+    prop()

@@ -46,6 +46,7 @@ from . import llm18  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm19  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm20  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm21  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm22  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 def spark_queries():

@@ -72,12 +72,20 @@ def read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
-def write_text(spark: SparkSession, path: str, text: str) -> None:
-    """Write a small control-plane file ATOMICALLY: create ``path.tmp``,
-    then rename over ``path``. Rename is atomic on HDFS/local posix; on
-    S3-style stores it is copy+delete — pair with a unique target name
-    (version-stamped manifests) so a half-committed file is never read."""
+def write_text(spark: SparkSession, path: str, text: str,
+               overwrite: bool = False) -> None:
+    """Write a small control-plane file via tmp + rename. For a NEW path
+    this is an atomic commit (rename is atomic on HDFS/local posix; on
+    S3-style stores it is copy+delete — pair with unique version-stamped
+    names so a half-committed file is never read). Overwriting an
+    EXISTING path is NOT atomic (Hadoop rename won't replace: there is a
+    delete-then-rename window) — callers must opt in with
+    ``overwrite=True`` and tolerate the window; the matview avoids it
+    entirely by never rewriting a committed manifest."""
     fs, jp = _fs_path(spark, path)
+    if fs.exists(jp) and not overwrite:
+        raise FileExistsError(f"{path} exists (pass overwrite=True for the "
+                              "non-atomic replace path)")
     tmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     stream = fs.create(tmp, True)
     try:

@@ -80,30 +80,11 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "asof_join_next_order",
-    oracle="""
-    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
-        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
-               row_number() OVER (PARTITION BY e.event_id
-                                  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
-        FROM events e
-        LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
-    ) WHERE rn = 1
-    """,
-)
-def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join: for each event, the earliest order of the same
-    customer STRICTLY AFTER the event time — "what did they buy next",
-    the attribution twin of asof_join_latest_order's "state at the time".
-
-    Same union-and-window shape, mirrored: one shuffle on the key, a
-    [current, following] frame with first(ignorenulls) carrying the next
-    order backward. Events sort BEFORE orders at equal time (strict >),
-    and o_orderkey asc makes the earliest tie deterministic. Cost is
-    O(|events| + |orders|) shuffled once — no row-multiplying range
-    join."""
-    ev = _t(spark, sf_dir, "events").select(
+def asof_forward(ev: DataFrame, orders: DataFrame) -> DataFrame:
+    """Forward as-of core over pre-loaded tables (split out so the
+    same-instant tie rule is unit-testable on crafted inputs — the fixed
+    testdata never collides an event timestamp with an order date)."""
+    ev = ev.select(
         F.col("user_id").alias("key"),
         F.col("ts").alias("t"),
         F.lit(1).alias("is_event"),
@@ -112,7 +93,7 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("o_orderkey"),
         F.lit(None).cast("timestamp").alias("o_orderdate"),
     )
-    orders = _t(spark, sf_dir, "orders").select(
+    orders = orders.select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("is_event"),
@@ -122,12 +103,16 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
     )
     unioned = ev.unionByName(orders)
-    # t asc; at equal t events first (is_event desc) so a same-instant order
-    # does NOT match (strict >); o_orderkey asc -> first() takes the min key
+    # t asc; at equal t ORDERS sort first (is_event asc) so a same-instant
+    # order lands BEFORE the event row and falls OUTSIDE the event's
+    # [current, following) frame — that is what makes the match strict
+    # (o_orderdate > ts); o_orderkey asc -> first() takes the min key.
+    # (The backward as-of uses the opposite tie, orders-first for an
+    # INCLUSIVE <= over [preceding, current].)
     w = (
         Window.partitionBy("key")
         .orderBy(
-            F.col("t").asc(), F.col("is_event").desc(), F.col("o_orderkey").asc_nulls_last()
+            F.col("t").asc(), F.col("is_event").asc(), F.col("o_orderkey").asc_nulls_last()
         )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
@@ -147,3 +132,29 @@ def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", F.col("key").alias("user_id"), "ts", "o_orderkey", "o_orderdate"
         )
     )
+
+
+@register(
+    "asof_join_next_order",
+    oracle="""
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+        FROM events e
+        LEFT JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate > e.ts
+    ) WHERE rn = 1
+    """,
+)
+def asof_join_next_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for each event, the earliest order of the same
+    customer STRICTLY AFTER the event time — "what did they buy next",
+    the attribution twin of asof_join_latest_order's "state at the time".
+
+    Same union-and-window shape, mirrored: one shuffle on the key, a
+    [current, following] frame with first(ignorenulls) carrying the next
+    order backward; same-instant orders sort before the event row and so
+    fall outside its frame (strict >, unit-tested on a crafted
+    collision). Cost is O(|events| + |orders|) shuffled once — no
+    row-multiplying range join."""
+    return asof_forward(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))

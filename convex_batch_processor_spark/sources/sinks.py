@@ -251,11 +251,13 @@ def write_zordered(
     span_x = max(x_max - x_min, 1)
     span_y = max(y_max - y_min, 1)
     top = (1 << bits) - 1
-    xn = ((F.col(x_col).cast("long") - x_min) * top) / span_x
-    yn = ((F.col(y_col).cast("long") - y_min) * top) / span_y
-    code = morton_interleave(
-        F.floor(xn).cast("long"), F.floor(yn).cast("long"), bits
-    ).alias("_z")
+    # integer `div`, not double division + floor: beyond 2^53 the
+    # long->double conversion drops low bits, and even below it a
+    # correctly-rounded quotient can round UP across an integer boundary
+    # where true floor-division would not (matches zorder_layout_stats)
+    xn = F.expr(f"((CAST({x_col} AS BIGINT) - {x_min}) * {top}) div {span_x}")
+    yn = F.expr(f"((CAST({y_col} AS BIGINT) - {y_min}) * {top}) div {span_y}")
+    code = morton_interleave(xn, yn, bits).alias("_z")
     (
         df.select("*", code)
         .repartitionByRange(num_files, F.col("_z"))

@@ -14,11 +14,12 @@ Storage layout (a miniature LSM/Delta-style table):
 
 Each epoch merges its delta into ONLY the hash buckets the delta touches
 (copy-on-write: untouched buckets stay owned by older versions, carried
-forward by manifest reference — never rewritten). The manifest commit is
-an atomic rename, and a REPLAYED epoch (at-least-once delivery after a
-failure) rewrites exactly its own version dir + manifest from the same
-parent, so the view is idempotent under retry: exactly-once state from
-at-least-once delivery — the same contract the reference's flush loop
+forward by manifest reference — never rewritten). The manifest write is
+the COMMIT POINT (atomic create+rename of a version-stamped file): a
+replayed epoch whose manifest exists is skipped outright, and one that
+died pre-commit redoes its version dir + manifest from the newest
+committed parent — idempotent under retry: exactly-once state from
+at-least-once delivery, the same contract the reference's flush loop
 targets (lib.ts:546-597), achieved by versioning instead of locks.
 
 Scale: per-epoch write cost is O(changed buckets), not O(state);
@@ -96,7 +97,10 @@ class IncrementalAggView:
         which is what makes epochs composable."""
         if "n_rows" in df.columns:
             n = F.sum("n_rows").alias("n_rows")
-            sm = F.sum("sum_v").alias("sum_v")
+            # cast back: Spark widens sum(decimal(28,2)) to (38,2); without
+            # the cast, merged version dirs would carry a different decimal
+            # precision than epoch-0 files (schema-unstable layout)
+            sm = F.sum("sum_v").cast("decimal(28,2)").alias("sum_v")
             mn, mx = F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v")
         else:
             v = F.col(self.value_col)
@@ -113,8 +117,14 @@ class IncrementalAggView:
 
     def foreach_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         """Merge one micro-batch into the view as version ``epoch_id``.
-        Idempotent: replaying an epoch overwrites its own version dir and
-        manifest, derived from the same parent manifest."""
+        Idempotent: an ALREADY-COMMITTED epoch (its manifest exists — the
+        manifest write is the commit point) is skipped outright, so
+        replay after a post-commit failure is a no-op even if ``vacuum``
+        has since dropped older manifests; an UNCOMMITTED epoch redoes
+        its version dir and manifest from the newest committed parent,
+        which every ``vacuum(keep_versions >= 1)`` retains."""
+        if epoch_id in self.committed_versions():
+            return
         delta = self._aggregate(batch_df).persist()
         try:
             changed = [r.bucket for r in delta.select("bucket").distinct().collect()]
@@ -184,6 +194,9 @@ class IncrementalAggView:
         """Drop version dirs no committed-and-kept manifest references and
         manifests older than the newest ``keep_versions``. Returns removed
         version ids."""
+        if keep_versions < 1:
+            raise ValueError("keep_versions must be >= 1 (0 would delete every "
+                             "manifest and leave the data unreadable)")
         versions = self.committed_versions()
         kept_manifests = versions[-keep_versions:]
         referenced: set[int] = set()
@@ -204,6 +217,6 @@ class IncrementalAggView:
                     True,
                 )
                 removed.append(ver)
-        for v in versions[:-keep_versions] if keep_versions else versions:
+        for v in versions[:-keep_versions]:
             fsutil.delete(self.spark, os.path.join(self._manifest_dir, f"v{v}.json"))
         return sorted(removed)

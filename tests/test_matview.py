@@ -177,3 +177,27 @@ def test_matview_random_epoch_partition_property(spark, sf_dir, tmp_path):
         assert _got(view) == expected
 
     prop()
+
+
+def test_matview_replay_after_vacuum_is_safe(spark, sf_dir, tmp_path):
+    """The review scenario: epoch commits, vacuum drops older manifests,
+    the stream replays the committed epoch — must be a no-op (the commit
+    point is the manifest), never a delta-only reset."""
+    import pytest
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    h1 = ev.filter(F.col("user_id") % 2 == 0)
+    h2 = ev.filter(F.col("user_id") % 2 == 1)
+    view = IncrementalAggView(
+        spark, str(tmp_path / "view"), ["user_id", "event_type"], "value", n_buckets=8
+    )
+    view.foreach_batch(h1, 0)
+    view.foreach_batch(h2, 1)
+    view.vacuum(keep_versions=1)  # drops manifest v0
+    before = _got(view)
+    view.foreach_batch(h2, 1)  # at-least-once redelivery of committed epoch 1
+    assert _got(view) == before
+    assert view.committed_versions() == [1]
+    # keep_versions=0 would orphan all data behind deleted manifests
+    with pytest.raises(ValueError):
+        view.vacuum(keep_versions=0)

@@ -201,3 +201,27 @@ def test_winnowing_density_shrinks_with_window(spark, sf_dir, w):
     n = winnow_fingerprints(docs, w=w).count()
     n2 = winnow_fingerprints(docs, w=w * 2).count()
     assert n2 <= n
+
+
+def test_asof_forward_excludes_same_instant_order(spark):
+    """Strict-after semantics on a crafted collision (absent from the
+    fixed testdata): an order dated exactly at the event timestamp must
+    NOT match; the next later order must."""
+    from convex_batch_processor_spark.queries.llm17 import asof_forward
+
+    ev = spark.createDataFrame(
+        [(1, 7, "2024-01-05 00:00:00")], "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    orders = spark.createDataFrame(
+        [(100, 7, "2024-01-05 00:00:00"), (200, 7, "2024-01-06 00:00:00")],
+        "o_orderkey long, o_custkey long, o_orderdate string",
+    ).selectExpr("o_orderkey", "o_custkey", "CAST(o_orderdate AS TIMESTAMP) AS o_orderdate")
+    [row] = asof_forward(ev, orders).collect()
+    assert row.o_orderkey == 200
+
+    # and an event strictly before both orders takes the earliest one
+    ev2 = spark.createDataFrame(
+        [(2, 7, "2024-01-04 00:00:00")], "event_id long, user_id long, ts string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    [row2] = asof_forward(ev2, orders).collect()
+    assert row2.o_orderkey == 100

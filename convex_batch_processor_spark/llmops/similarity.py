@@ -38,7 +38,11 @@ def norm_col(a: Column) -> Column:
 
 
 def cosine_col(a: Column, b: Column) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    """NULL (not a crash / not NaN) when either side is a zero vector —
+    ANSI Spark throws on 0/0 and real corpora contain zero embeddings
+    (padding rows, failed encoders). Oracles mirror with NULLIF."""
+    den = norm_col(a) * norm_col(b)
+    return F.when(den > 0, dot_col(a, b) / den)
 
 
 def quantize_int8(
@@ -250,9 +254,13 @@ def cosine_neardup_pairs_bucketed(
     # worker spawn on first use and jitters under worker churn; unit-dot
     # JVM fold ~4.6 s steady with no spawn cost and no jitter.
     norm = embeddings.withColumn("_n", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
+    # zero vectors become zero UNIT vectors (sim 0 -> below any threshold)
+    # instead of an ANSI divide-by-zero crash
     unit = norm.select(
         F.col(id_col),
-        F.transform(F.col(vec_col), lambda x: x / F.col("_n")).alias("unit"),
+        F.transform(
+            F.col(vec_col), lambda x: F.when(F.col("_n") > 0, x / F.col("_n")).otherwise(F.lit(0.0))
+        ).alias("unit"),
     )
     va = unit.select(F.col(id_col).alias("vec_id_a"), F.col("unit").alias("ua"))
     vb = unit.select(F.col(id_col).alias("vec_id_b"), F.col("unit").alias("ub"))

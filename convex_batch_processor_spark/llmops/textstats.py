@@ -36,7 +36,11 @@ def stopword_ratio(text_col: str = "text") -> Column:
             c = c | (x == F.lit(s))
         return c
 
-    return F.size(F.filter(toks, is_stop)).cast("double") / F.size(toks)
+    # NULL (not a crash) on token-less docs: ANSI Spark throws on x/0 —
+    # a 100 TB crawl always contains empty documents
+    return F.when(
+        F.size(toks) > 0, F.size(F.filter(toks, is_stop)).cast("double") / F.size(toks)
+    )
 
 
 def quality_label(text_col: str = "text", min_tokens: int = 20, max_tokens: int = 1000) -> Column:

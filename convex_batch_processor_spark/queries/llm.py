@@ -200,13 +200,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT q_vec_id, vec_id, sim, rn FROM (
         SELECT q.vec_id AS q_vec_id, c.vec_id AS vec_id,
                round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
+                     / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 0), 6) AS sim,
                row_number() OVER (
                    PARTITION BY q.vec_id
                    ORDER BY round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
-                     / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
-                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+                     / NULLIF(sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))), 0), 6) DESC,
                             c.vec_id ASC) AS rn
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
         WHERE q.vec_id IN (0, 1, 2)
@@ -224,12 +224,12 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
            round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                 / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+                 / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                    * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-                / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) > 0.42
+                / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 0), 6) > 0.42
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -272,7 +272,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_re,
            CAST(len(list_filter(string_split(text, ' '),
                     x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)
-             / len(list_filter(string_split(text, ' '), x -> x <> '')) AS stop_ratio,
+             / NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS stop_ratio,
            CASE WHEN len(list_filter(string_split(text, ' '), x -> x <> '')) BETWEEN 20 AND 1000
                  AND CAST(len(list_filter(string_split(text, ' '),
                         x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)

@@ -82,3 +82,73 @@ def test_boundary_parity(spark, adv_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+_DOC_QUERIES = [
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "winnowing_fingerprint_pairs",
+    "text_quality_stats",
+    "rag_chunk_overlap",
+    "language_id",
+    "dataset_split_folds",
+    "token_pmi_pairs",
+]
+
+_EMB_QUERIES = [
+    "embedding_neardup_pairs",
+    "knn_bruteforce",
+    "vector_stats",
+    "label_balance_undersample",
+    "embedding_quantize_int8",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_text_dir(tmp_path_factory):
+    """documents with degenerate texts + embeddings with a ZERO vector
+    (0/0 cosine -> NaN paths) and duplicate vectors."""
+    d = tmp_path_factory.mktemp("adv_text_sf")
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0, '', 'en', 'web', 0),                      -- empty text
+                (1, 'one', 'en', 'web', 3),                   -- 1 token
+                (2, 'a b c d e f g', 'en', 'web', 13),        -- k+w-1 tokens exactly
+                (3, 'a b c d e f g', 'de', 'book', 13),       -- exact duplicate text
+                (4, 'x  y   z', 'en', 'web', 8),              -- runs of spaces
+                (5, 'the the the the the the the the', 'en', 'web', 31)
+            ) t(doc_id, text, lang, source, n_chars)
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM (VALUES
+                (0, CAST([0.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),  -- zero vector
+                (1, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+                (2, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 2),  -- duplicate vector
+                (3, CAST([0.5, 0.5, 0.0, 0.0] AS FLOAT[]), 2),
+                (4, CAST([-1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 3)
+            ) t(vec_id, embedding, label)
+        ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES)
+def test_boundary_parity_documents(spark, adv_text_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_text_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_boundary_parity_embeddings(spark, adv_text_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_text_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

@@ -91,7 +91,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id, MAX(doc_id) AS max_doc_id
     FROM (SELECT doc_id,
-                 md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS fp
+                 md5(COALESCE(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' '), '')) AS fp
           FROM documents)
     GROUP BY fp HAVING COUNT(*) > 1
     """,
@@ -320,7 +320,7 @@ def lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle="""
     SELECT doc_id, md5(text) AS fp_full,
-           md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS fp_prefix
+           md5(COALESCE(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' '), '')) AS fp_prefix
     FROM documents
     """,
 )
@@ -689,7 +689,7 @@ _COMPONENTS_CTES = f"""
     {_NGRAM_PAIRS_CTES},
     fp AS (
         SELECT doc_id,
-               md5(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' ')) AS f
+               md5(COALESCE(array_to_string(list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, 8), ' '), '')) AS f
         FROM documents
     ),
     fp_pairs AS (

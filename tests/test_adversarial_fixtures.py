@@ -93,6 +93,30 @@ _DOC_QUERIES = [
     "language_id",
     "dataset_split_folds",
     "token_pmi_pairs",
+    "bm25_topk",
+    "tfidf_topk_terms",
+    "dup_span_coverage",
+    "ngram_novelty_score",
+    "doc_fingerprints",
+    "minhash_portable_neardup",
+    "simhash_portable_neardup",
+    "vocab_top_terms",
+    "lm_bigram_quality",
+    "dsir_importance_weights",
+    "dedup_prefix_groups",
+    "zipf_vocab_fit",
+    "repetition_top_bigram",
+    "length_curriculum_buckets",
+    "gopher_quality_filter",
+    "corpus_report",
+    "incremental_dedup_delta",
+    "token_pack_chunks",
+    "cdc_chunks",
+    "eval_contamination",
+    "neardup_components",
+    "dedup_keep_best",
+    "golden_record_merge",
+    "dup_cluster_size_census",
 ]
 
 _EMB_QUERIES = [
@@ -119,7 +143,8 @@ def adv_text_dir(tmp_path_factory):
                 (2, 'a b c d e f g', 'en', 'web', 13),        -- k+w-1 tokens exactly
                 (3, 'a b c d e f g', 'de', 'book', 13),       -- exact duplicate text
                 (4, 'x  y   z', 'en', 'web', 8),              -- runs of spaces
-                (5, 'the the the the the the the the', 'en', 'web', 31)
+                (5, 'the the the the the the the the', 'en', 'web', 31),
+                (6, '', 'de', 'book', 0)  -- SECOND empty doc (empty-pair path)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """

@@ -385,7 +385,7 @@ _TWO52 = 4503599627370496.0  # 2^52
         SELECT o_orderkey, o_totalprice,
                round(ln((CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13) AS BIGINT)
                          + 1) / {_TWO52!r}), 9) / o_totalprice AS es_key
-        FROM orders
+        FROM orders WHERE o_totalprice > 0
     )
     SELECT o_orderkey, o_totalprice, es_key
     FROM keyed
@@ -407,9 +407,11 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: key assignment is map-side; ORDER BY + LIMIT compiles to
     TakeOrdered (per-partition top-n, then a driver merge of n x
-    partitions rows — no global sort shuffle).
+    partitions rows — no global sort shuffle). Non-positive weights are
+    excluded up front (A-ES is defined for w > 0; a zero weight would be
+    a divide-by-zero under ANSI).
     """
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     u = (
         F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13), 16, 10).cast(
             "long"

@@ -21,7 +21,6 @@ from .oracle_check import compare
 _QUERIES = [
     "asof_join_latest_order",
     "asof_join_next_order",
-    "scd2_user_state",
     "cdc_apply_changelog",
     "event_sequence_violations",
     "time_decay_user_score",
@@ -29,6 +28,18 @@ _QUERIES = [
     "view_purchase_attribution",
     "mad_outliers",
     "gapfill_daily_counts",
+    "weighted_sample_orders",
+    "benford_order_prices",
+    "revenue_pareto_bands",
+    "bootstrap_order_price_means",
+    "zorder_layout_stats",
+    "user_rfm_segments",
+    "psi_value_drift",
+    "chi2_independence_cells",
+    "km_signup_to_purchase",
+    "ts_feature_matrix",
+    "burst_detection_daily",
+    "scd2_user_state",
 ]
 
 
@@ -68,7 +79,9 @@ def adv_dir(tmp_path_factory):
                 (200, 7, 'O', 60.00, TIMESTAMP '2024-01-06 00:00:00', '2-HIGH'),
                 -- duplicate-date orders for the same customer (tiebreak path)
                 (300, 8, 'F', 70.00, TIMESTAMP '2024-01-05 00:00:00', '3-MEDIUM'),
-                (301, 8, 'F', 80.00, TIMESTAMP '2024-01-05 00:00:00', '3-MEDIUM')
+                (301, 8, 'F', 80.00, TIMESTAMP '2024-01-05 00:00:00', '3-MEDIUM'),
+                -- zero-price order: A-ES weight undefined, Benford excludes
+                (400, 9, 'O', 0.00, TIMESTAMP '2024-01-07 00:00:00', '4-LOW')
             ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
                 o_orderpriority)
         ) TO '{d}/orders.parquet' (FORMAT PARQUET)

@@ -596,7 +596,10 @@ def edit_distance_neardup(
         F.col("_len").alias("_lb"),
     )
     dist = F.levenshtein("_ta", "_tb")
-    rel = dist.cast("double") / F.greatest("_la", "_lb").cast("double")
+    # two empty texts are identical: rel_dist 0, not 0/0 (NULL would
+    # silently drop the pair from the <= threshold filter)
+    den = F.greatest("_la", "_lb").cast("double")
+    rel = F.when(den > 0, dist.cast("double") / den).otherwise(F.lit(0.0))
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -466,9 +466,21 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 if w is None or not frames:
                     raise ValueError(f"no avih header / frames (doc {doc_id})")
                 stride = (3 * w + 3) // 4 * 4
-                fps = 1e6 / us_per_frame
+                # dwMicroSecPerFrame may legally be 0 (rate lives in strh):
+                # emit NULL fps rather than dividing by zero
+                fps = (1e6 / us_per_frame) if us_per_frame else None
                 for idx in range(0, len(frames), every_n):
                     off, size = frames[idx]
+                    if size != stride * h:
+                        # compressed or non-24bpp frames don't match the
+                        # 24-bit BGR stride — fail loudly like the BMP
+                        # decoder's bpp/compression check, never reshape
+                        # garbage
+                        raise ValueError(
+                            f"frame {idx} of doc {doc_id}: {size} bytes != "
+                            f"24-bit stride {stride}x{h} — only uncompressed "
+                            "BGR24 DIB frames are supported"
+                        )
                     rows = np.frombuffer(
                         b, dtype=np.uint8, count=stride * h, offset=off
                     ).reshape(h, stride)[::-1]

@@ -55,6 +55,23 @@ def md5_int_sql(expr: str, salt: int | str | None = None) -> str:
 # --- Count-Min sketch -------------------------------------------------------
 
 
+def cms_cells(term_col, depth: int = 4, width: int = 1024):
+    """The CMS cell coordinates of a term as an array<struct<j,bucket>>
+    Column — THE cross-engine cell layout (md5_int(term, j) % width per
+    depth). Single definition shared by the batch sketch builder, the
+    probe, and both streaming maintainers: the layout is the bit-parity
+    contract their oracles and batch==streaming tests pin, so it must
+    not fork."""
+    term_col = F.col(term_col) if isinstance(term_col, str) else term_col
+    return F.array(*[
+        F.struct(
+            F.lit(j).alias("j"),
+            (md5_int(term_col, j) % width).alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+
+
 def cms_sketch(
     counts: DataFrame,
     term_col: str = "term",
@@ -70,15 +87,7 @@ def cms_sketch(
     aggregation collapses everything before the one (j, bucket) shuffle."""
     cells = counts.select(
         F.col(cnt_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (md5_int(F.col(term_col), j) % width).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("cell"),
+        F.explode(cms_cells(term_col, depth, width)).alias("cell"),
     )
     return (
         cells.select("cell.j", "cell.bucket", cnt_col)
@@ -101,15 +110,7 @@ def cms_estimate(
     the probe side never shuffles."""
     pos = probe.select(
         F.col(term_col),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (md5_int(F.col(term_col), j) % width).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("cell"),
+        F.explode(cms_cells(term_col, depth, width)).alias("cell"),
     ).select(term_col, "cell.j", "cell.bucket")
     return (
         pos.join(F.broadcast(sketch), ["j", "bucket"], "left")
@@ -164,8 +165,10 @@ def hll_registers(
     k_exp = ebits + 1  # rho of w == 0 (all-zeros word)
     if len(group_cols) == 0:
         raise ValueError("group_cols must be non-empty (use a lit group for global)")
-    if m * (1 << k_exp) >= (1 << 63):  # Σ must stay in int64
-        raise ValueError(f"b={b} too small for the 60-bit hash: 2^{b + k_exp} >= 2^63")
+    # Σ 2^(k_exp - m_reg) <= m * 2^k_exp = 2^61 always fits int64 for any
+    # b; what actually needs validating is the bucket-width range itself
+    if not 4 <= b <= 16:
+        raise ValueError(f"b={b} out of the supported register range [4, 16]")
     h = md5_int(key_col)
     # rank word w = h div m must use INTEGER division (F.expr `div`, never `/`)
     return (

@@ -51,5 +51,9 @@ def interval_join_bucketed(
     rx = right.withColumn("_bin", rb)
     lus = F.unix_micros(F.col(left_ts))
     rus = F.unix_micros(F.col(right_ts))
-    cond = (rus > lus) & (rus <= lus + F.lit(int(delta_s) * 1_000_000))
+    # round, don't truncate: a fractional delta_s (the int annotation is
+    # not enforced) must widen the window to its true microsecond value —
+    # int() would silently shrink (2.5s -> 2s) what the bucket key still
+    # covers at the raw width
+    cond = (rus > lus) & (rus <= lus + F.lit(int(round(delta_s * 1_000_000))))
     return lx.join(rx, [*key_cols, "_bin"]).filter(cond).drop("_bin")

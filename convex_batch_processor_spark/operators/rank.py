@@ -43,6 +43,10 @@ def histogram_rank(
     The only unpartitioned window runs over the value histogram
     (``(value, count)`` — two scalar columns, value-bounded cardinality);
     plan tests pin that contract.
+
+    NULL values form their own histogram group and rank where Spark's
+    row_number would put them (first for ascending, last for
+    descending) — the join back is NULL-SAFE, so no row is dropped.
     """
     vorder = F.col(value_col).asc() if ascending else F.col(value_col).desc()
     hist = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("_cnt"))
@@ -54,7 +58,11 @@ def histogram_rank(
     wr = Window.partitionBy(value_col).orderBy(F.col(tiebreak_col).asc())
     return (
         df.withColumn("_rin", F.row_number().over(wr))
-        .join(before, value_col)
+        # eqNullSafe: a plain equi-join would silently DROP every row
+        # whose value is NULL (they still deserve a rank)
+        .join(before.withColumnRenamed(value_col, "_hv"),
+              F.col(value_col).eqNullSafe(F.col("_hv")))
+        .drop("_hv")
         .withColumn(out_col, F.col("_before") + F.col("_rin"))
         .drop("_rin", "_before")
     )

@@ -854,16 +854,18 @@ def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS MATERIALIZED (
         SELECT doc_id, text, length(text) AS len,
-               md5(array_to_string(list_slice(
-                   list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' ')) AS blk
+               md5(COALESCE(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' '), '')) AS blk
         FROM documents)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
-           CAST(levenshtein(a.text, b.text) AS DOUBLE)
-               / greatest(a.len, b.len) AS rel_dist
+           CASE WHEN greatest(a.len, b.len) > 0
+                THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / greatest(a.len, b.len) ELSE 0.0 END AS rel_dist
     FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
-              / greatest(a.len, b.len) <= 0.4
+    WHERE CASE WHEN greatest(a.len, b.len) > 0
+               THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                    / greatest(a.len, b.len) ELSE 0.0 END <= 0.4
     """,
 )
 def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -299,14 +299,18 @@ def snapshot_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     before = latest(ev.filter(F.col("ts") < F.lit("2024-01-15").cast("timestamp")))
     after = latest(ev)
+    # presence marker: 'added' means the KEY was absent before the cutoff;
+    # testing old_value IS NULL would misclassify a key whose latest
+    # before-cutoff VALUE is NULL as added (oracle tests b.user_id IS NULL)
     b = before.select(
-        F.col("user_id"), F.col("event_type"), F.col("value").alias("old_value")
+        F.col("user_id"), F.col("event_type"), F.col("value").alias("old_value"),
+        F.lit(1).alias("_present"),
     )
     joined = after.withColumnRenamed("value", "new_value").join(
         b, ["user_id", "event_type"], "left"
     )
     status = (
-        F.when(F.col("old_value").isNull(), "added")
+        F.when(F.col("_present").isNull(), "added")
         .when(F.col("new_value") == F.col("old_value"), "unchanged")
         .otherwise("changed")
     )

@@ -115,8 +115,9 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_distinct_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-vocabulary estimate per language next to the
     exact count — (lang, n_exact, zero_registers, hll_est). b=8 → 256
-    registers, ±6.5% standard error (raw HLL, no range corrections —
-    documented in llmops/sketches.py:hll_distinct, bound pinned by test).
+    registers, ±6.5% standard error (the linear-counting small-range
+    branch IS applied when zero registers remain, and the oracle replays
+    it — llmops/sketches.py:hll_distinct; bound pinned by test).
 
     Scale: per-group state is 256 registers whatever the corpus; the only
     shuffles are the (lang, term) distinct and the (lang, bucket)

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..llmops.sketches import md5_int
+from ..llmops.sketches import cms_cells
 
 
 def streaming_cms_cells(
@@ -35,17 +35,7 @@ def streaming_cms_cells(
     """Maintain CMS counters over a stream: every arriving occurrence
     increments its depth cells; the result is the live (j, bucket,
     counter) sketch. State is ≤ depth×width rows forever."""
-    cells = stream.select(
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (md5_int(F.col(term_col), j) % width).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("cell")
-    )
+    cells = stream.select(F.explode(cms_cells(term_col, depth, width)).alias("cell"))
     return (
         cells.select("cell.j", "cell.bucket")
         .groupBy("j", "bucket")
@@ -71,15 +61,7 @@ def streaming_cms_windowed(
     store. Output: (win, j, bucket, counter)."""
     cells = stream.withWatermark(ts_col, watermark).select(
         F.window(F.col(ts_col), window_duration).alias("win"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    (md5_int(F.col(term_col), j) % width).alias("bucket"),
-                )
-                for j in range(depth)
-            ])
-        ).alias("cell"),
+        F.explode(cms_cells(term_col, depth, width)).alias("cell"),
     )
     return (
         cells.select("win", "cell.j", "cell.bucket")

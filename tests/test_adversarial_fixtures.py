@@ -40,6 +40,7 @@ _QUERIES = [
     "ts_feature_matrix",
     "burst_detection_daily",
     "scd2_user_state",
+    "snapshot_state_diff",
 ]
 
 
@@ -130,6 +131,7 @@ _DOC_QUERIES = [
     "dedup_keep_best",
     "golden_record_merge",
     "dup_cluster_size_census",
+    "edit_distance_neardup",
 ]
 
 _EMB_QUERIES = [

@@ -47,6 +47,7 @@ from . import llm19  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm20  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm21  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm22  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm23  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 def spark_queries():

@@ -41,6 +41,8 @@ _QUERIES = [
     "burst_detection_daily",
     "scd2_user_state",
     "snapshot_state_diff",
+    "event_debounce",
+    "longest_active_streak",
 ]
 
 

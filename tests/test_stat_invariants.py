@@ -1,0 +1,97 @@
+"""Mathematical invariants of the statistics pack — properties that hold
+for ANY input, which the row-level oracle parity cannot itself assert."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.queries import QUERIES
+
+
+def q(spark, sf_dir, name):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_psi_terms_nonnegative(spark, sf_dir):
+    """(p - q) and ln(p/q) always share a sign, so every PSI term is
+    >= 0 (the metric is a proper divergence)."""
+    rows = q(spark, sf_dir, "psi_value_drift").collect()
+    assert rows
+    assert all(r.psi_term >= 0 for r in rows)
+
+
+def test_chi2_terms_nonnegative_and_expected_totals(spark, sf_dir):
+    """(O-E)^2/E >= 0, and expected counts per table sum back to the
+    observed total (marginal consistency)."""
+    df = q(spark, sf_dir, "chi2_independence_cells")
+    rows = df.collect()
+    assert all(r.chi2_term >= 0 for r in rows)
+    tot_o = sum(r.o for r in rows)
+    tot_e = sum(r.expected for r in rows)
+    assert abs(tot_e - tot_o) < 1e-6 * tot_o
+
+
+def test_km_log_survival_nonincreasing(spark, sf_dir):
+    """S(t) is a survival curve: log S is <= 0 and non-increasing in t."""
+    rows = sorted(q(spark, sf_dir, "km_signup_to_purchase").collect(),
+                  key=lambda r: r.day)
+    assert rows
+    prev = 0.0
+    for r in rows:
+        assert r.log_survival <= prev + 1e-12
+        prev = r.log_survival
+        assert r.n_events <= r.n_risk
+
+
+def test_benford_shares_form_a_distribution(spark, sf_dir):
+    """Observed digit shares and the Benford reference each sum to ~1
+    over digits 1..9."""
+    rows = q(spark, sf_dir, "benford_order_prices").collect()
+    assert sorted(r.digit for r in rows) == list(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 1e-6
+
+
+def test_bootstrap_effective_sizes_near_n(spark, sf_dir):
+    """Poisson(1) weights: each replicate's effective size concentrates
+    around n (within 5 sigma = 5*sqrt(n)), and replicate means straddle
+    the true mean."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    rows = q(spark, sf_dir, "bootstrap_order_price_means").collect()
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    true_mean = orders.agg(F.avg("o_totalprice")).first()[0]
+    assert len(rows) == 16
+    for r in rows:
+        assert abs(r.n_eff - n) <= 5 * (n ** 0.5) + 10
+    means = [r.boot_mean for r in rows]
+    assert min(means) <= true_mean <= max(means)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    """With no dangling nodes, PageRank mass sums to ~1 after any number
+    of iterations."""
+    try:
+        rows = q(spark, sf_dir, "pagerank_event_graph").collect()
+    finally:
+        spark.catalog.clearCache()
+    assert abs(sum(r.pagerank for r in rows) - 1.0) < 1e-6
+
+
+def test_neyman_allocation_sums_to_total(spark, sf_dir):
+    rows = q(spark, sf_dir, "neyman_allocation").collect()
+    assert sum(r.alloc for r in rows) == 1000
+    assert all(r.alloc >= 0 for r in rows)
+
+
+def test_lpa_labels_are_member_nodes(spark, sf_dir):
+    """Every community label is itself a node of the graph (labels are
+    node ids propagated by majority vote)."""
+    try:
+        rows = q(spark, sf_dir, "label_propagation_communities").collect()
+    finally:
+        spark.catalog.clearCache()
+    nodes = {r.s_suppkey for r in rows}
+    assert rows
+    assert all(r.community in nodes for r in rows)

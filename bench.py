@@ -82,6 +82,11 @@ HEADLINE = [
     "scd2_user_state",
     "rag_chunk_overlap",
     "time_decay_user_score",
+    # latest round-4 families: iterative graph centrality on the persisted
+    # edge aggregate, Apriori 2-itemset basket rules, banded Pareto cumsum
+    "pagerank_event_graph",
+    "market_basket_rules",
+    "revenue_pareto_bands",
 ]
 
 

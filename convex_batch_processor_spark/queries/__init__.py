@@ -6,7 +6,7 @@ Importing this package populates ``QUERIES``; submodules register at import.
 
 from __future__ import annotations
 
-from .registry import QUERIES, QuerySpec, register  # noqa: F401
+from .registry import QUERIES, QuerySpec, prioritize, register  # noqa: F401
 
 # Import order defines registration order, and the round driver verifies the
 # FIRST 50 registry entries against the DuckDB oracle. Round 1 checked the
@@ -48,6 +48,12 @@ from . import llm20  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm21  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm22  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm23  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+
+
+# Round-5 rotation: call prioritize([...]) HERE with the new top-50 (see
+# NOTES.md "Round-5 rotation plan") instead of re-ordering the imports
+# above — it moves single queries safely and keeps import order inert.
+# Round 4's window is already expressed by the import order; no call now.
 
 
 def spark_queries():

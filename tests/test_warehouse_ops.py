@@ -225,3 +225,12 @@ def test_asof_forward_excludes_same_instant_order(spark):
     ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
     [row2] = asof_forward(ev2, orders).collect()
     assert row2.o_orderkey == 100
+
+
+def test_keyset_page_pushes_cursor_and_takes_ordered(spark, sf_dir):
+    """The whole point of keyset pagination: the cursor predicate reaches
+    the scan (row-group pruning) and the page is a TakeOrdered, so page
+    depth never changes cost."""
+    df = q(spark, sf_dir, "keyset_page_orders")
+    assert E.uses_take_ordered(df)
+    assert E.has_pushed_filter(df, "o_orderdate")

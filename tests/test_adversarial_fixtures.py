@@ -43,6 +43,8 @@ _QUERIES = [
     "snapshot_state_diff",
     "event_debounce",
     "longest_active_streak",
+    "ctr_wilson_bounds",
+    "window_funnel_depth",
 ]
 
 

@@ -510,3 +510,98 @@ def semantic_dedup(
             (F.coalesce("component_id", "vec_id") == F.col("vec_id")).alias("keep"),
         )
     )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    pool_n: int = 16,
+    k: int = 6,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein, 1998): pick k
+    results that are RELEVANT to the query but DIVERSE among themselves —
+    the dedup-aware retrieval step RAG pipelines run after ANN recall,
+    and the classic fix for "the top-10 are ten near-copies".
+
+    score(c) = lam * rel(c) - (1-lam) * max_{s in selected} sim(c, s);
+    the first pick is the plain relevance argmax (empty-set max = 0).
+
+    Determinism: relevance and pairwise cosines are rounded to 6 dp and
+    held as integer micro-units, and lam is a tenth (lam_tenths=7 ->
+    0.7), so every score is the EXACT integer ``lam_tenths*r6 -
+    (10-lam_tenths)*s6`` — greedy comparisons never touch a float and an
+    unrolled SQL oracle replays the selection bit-for-bit. Reported
+    ``rel``/``mmr_score`` are single IEEE divisions of those integers.
+
+    Scale shape: relevance is a broadcast-1-row map over the corpus (no
+    shuffle), the pool is one TakeOrdered(pool_n), and the greedy runs on
+    driver-bounded state (pool_n ids + pool_n^2/2 sims — control-plane
+    sized, like the k-means centroid loop). The sequential part touches
+    pool_n items, never the corpus.
+    """
+    if not 1 <= k <= pool_n:
+        raise ValueError(f"need 1 <= k <= pool_n, got k={k} pool_n={pool_n}")
+    if not 0 <= lam_tenths <= 10:
+        raise ValueError(f"lam_tenths must be in [0, 10], got {lam_tenths}")
+    spark = embeddings.sparkSession
+    q = embeddings.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    r6 = F.round(F.round(cosine_col(F.col("c_vec"), F.col("q_vec")), 6) * 1e6).cast(
+        "long"
+    )
+    pool = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.lit(query_id))
+        .select("vec_id", "c_vec", r6.alias("r6"))
+        .filter(F.col("r6").isNotNull())
+        .orderBy(F.col("r6").desc(), F.col("vec_id").asc())
+        .limit(pool_n)
+    )
+    pool_rows = [(row["vec_id"], row["r6"]) for row in pool.collect()]
+    pool_ids = [i for i, _ in pool_rows]
+    pv = embeddings.filter(F.col(id_col).isin(pool_ids)).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    a = pv.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = pv.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    s6 = F.round(F.round(cosine_col(F.col("va"), F.col("vb")), 6) * 1e6).cast("long")
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+        .select("ia", "ib", s6.alias("s6"))
+        .collect()
+    )
+    sim = {}
+    for row in sim_rows:
+        sim[(row["ia"], row["ib"])] = row["s6"]
+        sim[(row["ib"], row["ia"])] = row["s6"]
+
+    rel = dict(pool_rows)
+    lam, mu = lam_tenths, 10 - lam_tenths
+    selected: list[tuple[int, int, int, int]] = []  # (rank, id, r6, sc10m)
+    chosen: list[int] = []
+    remaining = list(pool_ids)
+    for rank in range(1, k + 1):
+        best = None
+        for cand in remaining:
+            mx = max((sim[(cand, s)] for s in chosen), default=0)
+            sc = lam * rel[cand] - mu * mx
+            key = (-sc, cand)
+            if best is None or key < best[0]:
+                best = (key, cand, sc)
+        _, pick, sc = best
+        selected.append((rank, pick, rel[pick], sc))
+        chosen.append(pick)
+        remaining.remove(pick)
+    out = spark.createDataFrame(
+        selected, "rank int, vec_id long, r6 long, sc10m long"
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        (F.col("r6") / F.lit(1e6)).alias("rel"),
+        (F.col("sc10m") / F.lit(1e7)).alias("mmr_score"),
+    )

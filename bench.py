@@ -87,6 +87,12 @@ HEADLINE = [
     "pagerank_event_graph",
     "market_basket_rules",
     "revenue_pareto_bands",
+    # continuation-session round-4 additions: regex PII scrub (map-only
+    # codegen scan), weighted sparse-vector similarity join (inverted
+    # index + decimal dots), blocked sorted-neighborhood candidate pass
+    "pii_scrub_stats",
+    "tfidf_cosine_pairs",
+    "sorted_neighborhood_pairs",
 ]
 
 

@@ -281,3 +281,93 @@ def trigram_logprob_scores(
             ).alias("avg_logp"),
         )
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.04,
+    df_cap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over word 3-gram vectors —
+    the weighted complement of the unweighted Jaccard join
+    (dedup.ngram_jaccard-style): rare shared phrasing counts more than
+    boilerplate, the classic fix for boilerplate-dominated near-dup
+    scoring.
+
+    Vector space: grams with document frequency <= ``df_cap`` (DISCO-style
+    stop-term pruning — hyper-common grams carry ~zero IDF anyway and are
+    what makes an inverted-index join quadratic). Within that space the
+    cosine is EXACT: weights are integer nano-units ``tf *
+    round(ln((N+1)/(df+1)), 9)*1e9`` so dots and norms accumulate in
+    decimal with no float-order drift, and df=1 grams are skipped in pair
+    generation (they cannot produce a cross term) while still counting
+    toward norms — lossless.
+
+    Scale shape: one explode -> one (block, gram) inverted-index equi-join
+    -> one pair aggregation; candidates are blocked by ``block_col`` and
+    capped by df_cap, so no term contributes more than df_cap^2/2 pairs.
+    No cross join, no UDF, all decimal/JVM."""
+    from .dedup import tokens_col
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(block_col).alias("blk"),
+        tokens_col(text_col).alias("_t"),
+    )
+    # sequence(1, 0) is DESCENDING [1, 0] (not empty) and slice(_, 0, 3)
+    # crashes — short docs must yield an explicit empty index array (the
+    # shingles_from_tokens contract in dedup.py)
+    idx = F.when(
+        F.size("_t") >= 3, F.sequence(F.lit(1), F.size("_t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("_t"), F.col("i"), 3))
+    ex = toks.select(
+        "doc_id", "blk", F.explode(idx).alias("i"), "_t"
+    ).select("doc_id", "blk", gram.alias("g"))
+    tf = ex.groupBy("doc_id", "blk", "g").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_n9 = F.round(
+        F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 9) * 1e9
+    ).cast("long")
+    w = (
+        tf.join(dft, "g")
+        .filter(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "blk", "g", "df", (F.col("tf") * idf_n9).alias("wn"))
+        .persist()
+    )
+    wd = F.col("wn").cast("decimal(19,0)")
+    nrm = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(wd * wd).cast("double")).alias("nrm")
+    )
+    shared = w.filter(F.col("df") >= 2)
+    a = shared.select(
+        F.col("doc_id").alias("id_a"), "blk", "g", F.col("wn").alias("wa")
+    )
+    b = shared.select(
+        F.col("doc_id").alias("id_b"), "blk", "g", F.col("wn").alias("wb")
+    )
+    dot = (
+        a.join(b, ["blk", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(19,0)") * F.col("wb").cast("decimal(19,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, F.round(F.col("dot") / den, 6))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )

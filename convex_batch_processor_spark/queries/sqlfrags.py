@@ -110,3 +110,48 @@ LM_CTES = """
         FROM lp_scored GROUP BY doc_id
     )
 """
+
+
+def bm25_rank_ctes(terms: list[str], k: int, prefix: str) -> str:
+    """CTE chain ``{prefix}tf .. {prefix}rnk`` producing the BM25 top-k
+    ranking ``(doc_id, rnk)`` for a term list — the llm2 _BM25_SQL shape
+    (k1=1.2, b=0.75, idf/score rounded 9/6 dp) parameterized so several
+    retrieval runs can be fused in one statement (RRF). Expects the
+    term-independent ``toks``/``dl``/``stats`` CTEs to exist already."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    cases = ",\n               ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN c END) AS c_{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"coalesce(c_{i}, 0.0)" for i in range(len(terms)))
+    return f"""{prefix}tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM toks, unnest(t) AS u(term)
+        WHERE term IN ({tl})
+        GROUP BY doc_id, term
+    ),
+    {prefix}idf AS (
+        SELECT term,
+               round(ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0), 9) AS idf
+        FROM (SELECT term, COUNT(*) AS df FROM {prefix}tf GROUP BY term) d, stats s
+    ),
+    {prefix}contrib AS (
+        SELECT tf.doc_id, tf.term,
+               idf.idf * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+        FROM {prefix}tf tf
+        JOIN {prefix}idf idf USING (term)
+        JOIN dl USING (doc_id), stats s
+    ),
+    {prefix}pivoted AS (
+        SELECT doc_id, {cases}
+        FROM {prefix}contrib GROUP BY doc_id
+    ),
+    {prefix}rnk AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY round(0.0 + {total}, 6) DESC,
+                                               doc_id ASC) AS rnk
+            FROM {prefix}pivoted)
+        WHERE rnk <= {k}
+    )"""

@@ -347,3 +347,33 @@ def test_hll_union_runs_on_register_state_not_corpus(spark, sf_dir):
     # descriptions embed the original FileScan text, so count cache scans,
     # not parquet mentions)
     assert plan.count("InMemoryTableScan") >= 5, plan.count("InMemoryTableScan")
+
+
+def test_tfidf_cosine_pairs_no_cartesian(spark, sf_dir):
+    """The weighted similarity join must stay inverted-index shaped:
+    candidates come from the (source, gram) equi-join, never a doc x doc
+    product."""
+    plan = E.physical_plan(q(spark, sf_dir, "tfidf_cosine_pairs"))
+    assert "CartesianProduct" not in plan
+    # nested-loop joins may appear ONLY as the broadcast of the 1-row
+    # corpus-stats aggregate (n_docs) — a scalar cross join repeated
+    # textually wherever the weighted-tf subtree is reused, never a pair
+    # generator; the candidate join itself must be an equi-join on the gram
+    assert plan.count("BroadcastNestedLoopJoin") == plan.count(
+        "BroadcastNestedLoopJoin BuildRight, Cross"
+    )
+
+
+def test_sorted_neighborhood_windows_are_blocked(spark, sf_dir):
+    """SNM's sort must be per-block (first-token partitions) — a global
+    sorted window over the corpus would be the single-task killer."""
+    df = q(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert E.global_window_inputs(df) == []
+
+
+def test_journey_triples_global_rank_only_on_census(spark, sf_dir):
+    """The per-user lead() windows are keyed; the only global operator is
+    the TakeOrdered top-20 over the tiny journey census."""
+    df = q(spark, sf_dir, "journey_triples_topk")
+    assert E.global_window_inputs(df) == []
+    assert E.uses_take_ordered(df)

@@ -95,3 +95,29 @@ def test_lpa_labels_are_member_nodes(spark, sf_dir):
     nodes = {r.s_suppkey for r in rows}
     assert rows
     assert all(r.community in nodes for r in rows)
+
+
+def test_gini_in_unit_interval(spark, sf_dir):
+    """Gini of a positive-valued distribution lies in [0, 1); sample-Gini
+    of near-uniform synthetic prices should also be well below 1."""
+    rows = q(spark, sf_dir, "gini_by_segment").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0, r
+
+
+def test_welch_dof_within_classical_bounds(spark, sf_dir):
+    """Welch-Satterthwaite dof is bounded by min(n1,n2)-1 below and
+    n1+n2-2 above — a wrong moment formula lands outside immediately."""
+    (r,) = q(spark, sf_dir, "welch_ttest_priorities").collect()
+    assert min(r["n1"], r["n2"]) - 1 <= r["welch_dof"] <= r["n1"] + r["n2"] - 2, r
+
+
+def test_rrf_scores_bounded_and_ranked(spark, sf_dir):
+    """Each run contributes at most 1/(60+1); fused scores are positive,
+    bounded by 2/61, and the output is a consistent descending top-20."""
+    rows = q(spark, sf_dir, "rrf_fusion_topk").collect()
+    assert len(rows) == 20
+    scores = [r["rrf_score"] for r in rows]
+    assert all(0.0 < s <= 2.0 / 61.0 + 1e-12 for s in scores)
+    assert scores == sorted(scores, reverse=True)

@@ -363,3 +363,29 @@ def bloom_contains(
         .withColumn(out, F.coalesce(F.col("_nset"), F.lit(0)) == k)
         .drop("_nset")
     )
+
+
+def cms_inner_product(
+    sketch_a: DataFrame, sketch_b: DataFrame, out: str = "est"
+) -> DataFrame:
+    """Equi-join SIZE ESTIMATE from two Count-Min sketches over the join
+    keys (Cormode & Muthukrishnan 2005, §4.2): |A ⋈ B| = Σ_k a_k·b_k, and
+    the CMS estimate is min over depths of the per-depth cell-product sum
+    — one-sided (never under), the primitive a cost-based planner probes
+    before choosing a join strategy, computable without ever touching the
+    other table's rows.
+
+    Both sketches are depth×width tiny; the estimate is a join of two
+    ≤4096-row tables. Products accumulate in decimal (counters can be
+    ~1e12 at 100 TB; their products overflow int64)."""
+    pa = sketch_a.select("j", "bucket", F.col("counter").alias("ca"))
+    pb = sketch_b.select("j", "bucket", F.col("counter").alias("cb"))
+    per_j = (
+        pa.join(pb, ["j", "bucket"])
+        .groupBy("j")
+        .agg(
+            F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)"))
+            .alias("ip")
+        )
+    )
+    return per_j.agg(F.min("ip").cast("long").alias(out))

@@ -377,3 +377,11 @@ def test_journey_triples_global_rank_only_on_census(spark, sf_dir):
     df = q(spark, sf_dir, "journey_triples_topk")
     assert E.global_window_inputs(df) == []
     assert E.uses_take_ordered(df)
+
+
+def test_split_gain_global_window_is_histogram_bounded(spark, sf_dir):
+    """Split finding's only unpartitioned windows run over the ~50-row
+    (quantity, count, pos) histogram — never the lineitem scan."""
+    for cols in E.global_window_inputs(q(spark, sf_dir, "best_split_information_gain")):
+        named = {c for c in cols if not c.startswith("_we")}  # drop internal
+        assert named <= {"split_value", "c", "p", "nl", "pl", "n", "pp"}, cols

@@ -121,3 +121,20 @@ def test_rrf_scores_bounded_and_ranked(spark, sf_dir):
     scores = [r["rrf_score"] for r in rows]
     assert all(0.0 < s <= 2.0 / 61.0 + 1e-12 for s in scores)
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cms_join_estimate_is_one_sided(spark, sf_dir):
+    """The CMS inner product never underestimates the true join size."""
+    (r,) = q(spark, sf_dir, "join_size_estimate_cms").collect()
+    assert r["cms_est"] >= r["true_size"] > 0, r
+    assert r["over_ratio"] >= 1.0
+
+
+def test_information_gain_bounds(spark, sf_dir):
+    """0 <= IG <= H(parent) <= ln 2 for a binary target."""
+    import math
+
+    rows = q(spark, sf_dir, "best_split_information_gain").collect()
+    assert rows
+    for r in rows:
+        assert -1e-12 <= r["info_gain"] <= math.log(2) + 1e-12, r

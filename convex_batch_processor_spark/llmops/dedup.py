@@ -670,3 +670,84 @@ def sorted_neighborhood_pairs(
         pairs.select("id_a", "id_b", "neighbor_dist", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def exact_substr_scrub(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN REMOVAL (Lee et al. 2022): rewrite
+    each document dropping every token covered by an ``n``-token span
+    that also occurs in an earlier document (min-doc_id occurrence keeps
+    its text — one copy of every duplicated passage survives, the
+    dedup-keeps-one policy). This is the TRANSFORM the dup_span_coverage
+    metric (queries/llm4.py) measures the need for.
+
+    Returns (doc_id, n_tokens, n_removed, clean_md5) — the md5 pins the
+    exact rebuilt text, so a one-token-off span boundary fails parity.
+
+    Scale shape: inverted index on the span gram (one count shuffle,
+    vocabulary-bounded), join back on the gram key (aggregate-to-postings,
+    never doc x doc), explode n covered positions per duplicated
+    occurrence, one anti-join on (doc, pos), and a per-doc rebuild via
+    groupBy + array_sort(collect_list(...)) — no windows, no global sort,
+    and per-doc state bounded by document length.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    g = toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"), F.concat_ws(" ", F.slice("toks", i, n)).alias("g")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    dup = (
+        g.groupBy("g")
+        .agg(
+            F.min("doc_id").alias("mind"),
+            F.countDistinct("doc_id").alias("nd"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("g", "mind")
+    )
+    cov = (
+        g.join(dup, "g")
+        .filter(F.col("doc_id") > F.col("mind"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("ct"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.md5(F.coalesce(F.col("ct"), F.lit(""))).alias("clean_md5"),
+        )
+    )

@@ -220,3 +220,97 @@ class IncrementalAggView:
         for v in versions[:-keep_versions]:
             fsutil.delete(self.spark, os.path.join(self._manifest_dir, f"v{v}.json"))
         return sorted(removed)
+
+
+@dataclass
+class IncrementalJoinView:
+    """Delta-join materialized view: V = A ⋈_key B kept up to date under
+    APPEND-ONLY epoch deltas with the classic incremental-view rule
+
+        ΔV_e = ΔA ⋈ B_{e-1}  ∪  A_{e-1} ⋈ ΔB  ∪  ΔA ⋈ ΔB
+
+    (the DBSP / differential-dataflow bilinear form) — the JOIN sibling
+    of IncrementalAggView. The reference maintains only append state;
+    join views are the Spark-side generalization its consumers build on
+    top (SURVEY §2.9 D1-D5 epoch discipline).
+
+    Layout: ``a/v=N``, ``b/v=N`` (the epoch logs), ``view/v=N`` (the
+    epoch's view delta), ``manifest/vN.json`` — the manifest write is
+    the COMMIT POINT, exactly the IncrementalAggView recipe: a replayed
+    committed epoch is a no-op; an uncommitted crash redoes its three
+    dirs (mode=overwrite) from committed parents only, so at-least-once
+    delivery yields exactly-once view contents.
+
+    Scale: per-epoch cost is two delta-vs-state equi-joins (AQE
+    broadcasts the delta side when small — the common case) plus the
+    delta×delta join; reading the view is a union of epoch-delta scans
+    (compact with ``sinks.compact`` when epoch count grows). The three
+    delta terms are provably disjoint by epoch provenance, so no dedup
+    step exists anywhere.
+    """
+
+    spark: SparkSession
+    root: str
+    key_col: str
+
+    def _dir(self, kind: str, epoch: int) -> str:
+        return os.path.join(self.root, kind, f"v={epoch}")
+
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "manifest")
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for name in fsutil.listdir(self.spark, self._manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _read_epochs(self, kind: str, epochs: list[int]) -> DataFrame | None:
+        paths = [
+            self._dir(kind, e)
+            for e in epochs
+            if fsutil.exists(self.spark, self._dir(kind, e))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def apply_epoch(self, epoch_id: int, da: DataFrame, db: DataFrame) -> None:
+        """Merge one epoch's append deltas into the view (idempotent)."""
+        if epoch_id in self.committed_epochs():
+            return
+        overlap = (set(da.columns) & set(db.columns)) - {self.key_col}
+        if overlap:
+            raise ValueError(f"side columns must be disjoint, both have {overlap}")
+        prior = [e for e in self.committed_epochs() if e < epoch_id]
+        a_prev = self._read_epochs("a", prior)
+        b_prev = self._read_epochs("b", prior)
+        da.write.mode("overwrite").parquet(self._dir("a", epoch_id))
+        db.write.mode("overwrite").parquet(self._dir("b", epoch_id))
+        parts = [da.join(db, self.key_col)]
+        if b_prev is not None:
+            parts.append(da.join(b_prev, self.key_col))
+        if a_prev is not None:
+            parts.append(a_prev.join(db, self.key_col))
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta.write.mode("overwrite").parquet(self._dir("view", epoch_id))
+        fsutil.write_text(
+            self.spark,
+            os.path.join(self._manifest_dir, f"v{epoch_id}.json"),
+            json.dumps({"epoch": epoch_id}),
+        )
+
+    def read_view(self) -> DataFrame | None:
+        return self._read_epochs("view", self.committed_epochs())
+
+    def recompute(self) -> DataFrame | None:
+        """Full A ⋈ B from the epoch logs — the differential-test twin."""
+        a = self._read_epochs("a", self.committed_epochs())
+        b = self._read_epochs("b", self.committed_epochs())
+        if a is None or b is None:
+            return None
+        return a.join(b, self.key_col)

@@ -311,3 +311,25 @@ def test_minhash_persist_modes_identical_pairs(spark, sf_dir):
         for r in minhash_neardup(docs, persist_mode="signatures").collect()
     }
     assert base == sig and base
+
+
+def test_exact_substr_scrub_keeps_first_occurrence(spark):
+    """Two identical docs + one unique: the earlier copy keeps its text,
+    the later copy loses every covered token, the unique doc is intact."""
+    import hashlib
+
+    from convex_batch_processor_spark.llmops.dedup import exact_substr_scrub
+
+    dup_text = "a b c d e f g h i j"
+    uniq_text = "q r s t u v w x y z"
+    df = spark.createDataFrame(
+        [(1, dup_text), (2, dup_text), (3, uniq_text), (4, "short doc")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substr_scrub(df).collect()}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out[1]["n_removed"] == 0 and out[1]["clean_md5"] == md5(dup_text)
+    assert out[2]["n_removed"] == 10 and out[2]["clean_md5"] == md5("")
+    assert out[3]["n_removed"] == 0 and out[3]["clean_md5"] == md5(uniq_text)
+    # sub-n docs can never be covered
+    assert out[4]["n_removed"] == 0 and out[4]["clean_md5"] == md5("short doc")

@@ -75,3 +75,34 @@ def test_injected_corpus_shape(spark, sf_dir):
         | (F.col("n_ipv4") != (F.col("doc_id") % 7 == 0).cast("int"))
     ).count()
     assert bad == 0
+
+
+def test_scrub_composes_with_structured_streaming(spark, sf_dir, tmp_path):
+    """scan_pii is a pure per-row map, so the SAME operator runs unchanged
+    on a stream — batch and streaming scrubs of one corpus slice agree."""
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.queries.llm28 import _with_injected_pii
+
+    docs = _with_injected_pii(load_table(spark, sf_dir, "documents")).limit(50)
+    src = str(tmp_path / "src")
+    docs.write.parquet(src)
+    batch = {
+        r["doc_id"]: (r["n_email"], r["chars_redacted"])
+        for r in P.scan_pii(spark.read.parquet(src), "text").collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out: dict[int, tuple] = {}
+
+    qy = P.scan_pii(stream, "text").select("doc_id", "n_email", "chars_redacted")
+    # run the scrub INSIDE the stream plan; collect via foreachBatch on the
+    # already-scrubbed rows
+    qs = (
+        qy.writeStream.outputMode("append")
+        .foreachBatch(lambda bdf, _e: out.update(
+            {r["doc_id"]: (r["n_email"], r["chars_redacted"]) for r in bdf.collect()}
+        ))
+        .trigger(availableNow=True)
+        .start()
+    )
+    qs.awaitTermination(120)
+    assert out == batch

@@ -138,3 +138,24 @@ def test_information_gain_bounds(spark, sf_dir):
     assert rows
     for r in rows:
         assert -1e-12 <= r["info_gain"] <= math.log(2) + 1e-12, r
+
+
+def test_pareto_front_is_exactly_the_nondominated_set(spark, sf_dir):
+    """Brute-force the dominance definition over the full (small) part
+    table and compare with the histogram-based front."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    pts = [
+        (r["p_partkey"], round(r["p_retailprice"] * 100), r["p_size"])
+        for r in load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_retailprice", "p_size")
+        .collect()
+    ]
+    def dominated(a):
+        return any(
+            (b[1] <= a[1] and b[2] <= a[2]) and (b[1] < a[1] or b[2] < a[2])
+            for b in pts
+        )
+    expect = {k for k, *_ in [p for p in pts if not dominated(p)]}
+    got = {r["p_partkey"] for r in q(spark, sf_dir, "pareto_front_parts").collect()}
+    assert got == expect

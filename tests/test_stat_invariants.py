@@ -159,3 +159,37 @@ def test_pareto_front_is_exactly_the_nondominated_set(spark, sf_dir):
     expect = {k for k, *_ in [p for p in pts if not dominated(p)]}
     got = {r["p_partkey"] for r in q(spark, sf_dir, "pareto_front_parts").collect()}
     assert got == expect
+
+
+def test_consistent_hash_moves_about_one_seventeenth(spark, sf_dir):
+    """Adding shard 17 must move roughly n/17 keys (the consistent-hashing
+    guarantee); mod-hashing would move ~16n/17."""
+    rows = q(spark, sf_dir, "consistent_hash_rebalance").collect()
+    n = sum(r["n_keys"] for r in rows)
+    moved = sum(r["n_moved_on_expand"] for r in rows)
+    assert 0 < moved < 3 * n / 17, (moved, n)
+    assert len(rows) == 16 and all(r["n_keys"] > 0 for r in rows)
+
+
+def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
+    """The equi-width estimate can be off by at most one bin width; exact
+    quantiles must be monotone in q."""
+    rows = {r["q_pct"]: r for r in
+            q(spark, sf_dir, "histogram_quantile_accuracy").collect()}
+    exacts = [rows[p]["exact_cents"] for p in (50, 90, 99)]
+    assert exacts == sorted(exacts)
+    # recompute the bin width bound from the data
+    from convex_batch_processor_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .agg(
+            F.min(F.round(F.col("o_totalprice") * 100)).alias("lo"),
+            F.max(F.round(F.col("o_totalprice") * 100)).alias("hi"),
+        )
+        .collect()[0]
+    )
+    width = (b["hi"] - b["lo"]) / 128.0
+    for r in rows.values():
+        assert r["abs_err"] <= width, (r, width)

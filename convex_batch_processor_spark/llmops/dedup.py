@@ -638,7 +638,9 @@ def sorted_neighborhood_pairs(
     )
     keyed = toks.select(
         "doc_id",
-        F.coalesce(F.element_at("_t", 1), F.lit("")).alias("blk"),
+        # F.get (0-based) returns NULL out of bounds; element_at THROWS
+        # under ANSI on the empty-text docs real corpora contain
+        F.coalesce(F.get("_t", 0), F.lit("")).alias("blk"),
         F.concat_ws(" ", F.slice("_t", 2, 1_000_000)).alias("rest"),
         shingles_from_tokens("_t").alias("sh"),
     ).persist()

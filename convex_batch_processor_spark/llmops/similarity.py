@@ -584,7 +584,9 @@ def mmr_select(
     selected: list[tuple[int, int, int, int]] = []  # (rank, id, r6, sc10m)
     chosen: list[int] = []
     remaining = list(pool_ids)
-    for rank in range(1, k + 1):
+    # the pool can be smaller than k (tiny corpora, zero-vector query →
+    # all-NULL relevance): select what exists, never crash
+    for rank in range(1, min(k, len(pool_ids)) + 1):
         best = None
         for cand in remaining:
             mx = max((sim[(cand, s)] for s in chosen), default=0)

@@ -120,18 +120,22 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            round(s1 / n1 - s2 / n2, 9) AS mean_diff_cents,
-           round((s1 / n1 - s2 / n2)
-                 / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
-                        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 9) AS t_stat,
-           round(((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
-                   + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
-                  * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
-                     + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2))
-                 / ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
-                    * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
-                    + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
-                      * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)),
-                 6) AS welch_dof
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               round((s1 / n1 - s2 / n2)
+                     / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                            + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 9)
+           END AS t_stat,
+           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+               round(((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                       + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                      * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                         + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2))
+                     / ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                        * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                        + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                          * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) / (n2 - 1)),
+                     6)
+           END AS welch_dof
     FROM p
     """,
 )
@@ -173,15 +177,21 @@ def welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1n = ((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
     v2n = ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2
     diff = s1 / n1 - s2 / n2
+    # an arm with < 2 rows has no variance: the test is undefined (NULL),
+    # and ANSI Spark would otherwise throw on the n-1 division
+    ok = (n1 >= 2) & (n2 >= 2)
     return p.select(
         "n1",
         "n2",
         F.round(diff, 9).alias("mean_diff_cents"),
-        F.round(diff / F.sqrt(v1n + v2n), 9).alias("t_stat"),
-        F.round(
-            ((v1n + v2n) * (v1n + v2n))
-            / ((v1n * v1n) / (n1 - 1) + (v2n * v2n) / (n2 - 1)),
-            6,
+        F.when(ok, F.round(diff / F.sqrt(v1n + v2n), 9)).alias("t_stat"),
+        F.when(
+            ok,
+            F.round(
+                ((v1n + v2n) * (v1n + v2n))
+                / ((v1n * v1n) / (n1 - 1) + (v2n * v2n) / (n2 - 1)),
+                6,
+            ),
         ).alias("welch_dof"),
     )
 

@@ -45,6 +45,11 @@ _QUERIES = [
     "longest_active_streak",
     "ctr_wilson_bounds",
     "window_funnel_depth",
+    # continuation-session additions (events/orders only)
+    "journey_triples_topk",
+    "welch_ttest_priorities",
+    "consistent_hash_rebalance",
+    "histogram_quantile_accuracy",
 ]
 
 
@@ -136,6 +141,13 @@ _DOC_QUERIES = [
     "golden_record_merge",
     "dup_cluster_size_census",
     "edit_distance_neardup",
+    # continuation-session additions (documents only)
+    "pii_scrub_stats",
+    "url_domain_extract",
+    "tfidf_cosine_pairs",
+    "sorted_neighborhood_pairs",
+    "exact_substr_scrub",
+    "feature_hash_stats",
 ]
 
 _EMB_QUERIES = [
@@ -144,6 +156,8 @@ _EMB_QUERIES = [
     "vector_stats",
     "label_balance_undersample",
     "embedding_quantize_int8",
+    # zero-vector query id 0 -> empty MMR pool (pool < k path)
+    "mmr_diverse_topk",
 ]
 
 

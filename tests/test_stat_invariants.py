@@ -193,3 +193,44 @@ def test_histogram_quantile_error_bounded_by_bin_width(spark, sf_dir):
     width = (b["hi"] - b["lo"]) / 128.0
     for r in rows.values():
         assert r["abs_err"] <= width, (r, width)
+
+
+def test_attribution_credit_is_conserved(spark, sf_dir):
+    """Linear attribution must hand out EXACTLY each attributed purchase's
+    cents — no pennies created or lost (largest-remainder contract)."""
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.operators.rangejoin import interval_join_bucketed
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts")
+    )
+    purch = ev.filter(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    pairs = interval_join_bucketed(
+        views, purch, ["user_id"], "view_ts", "purchase_ts", 6 * 3600
+    )
+    attributed = pairs.select("purchase_id", "cents").distinct()
+    expected = attributed.agg(F.sum("cents")).collect()[0][0]
+    got = sum(
+        r["credited_cents"]
+        for r in q(spark, sf_dir, "linear_attribution_credit").collect()
+    )
+    assert got == expected, (got, expected)
+
+
+def test_silhouette_in_valid_range(spark, sf_dir):
+    """Simplified silhouette lies in [-1, 1]; the own-centroid distance
+    ranking guarantees b >= a, so cluster means must be >= 0 here."""
+    rows = q(spark, sf_dir, "kmeans_silhouette").collect()
+    assert rows
+    for r in rows:
+        assert -1.0 <= r["avg_silhouette"] <= 1.0, r
+        assert r["avg_silhouette"] >= 0.0, r

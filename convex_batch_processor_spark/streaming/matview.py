@@ -314,3 +314,25 @@ class IncrementalJoinView:
         if a is None or b is None:
             return None
         return a.join(b, self.key_col)
+
+
+def join_view_foreach_batch(
+    view: IncrementalJoinView,
+    side_col: str = "_side",
+    a_cols: list[str] | None = None,
+    b_cols: list[str] | None = None,
+):
+    """Streaming entry for :class:`IncrementalJoinView`: a foreachBatch
+    target for ONE multiplexed delta stream (rows tagged 'a'/'b' in
+    ``side_col`` — the CDC-topic shape where several tables share a
+    changelog). Each micro-batch splits into the two side deltas and
+    applies as one epoch; idempotency under Structured Streaming's
+    at-least-once epoch replay comes from apply_epoch's manifest commit.
+    """
+
+    def _fn(batch_df: DataFrame, epoch_id: int) -> None:
+        da = batch_df.filter(F.col(side_col) == "a").select(view.key_col, *(a_cols or []))
+        db = batch_df.filter(F.col(side_col) == "b").select(view.key_col, *(b_cols or []))
+        view.apply_epoch(epoch_id, da, db)
+
+    return _fn

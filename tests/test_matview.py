@@ -271,3 +271,48 @@ def test_join_view_rejects_ambiguous_columns(spark, tmp_path):
     df = spark.createDataFrame([(1, "x")], "k int, v string")
     with pytest.raises(ValueError, match="disjoint"):
         jv.apply_epoch(0, df, df)
+
+
+def test_join_view_end_to_end_streaming(spark, tmp_path):
+    """Drive the join view from a real file stream (one epoch per file via
+    maxFilesPerTrigger) and check the maintained view equals the full
+    recompute."""
+    import pyspark.sql.functions as F
+
+    from convex_batch_processor_spark.streaming.matview import (
+        IncrementalJoinView,
+        join_view_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    schema = "k int, _side string, av string, bv string"
+    batches = [
+        [(1, "a", "a0", None), (2, "b", None, "b0")],
+        [(1, "b", None, "b1"), (2, "a", "a1", None)],
+        [(1, "a", "a2", None), (3, "b", None, "b3")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / f"f{i}")
+        )
+    jv = IncrementalJoinView(spark, str(tmp_path / "jv"), "k")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            join_view_foreach_batch(jv, a_cols=["av"], b_cols=["bv"])
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in jv.read_view().select("k", "av", "bv").collect())
+    want = sorted(tuple(r) for r in jv.recompute().select("k", "av", "bv").collect())
+    assert got == want
+    # key 1 pairs: (a0,b1), (a2,b1); key 2: (a1,b0)
+    assert (1, "a0", "b1") in got and (2, "a1", "b0") in got
+    assert len(got) == 3

@@ -206,3 +206,73 @@ def test_bloom_no_false_negatives_property(spark, members, probes):
     }
     for m in set(members):
         assert hits[m], m
+
+
+# --- PII scrubber vs a pure-python re replay ---------------------------------
+
+_WORD = st.text(alphabet="abcdefg xyz.,;-", min_size=0, max_size=30)
+_PII = st.sampled_from([
+    "user@example.com", "a.b+c@sub.example.org", "+1-555-203-9987",
+    "(555) 203-9987", "555 123 4567", "10.0.0.1", "192.168.255.4",
+    "not@pii", "1.2.3", "12-34-56",
+])
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(_WORD, _PII, _WORD), min_size=1, max_size=12))
+def test_pii_counts_match_python_re(spark, rows):
+    """regexp_count in the JVM must agree with Python re.findall for the
+    same patterns on arbitrary word/PII interleavings."""
+    import re
+
+    from convex_batch_processor_spark.llmops import pii as P
+
+    texts = [f"{a} {p} {b}" for a, p, b in rows]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: {k: r[f"n_{k}"] for k in P.PII_PATTERNS}
+        for r in P.scan_pii(df, "text", keep_redacted=False).collect()
+    }
+    for i, t in enumerate(texts):
+        for kind, pat in P.PII_PATTERNS.items():
+            assert got[i][kind] == len(re.findall(pat, t)), (t, kind)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=60),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_exact_substr_scrub_accounting_property(spark, texts):
+    """For any corpus: 0 <= n_removed <= n_tokens, the earliest doc of any
+    duplicated text keeps everything, and an empty clean text iff
+    n_removed == n_tokens."""
+    import hashlib
+
+    from convex_batch_processor_spark.llmops.dedup import exact_substr_scrub
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in exact_substr_scrub(df).collect()}
+    first_seen = {}
+    for i, t in enumerate(texts):
+        toks = tuple(w for w in t.split(" ") if w)
+        first_seen.setdefault(toks, i)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for i, t in enumerate(texts):
+        r = rows[i]
+        toks = tuple(w for w in t.split(" ") if w)
+        assert 0 <= r["n_removed"] <= r["n_tokens"] == len(toks)
+        if first_seen[toks] == i:
+            # the first copy of an exact-duplicate text loses nothing to
+            # its OWN duplicates (it may still share spans with others)
+            if len(toks) >= 8 and texts.count(t) == len(texts):
+                assert r["n_removed"] == 0
+        if r["n_removed"] == r["n_tokens"]:
+            assert r["clean_md5"] == empty_md5

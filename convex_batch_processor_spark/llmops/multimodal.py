@@ -11,7 +11,8 @@ The pattern for image/audio/video at 100 TB:
 - decode/feature-extract: Arrow-batched ``mapInPandas`` — whole Arrow
   record batches cross the JVM↔Python boundary once, not per row.
 
-Compressed image/video codecs (JPEG/PNG/H.264) are NOT in this
+PNG is fully real too (stdlib zlib IS the codec — attach_png_payload /
+decode_png_features). Remaining compressed codecs (JPEG/H.264) are NOT in this
 container, so ``decode_features`` / ``frame_sample`` below are
 deterministic stand-ins with the real Spark plumbing (schema, batching,
 partitioning) in place; swap the body for PIL/pyav on a real cluster.
@@ -520,3 +521,154 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(sample, schema)
+
+
+def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a genuine COMPRESSED image per row: an 8-bit grayscale
+    PNG (color type 0) with width = 4 + id % 13, height = 2 + id % 7 and
+    pixel (x, y) = (id + 3x + 5y) % 256 — signature, IHDR/IDAT/IEND
+    chunks, CRC32s, and a real zlib-compressed scanline stream (filter 0).
+    Any PNG viewer opens these bytes; stdlib ``zlib``/``struct`` are the
+    whole codec, so (unlike JPEG) nothing here is stubbed.
+
+    Closed-form pixels mean an external oracle can PREDICT the header
+    fields and exact gray statistics a correct decoder must report
+    (queries/llm37.png_decode_features).
+
+    mapInPandas: partition-parallel, Arrow-batched — the real encode
+    shape."""
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                w, h = 4 + did % 13, 2 + did % 7
+                xs = np.arange(w, dtype=np.int64)
+                img = np.stack(
+                    [(did + 3 * xs + 5 * y) % 256 for y in range(h)]
+                ).astype(np.uint8)
+                raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                png = (
+                    b"\x89PNG\r\n\x1a\n"
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"IDAT", zlib.compress(raw, 6))
+                    + chunk(b"IEND", b"")
+                )
+                out["doc_id"].append(did)
+                out["payload"].append(png)
+                out["meta"].append(
+                    {
+                        "kind": "image/png",
+                        "n_bytes": len(png),
+                        "checksum": hashlib.md5(png).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def decode_png_features(df: DataFrame) -> DataFrame:
+    """REAL PNG decode (stdlib zlib + struct + numpy): walk the chunk
+    stream, parse IHDR, concatenate IDAT, inflate, and UNFILTER the
+    scanlines (filters 0 None / 1 Sub / 2 Up — enough for any grayscale
+    writer using per-row heuristics; other filters raise rather than
+    silently corrupt). Emits header fields + exact gray stats.
+
+    Works on foreign files, not just our own encoder's output — the
+    tests feed it a hand-built Sub/Up-filtered PNG.
+
+    mapInPandas over (doc_id, payload): partition-parallel decode, no
+    shuffle."""
+    schema = (
+        "doc_id long, width int, height int, bit_depth int, color_type int, "
+        "n_pixels long, mean_gray double, min_gray int, max_gray int"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def decode(b: bytes):
+            if b[:8] != b"\x89PNG\r\n\x1a\n":
+                raise ValueError("not a PNG signature")
+            pos, idat = 8, b""
+            w = h = bd = ct = None
+            while pos + 8 <= len(b):
+                ln = int.from_bytes(b[pos : pos + 4], "big")
+                typ = b[pos + 4 : pos + 8]
+                data = b[pos + 8 : pos + 8 + ln]
+                pos += 12 + ln
+                if typ == b"IHDR":
+                    w, h, bd, ct = struct.unpack(">IIBB", data[:10])
+                elif typ == b"IDAT":
+                    idat += data
+                elif typ == b"IEND":
+                    break
+            if ct != 0 or bd != 8:
+                raise ValueError(f"unsupported PNG (color_type={ct}, bit_depth={bd})")
+            raw = zlib.decompress(idat)
+            stride = w + 1
+            prev = np.zeros(w, dtype=np.uint8)
+            rows = []
+            for y in range(h):
+                f = raw[y * stride]
+                line = np.frombuffer(
+                    raw[y * stride + 1 : (y + 1) * stride], dtype=np.uint8
+                ).copy()
+                if f == 0:
+                    pass
+                elif f == 1:  # Sub: add the left neighbour (uint8 wraps)
+                    for i in range(1, w):
+                        line[i] = (int(line[i]) + int(line[i - 1])) & 0xFF
+                elif f == 2:  # Up: add the row above
+                    line = (line.astype(np.int64) + prev).astype(np.uint8)
+                else:
+                    raise ValueError(f"unsupported PNG filter {f}")
+                prev = line
+                rows.append(line)
+            return w, h, bd, ct, np.stack(rows)
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "bit_depth": [],
+                "color_type": [], "n_pixels": [], "mean_gray": [],
+                "min_gray": [], "max_gray": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, bd, ct, img = decode(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(bd)
+                out["color_type"].append(ct)
+                out["n_pixels"].append(w * h)
+                # exact: integer sum / count, one IEEE division
+                out["mean_gray"].append(float(int(img.sum()) / (w * h)))
+                out["min_gray"].append(int(img.min()))
+                out["max_gray"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)

@@ -195,3 +195,60 @@ def test_avi_roundtrip_matches_closed_form(spark):
             assert r.fps == pytest.approx(10.0)
             assert r.mean_b == pytest.approx(sum((i + f + x) % 256 for x in range(w)) / w)
             assert r.mean_g == pytest.approx(sum((i + f + y) % 256 for y in range(h)) / h)
+
+
+def test_png_decoder_handles_foreign_sub_and_up_filters(spark):
+    """A PNG written by a DIFFERENT encoder using Sub (1) and Up (2) row
+    filters must decode to the intended pixels — the unfilter path, which
+    our own filter-0 encoder never exercises."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from convex_batch_processor_spark.llmops.multimodal import decode_png_features
+
+    img = np.array([[10, 20, 30, 40], [15, 25, 35, 45], [100, 0, 255, 7]],
+                   dtype=np.uint8)
+    # row 0: filter 1 (Sub): raw[i] = img[i] - img[i-1]
+    r0 = bytes([1, img[0, 0]]) + bytes(
+        (int(img[0, i]) - int(img[0, i - 1])) & 0xFF for i in range(1, 4)
+    )
+    # row 1: filter 2 (Up): raw[i] = img[1,i] - img[0,i]
+    r1 = bytes([2]) + bytes(
+        (int(img[1, i]) - int(img[0, i])) & 0xFF for i in range(4)
+    )
+    # row 2: filter 0 (None)
+    r2 = bytes([0]) + img[2].tobytes()
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(r0 + r1 + r2))
+           + chunk(b"IEND", b""))
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    (row,) = decode_png_features(df).collect()
+    assert (row["width"], row["height"]) == (4, 3)
+    assert row["min_gray"] == 0 and row["max_gray"] == 255
+    assert abs(row["mean_gray"] - img.astype(int).mean()) < 1e-12
+
+
+def test_png_roundtrip_matches_closed_form(spark):
+    """Our encoder's bytes decode back to the closed-form pixel law."""
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_png_payload,
+        decode_png_features,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (0, 5, 12, 77)], "doc_id long")
+    rows = {r["doc_id"]: r for r in
+            decode_png_features(attach_png_payload(df)).collect()}
+    for did, r in rows.items():
+        w, h = 4 + did % 13, 2 + did % 7
+        pix = [(did + 3 * x + 5 * y) % 256 for y in range(h) for x in range(w)]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert r["mean_gray"] == sum(pix) / len(pix)
+        assert r["min_gray"] == min(pix) and r["max_gray"] == max(pix)

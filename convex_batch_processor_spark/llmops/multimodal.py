@@ -672,3 +672,112 @@ def decode_png_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)
+
+
+def attach_warc_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Synthesize a genuine WARC/1.0 archive per document — the container
+    format web-scale corpora (Common Crawl) actually ship in: a warcinfo
+    record plus a response record whose body IS the document text, each
+    record its own gzip member, members concatenated (the CC packing
+    convention that lets readers seek to a record and inflate just it).
+    stdlib ``gzip`` is the whole codec.
+
+    mapInPandas: partition-parallel encode, Arrow-batched."""
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+
+        def record(rtype: str, rid: int, body: bytes) -> bytes:
+            head = (
+                "WARC/1.0\r\n"
+                f"WARC-Type: {rtype}\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rid:032x}>\r\n"
+                f"Content-Length: {len(body)}\r\n"
+                "\r\n"
+            ).encode("ascii")
+            return head + body + b"\r\n\r\n"
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(doc_id)
+                body = ("" if text is None else str(text)).encode("utf-8")
+                info = record("warcinfo", did * 2, b"software: cbps-spark\r\n")
+                resp = record("response", did * 2 + 1, body)
+                warc = gzip.compress(info, 6) + gzip.compress(resp, 6)
+                out["doc_id"].append(did)
+                out["payload"].append(warc)
+                out["meta"].append(
+                    {
+                        "kind": "application/warc",
+                        "n_bytes": len(warc),
+                        "checksum": hashlib.md5(warc).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+
+
+def decode_warc_records(df: DataFrame) -> DataFrame:
+    """REAL WARC reader (stdlib gzip): inflate the concatenated-member
+    stream (gzip.decompress handles multi-member files), walk records by
+    their ``WARC/1.0`` magic, parse headers, and slice each body by its
+    Content-Length — the exact shape of a Common-Crawl ingestion map.
+    Emits per archive: record count, the response body's byte length and
+    md5 (so a caller can verify the recovered text bit-for-bit).
+
+    mapInPandas over (doc_id, payload): partition-parallel, no shuffle."""
+    schema = (
+        "doc_id long, n_records int, response_bytes long, body_md5 string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+        import hashlib
+
+        def parse(raw: bytes):
+            n, pos = 0, 0
+            resp_body = None
+            while True:
+                start = raw.find(b"WARC/1.0\r\n", pos)
+                if start < 0:
+                    break
+                hdr_end = raw.find(b"\r\n\r\n", start)
+                if hdr_end < 0:
+                    raise ValueError("truncated WARC header")
+                headers = {}
+                for line in raw[start + 10 : hdr_end].split(b"\r\n"):
+                    k, _, v = line.partition(b":")
+                    headers[k.strip().lower()] = v.strip()
+                clen = int(headers[b"content-length"])
+                body = raw[hdr_end + 4 : hdr_end + 4 + clen]
+                if len(body) != clen:
+                    raise ValueError("truncated WARC body")
+                if headers.get(b"warc-type") == b"response":
+                    resp_body = body
+                n += 1
+                pos = hdr_end + 4 + clen
+            if resp_body is None:
+                raise ValueError("no response record in WARC")
+            return n, resp_body
+
+        for pdf in batches:
+            out = {"doc_id": [], "n_records": [], "response_bytes": [], "body_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = gzip.decompress(bytes(payload))
+                n, body = parse(raw)
+                out["doc_id"].append(int(doc_id))
+                out["n_records"].append(n)
+                out["response_bytes"].append(len(body))
+                out["body_md5"].append(hashlib.md5(body).hexdigest())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)

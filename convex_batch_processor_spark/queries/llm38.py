@@ -1,0 +1,45 @@
+"""Post-window round-4 additions, part 31 (round-5 rotation material):
+WARC web-archive ingestion — the Common Crawl container round-trip.
+
+Registered last in queries/__init__.py (after llm37); oracle-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import load_table
+from .registry import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "warc_extract_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS n_records,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS response_bytes,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-archive ingestion, the Common Crawl shape: pack
+    every document into a genuine WARC/1.0 file (warcinfo + response
+    records, per-record gzip members — stdlib gzip is the whole codec),
+    then READ it back: inflate the multi-member stream, walk records by
+    magic, parse headers, slice bodies by Content-Length. Output proves
+    bit-exact recovery: the response body's md5 must equal md5 of the
+    original text, predicted by the oracle WITHOUT touching the archive
+    bytes.
+
+    Scale: encode and decode are both mapInPandas over Arrow batches —
+    exactly how a CC ingestion job fans WARC shards across executors;
+    zero shuffle."""
+    from ..llmops.multimodal import attach_warc_payload, decode_warc_records
+
+    docs = _t(spark, sf_dir, "documents")
+    return decode_warc_records(attach_warc_payload(docs))

@@ -252,3 +252,36 @@ def test_png_roundtrip_matches_closed_form(spark):
         assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
         assert r["mean_gray"] == sum(pix) / len(pix)
         assert r["min_gray"] == min(pix) and r["max_gray"] == max(pix)
+
+
+def test_warc_reader_handles_foreign_archive(spark):
+    """A WARC assembled by a different writer — single gzip member, extra
+    request record, headers in another order/case — must still parse."""
+    import gzip
+    import hashlib
+
+    from convex_batch_processor_spark.llmops.multimodal import decode_warc_records
+
+    body = b"hello crawl"
+    recs = []
+    for rtype, b in (
+        ("warcinfo", b"software: other\r\n"),
+        ("request", b"GET / HTTP/1.1\r\n"),
+        ("response", body),
+    ):
+        recs.append(
+            (
+                "WARC/1.0\r\n"
+                f"content-length: {len(b)}\r\n"
+                f"WARC-TYPE: {rtype}\r\n"
+                "\r\n"
+            ).encode()
+            + b
+            + b"\r\n\r\n"
+        )
+    warc = gzip.compress(b"".join(recs))  # one member, three records
+    df = spark.createDataFrame([(9, bytearray(warc))], "doc_id long, payload binary")
+    (row,) = decode_warc_records(df).collect()
+    assert row["n_records"] == 3
+    assert row["response_bytes"] == len(body)
+    assert row["body_md5"] == hashlib.md5(body).hexdigest()

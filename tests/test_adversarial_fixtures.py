@@ -148,6 +148,10 @@ _DOC_QUERIES = [
     "sorted_neighborhood_pairs",
     "exact_substr_scrub",
     "feature_hash_stats",
+    "robots_filter_stats",
+    "html_extract_text",
+    "url_canonicalize_stats",
+    "web_curation_pipeline",  # exact-dup texts (docs 2/3) hit the dedup stage
 ]
 
 _EMB_QUERIES = [

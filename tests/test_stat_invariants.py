@@ -234,3 +234,23 @@ def test_silhouette_in_valid_range(spark, sf_dir):
     for r in rows:
         assert -1.0 <= r["avg_silhouette"] <= 1.0, r
         assert r["avg_silhouette"] >= 0.0, r
+
+
+def test_fd_key_dependencies_hold(spark, sf_dir):
+    """o_orderkey is the table key: every orderkey-led FD must hold with
+    zero violating groups and fan-out exactly 1."""
+    rows = {(r["lhs"], r["rhs"]): r for r in
+            q(spark, sf_dir, "functional_dependency_check").collect()}
+    for rhs in ("o_custkey", "o_orderstatus"):
+        r = rows[("o_orderkey", rhs)]
+        assert r["n_violating_groups"] == 0 and r["max_rhs_per_lhs"] == 1, r
+
+
+def test_hll_errors_within_expected_bands(spark, sf_dir):
+    """Linear counting makes tiny enums near-exact; the key column stays
+    within a few sigma of the 1.04/sqrt(256) ~ 6.5% standard error."""
+    rows = {r["column_name"]: r for r in
+            q(spark, sf_dir, "hll_accuracy_profile").collect()}
+    assert rows["o_orderstatus"]["rel_error"] < 0.05
+    assert rows["o_orderpriority"]["rel_error"] < 0.05
+    assert rows["o_custkey"]["rel_error"] < 0.25

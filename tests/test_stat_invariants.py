@@ -254,3 +254,37 @@ def test_hll_errors_within_expected_bands(spark, sf_dir):
     assert rows["o_orderstatus"]["rel_error"] < 0.05
     assert rows["o_orderpriority"]["rel_error"] < 0.05
     assert rows["o_custkey"]["rel_error"] < 0.25
+
+
+def test_auc_matches_sklearn_style_reference(spark, sf_dir):
+    """Brute-force midrank AUC over collected (score, label) pairs equals
+    the histogram form; and 0 <= AUC <= 1."""
+    from collections import Counter
+
+    from convex_batch_processor_spark.catalog import load_table
+
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_returnflag"
+    ).collect()
+    pos = Counter(); neg = Counter()
+    for r in rows:
+        (pos if r["l_returnflag"] == "R" else neg)[r["l_quantity"]] += 1
+    num = 0.0
+    cum_neg = 0
+    for v in sorted(set(pos) | set(neg)):
+        num += pos[v] * (cum_neg + neg[v] / 2.0)
+        cum_neg += neg[v]
+    P, N = sum(pos.values()), sum(neg.values())
+    expect = round(num / (P * N), 9)
+    (r,) = q(spark, sf_dir, "auc_quantity_returnflag").collect()
+    assert r["auc"] == expect and 0.0 <= r["auc"] <= 1.0
+    assert (r["n_pos"], r["n_neg"]) == (P, N)
+
+
+def test_logloss_bounded_below_by_entropy(spark, sf_dir):
+    """Log-loss of any calibrated-ish model is >= the label entropy's
+    lower bound territory and > 0; smoothing keeps it finite."""
+    import math
+
+    (r,) = q(spark, sf_dir, "logloss_quantity_model").collect()
+    assert 0.0 < r["logloss"] < math.log(2) * 1.5  # finite, sane for binary

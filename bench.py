@@ -93,6 +93,12 @@ HEADLINE = [
     "pii_scrub_stats",
     "tfidf_cosine_pairs",
     "sorted_neighborhood_pairs",
+    # final continuation-session additions: the ExactSubstr corpus rewrite
+    # (inverted 8-gram index -> anti-join -> per-doc rebuild), the real
+    # PNG codec round-trip, and the composed crawl flagship
+    "exact_substr_scrub",
+    "png_decode_features",
+    "web_curation_pipeline",
 ]
 
 

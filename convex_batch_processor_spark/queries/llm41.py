@@ -54,9 +54,11 @@ def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one (lhs, rhs) distinct-pair aggregation + one lhs rollup per
     candidate — each candidate is an independent inverted count, shuffle
-    keyed on lhs; candidates run as a union of narrow plans over one
-    cached scan. No row ever joins another row."""
-    orders = _t(spark, sf_dir, "orders").persist()
+    keyed on lhs, each pruning the scan to its two columns. NEVER
+    persist() the raw table here: caching a BASE table's plan hijacks
+    every other query's scan of it in a shared session (pushed filters
+    stop reaching parquet — caught by the plan-contract suite)."""
+    orders = _t(spark, sf_dir, "orders")
     parts = []
     for lhs, rhs in _FD_CANDIDATES:
         g = (
@@ -122,7 +124,7 @@ def hll_accuracy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     would REPLACE with the sketch."""
     from ..llmops.sketches import hll_estimate_from_registers, hll_registers
 
-    orders = _t(spark, sf_dir, "orders").persist()
+    orders = _t(spark, sf_dir, "orders")
     srcs = []
     for colname in ("o_custkey", "o_orderpriority", "o_orderstatus"):
         srcs.append(

@@ -50,6 +50,8 @@ _QUERIES = [
     "welch_ttest_priorities",
     "consistent_hash_rebalance",
     "histogram_quantile_accuracy",
+    "functional_dependency_check",
+    "hll_accuracy_profile",
 ]
 
 

@@ -285,3 +285,39 @@ def test_warc_reader_handles_foreign_archive(spark):
     assert row["n_records"] == 3
     assert row["response_bytes"] == len(body)
     assert row["body_md5"] == hashlib.md5(body).hexdigest()
+
+
+def test_warc_decode_composes_with_structured_streaming(spark, sf_dir, tmp_path):
+    """The WARC reader is a mapInPandas stage, so the SAME operator runs
+    unchanged inside a streaming plan — batch and streaming extractions
+    of one archive shard agree."""
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_warc_payload,
+        decode_warc_records,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    src = str(tmp_path / "warc_src")
+    attach_warc_payload(docs).write.parquet(src)
+    batch = {
+        r["doc_id"]: (r["n_records"], r["response_bytes"], r["body_md5"])
+        for r in decode_warc_records(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    out: dict[int, tuple] = {}
+    q = (
+        decode_warc_records(stream)
+        .writeStream.foreachBatch(
+            lambda bdf, _e: out.update(
+                {
+                    r["doc_id"]: (r["n_records"], r["response_bytes"], r["body_md5"])
+                    for r in bdf.collect()
+                }
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert out == batch and len(out) == 30

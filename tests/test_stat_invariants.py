@@ -288,3 +288,54 @@ def test_logloss_bounded_below_by_entropy(spark, sf_dir):
 
     (r,) = q(spark, sf_dir, "logloss_quantity_model").collect()
     assert 0.0 < r["logloss"] < math.log(2) * 1.5  # finite, sane for binary
+
+
+def test_randomized_response_debiases(spark, sf_dir):
+    """The RR estimator must land near the true rate (binomial noise of
+    the 1/4 flip coin: 5 sigma of 0.5*sqrt(p_f(1-p_f)/n) around truth),
+    and the reported count must actually differ from the true count
+    (privacy was applied)."""
+    r = q(spark, sf_dir, "randomized_response_rate").collect()[0]
+    assert r.n_reported != r.n_true
+    sigma = (0.25 * 0.75 / r.n) ** 0.5 / 0.5
+    assert abs(r.debiased_rate - r.true_rate) < 5 * sigma
+
+
+def test_dp_noise_is_applied_and_bounded(spark, sf_dir):
+    """Every released aggregate is perturbed (no group escapes noising)
+    and the Laplace magnitudes respect the u in [0,1) inverse-CDF bound
+    |x| <= b*ln(1e12); count noise uses b=1, sum noise b=100."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    released = {r.event_type: r for r in q(spark, sf_dir, "dp_noisy_counts_by_type").collect()}
+    truth = {
+        r.event_type: r
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.least(F.col("value"), F.lit(100.0)).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("s"),
+        )
+        .collect()
+    }
+    assert set(released) == set(truth)
+    max_b1 = 12 * 2.302585093  # ln(1e12)
+    for et, r in released.items():
+        assert r.noisy_count != truth[et].c
+        assert abs(r.noisy_count - truth[et].c) <= max_b1 + 1e-6
+        assert abs(r.noisy_sum - truth[et].s) <= 100 * max_b1 + 1e-6
+
+
+def test_k_anonymity_partition_is_consistent(spark, sf_dir):
+    """Suppressed + published rows account for every document, and any
+    language with a small group suppresses at least one row."""
+    from convex_batch_processor_spark.catalog import load_table
+
+    rows = q(spark, sf_dir, "k_anonymity_audit").collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.rows_suppressed + r.rows_published for r in rows) == n_docs
+    for r in rows:
+        assert (r.small_groups == 0) == (r.rows_suppressed == 0)
+        assert r.min_group <= r.max_group

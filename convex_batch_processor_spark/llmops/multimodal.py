@@ -12,7 +12,10 @@ The pattern for image/audio/video at 100 TB:
   record batches cross the JVM↔Python boundary once, not per row.
 
 PNG is fully real too (stdlib zlib IS the codec — attach_png_payload /
-decode_png_features). Remaining compressed codecs (JPEG/H.264) are NOT in this
+decode_png_features), and so is GIF (the LZW compressor/decompressor is
+implemented here outright — attach_gif_payload / decode_gif_features,
+variable code widths, clear/EOI, 4096-entry dictionary reset). Remaining
+compressed codecs (JPEG/H.264) are NOT in this
 container, so ``decode_features`` / ``frame_sample`` below are
 deterministic stand-ins with the real Spark plumbing (schema, batching,
 partitioning) in place; swap the body for PIL/pyav on a real cluster.
@@ -781,3 +784,269 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)
+
+
+# --- REAL GIF codec (LZW) ---------------------------------------------------
+
+#: fixed 4-entry global color table: index i -> (R, G, B)
+GIF_PALETTE = [(i * 80 % 256, i * 60 % 256, i * 45 % 256) for i in range(4)]
+
+
+def _lzw_encode(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW: variable code width starting at min_code_size+1,
+    clear/EOI codes, dictionary reset at 4096 entries, LSB-first bit
+    packing. A real encoder — any conforming GIF reader inflates it."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf: tuple = ()
+    for idx in indices:
+        cand = buf + (idx,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:  # dictionary full: reset (exercises decoder clear handling)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        buf = (idx,)
+    if buf:
+        emit(table[buf], width)
+        # The decoder adds one more entry after this final code (it cannot
+        # know the stream ends); mirror that phantom add so EOI is written
+        # at the width the decoder will read it with.
+        if next_code < 4096:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list:
+    """GIF LZW decompressor: LSB-first codes of growing width, clear
+    resets, the KwKwK special case — works on any conforming stream
+    (including clear-heavy foreign encoders), not just _lzw_encode's."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list = [(i,) for i in range(clear)] + [None, None]
+    width = min_code_size + 1
+    out: list = []
+    prev: tuple | None = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated before EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + (entry[0],))
+        else:  # KwKwK
+            entry = prev + (prev[0],)
+            if len(table) < 4096:
+                table.append(entry)
+        out.extend(entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a genuine GIF89a per row with REAL LZW compression:
+    width = 3 + id % 8, height = 2 + id % 5, 4-entry global color table
+    ``GIF_PALETTE`` (fixed constants), pixel index(x, y) =
+    (id + x + 2*y) % 4, plus a Graphic Control Extension block so
+    decoders must handle 0x21 extensions. Any conforming GIF viewer
+    opens these files; because dimensions, palette, and indices are
+    closed-form in the id, an external oracle PREDICTS the channel means
+    a correct LZW round-trip must yield (queries/llm47).
+
+    mapInPandas — partition-parallel, Arrow-batched, zero shuffle."""
+    schema = (
+        "doc_id long, payload binary, "
+        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import struct
+
+        def build(doc_id: int) -> bytes:
+            w, h = 3 + doc_id % 8, 2 + doc_id % 5
+            indices = [
+                (doc_id + x + 2 * y) % 4 for y in range(h) for x in range(w)
+            ]
+            lzw = _lzw_encode(indices, 2)
+            b = bytearray()
+            b += b"GIF89a"
+            # logical screen: GCT present, color resolution 8, GCT size 4
+            b += struct.pack("<HHBBB", w, h, 0xF1, 0, 0)
+            for rgb in GIF_PALETTE:
+                b += bytes(rgb)
+            # graphic control extension (decoders must skip extensions)
+            b += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+            # image descriptor: full frame, no local table, no interlace
+            b += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+            b += bytes([2])  # LZW minimum code size
+            for i in range(0, len(lzw), 255):
+                chunk = lzw[i : i + 255]
+                b += bytes([len(chunk)]) + chunk
+            b += b"\x00\x3b"
+            return bytes(b)
+
+        for pdf in batches:
+            out = {"doc_id": [], "payload": [], "meta": []}
+            for doc_id in pdf[id_col]:
+                doc_id = int(doc_id)
+                payload = build(doc_id)
+                out["doc_id"].append(doc_id)
+                out["payload"].append(payload)
+                out["meta"].append(
+                    {
+                        "kind": "image/gif",
+                        "n_bytes": len(payload),
+                        "checksum": hashlib.md5(payload).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+GIF_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, n_colors int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double"
+)
+
+
+def decode_gif_features(df: DataFrame) -> DataFrame:
+    """REAL GIF decode — no stub: parses the header and logical screen
+    descriptor, reads the global color table, skips extension blocks,
+    parses the image descriptor (local table supported), reassembles the
+    LZW sub-blocks and inflates them with ``_lzw_decode``, then maps
+    indices through the palette for exact per-channel means. Handles any
+    single-frame GIF87a/89a (foreign-stream test feeds it a clear-heavy
+    stream _lzw_encode never produces).
+
+    Channel means are float64 over exact small-integer sums —
+    bit-reproducible, so the closed-form oracle hash-matches them."""
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def parse(b: bytes):
+            if b[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF payload")
+            sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+            pos = 13
+            palette = None
+            if flags & 0x80:
+                n = 2 << (flags & 0x07)
+                palette = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            while True:
+                marker = b[pos]
+                pos += 1
+                if marker == 0x21:  # extension: label + sub-blocks
+                    pos += 1
+                    while b[pos]:
+                        pos += 1 + b[pos]
+                    pos += 1
+                elif marker == 0x2C:
+                    break
+                elif marker == 0x3B:
+                    raise ValueError("no image data before trailer")
+                else:
+                    raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+            _l, _t, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
+            pos += 9
+            if iflags & 0x80:  # local color table overrides
+                n = 2 << (iflags & 0x07)
+                palette = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            if palette is None:
+                raise ValueError("GIF without any color table")
+            mcs = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos]:
+                ln = b[pos]
+                lzw += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            indices = _lzw_decode(bytes(lzw), mcs)
+            if len(indices) != w * h:
+                raise ValueError(
+                    f"LZW inflated {len(indices)} indices for {w}x{h} image"
+                )
+            return w, h, len(palette), indices, palette
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_colors": [],
+                "n_pixels": [], "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, nc, indices, palette = parse(bytes(payload))
+                n = w * h
+                sums = [0, 0, 0]
+                for idx in indices:
+                    rgb = palette[idx]
+                    sums[0] += rgb[0]
+                    sums[1] += rgb[1]
+                    sums[2] += rgb[2]
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_colors"].append(nc)
+                out["n_pixels"].append(n)
+                out["mean_r"].append(sums[0] / n)
+                out["mean_g"].append(sums[1] / n)
+                out["mean_b"].append(sums[2] / n)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(dec, GIF_FEATURE_SCHEMA)

@@ -321,3 +321,94 @@ def test_warc_decode_composes_with_structured_streaming(spark, sf_dir, tmp_path)
     )
     q.awaitTermination(120)
     assert out == batch and len(out) == 30
+
+
+# --- GIF (real LZW) ---------------------------------------------------------
+
+
+def test_lzw_roundtrip_with_width_growth_and_dict_reset():
+    """A long pseudo-random index stream forces code widths 3..12 AND the
+    4096-entry dictionary reset; the round-trip must be identity."""
+    from convex_batch_processor_spark.llmops.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    state, seq = 12345, []
+    for _ in range(30000):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        seq.append((state >> 16) % 4)
+    blob = _lzw_encode(seq, 2)
+    assert _lzw_decode(blob, 2) == seq
+    # sanity: the stream actually compressed (dictionary was used)
+    assert len(blob) < len(seq)
+
+
+def test_lzw_decoder_handles_foreign_clear_heavy_stream():
+    """A degenerate foreign encoder that emits CLEAR before every pixel
+    (valid per spec, never produced by _lzw_encode) must decode."""
+    from convex_batch_processor_spark.llmops.multimodal import _lzw_decode
+
+    indices = [3, 0, 2, 1, 1, 0, 3, 2]
+    acc, nbits, out = 0, 0, bytearray()
+
+    def emit(code, width=3):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for idx in indices:
+        emit(4)  # clear
+        emit(idx)
+    emit(5)  # EOI
+    if nbits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(bytes(out), 2) == indices
+
+
+def test_gif_roundtrip_matches_closed_form(spark):
+    from convex_batch_processor_spark.llmops.multimodal import (
+        GIF_PALETTE,
+        attach_gif_payload,
+        decode_gif_features,
+    )
+
+    ids = [0, 1, 7, 38, 101]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = {r.doc_id: r for r in decode_gif_features(attach_gif_payload(df)).collect()}
+    for i in ids:
+        w, h = 3 + i % 8, 2 + i % 5
+        px = [GIF_PALETTE[(i + x + 2 * y) % 4] for y in range(h) for x in range(w)]
+        r = rows[i]
+        assert (r.width, r.height, r.n_colors, r.n_pixels) == (w, h, 4, w * h)
+        assert r.mean_r == sum(p[0] for p in px) / (w * h)
+        assert r.mean_g == sum(p[1] for p in px) / (w * h)
+        assert r.mean_b == sum(p[2] for p in px) / (w * h)
+
+
+def test_gif_payload_is_well_formed(spark):
+    """Container sanity a third-party viewer relies on: magic, screen
+    descriptor flags, GCE present, trailer last."""
+    from convex_batch_processor_spark.llmops.multimodal import attach_gif_payload
+
+    df = spark.createDataFrame([(9,)], "doc_id long")
+    b = bytes(attach_gif_payload(df).collect()[0].payload)
+    assert b[:6] == b"GIF89a"
+    assert b[10] & 0x80  # global color table present
+    assert 2 << (b[10] & 0x07) == 4  # 4-entry table
+    assert b[13 + 12] == 0x21  # first block after GCT: extension
+    assert b[-1:] == b"\x3b"
+
+
+def test_gif_decoder_rejects_non_gif(spark):
+    from convex_batch_processor_spark.llmops.multimodal import decode_gif_features
+
+    df = spark.createDataFrame([(1, b"NOTAGIF00")], "doc_id long, payload binary")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not a GIF"):
+        decode_gif_features(df).collect()

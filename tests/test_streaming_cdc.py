@@ -1,0 +1,144 @@
+"""Streaming CDC state view: incremental epochs equal the batch
+changelog collapse, tombstones never resurrect, replay is idempotent,
+and compaction drops only expired tombstones."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.queries import QUERIES
+from convex_batch_processor_spark.streaming.cdc import CdcStateView
+
+
+def _changelog(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        "event_type",
+        "value",
+    )
+
+
+def _view(spark, tmp_path, n_buckets=8):
+    return CdcStateView(
+        spark,
+        str(tmp_path / "cdc"),
+        key_cols=["user_id"],
+        order_cols=["ts", "event_id"],
+        n_buckets=n_buckets,
+    )
+
+
+def _state(view):
+    return {
+        r.user_id: (r.event_type, r.value, r.ts)
+        for r in view.read().collect()
+    }
+
+
+def test_cdc_stream_matches_batch_changelog_collapse(spark, sf_dir, tmp_path):
+    """Four epochs of arbitrary row assignment converge to exactly the
+    batch cdc_apply_changelog result (LWW is split-invariant)."""
+    log = _changelog(spark, sf_dir).persist()
+    view = _view(spark, tmp_path)
+    for e in range(4):
+        view.foreach_batch(log.filter(F.col("event_id") % 4 == e), e)
+    batch = {
+        r.user_id: (r.last_state, r.last_value, r.updated_at)
+        for r in QUERIES["cdc_apply_changelog"].fn(spark, sf_dir).collect()
+    }
+    assert _state(view) == batch
+    log.unpersist()
+
+
+def test_cdc_replay_is_idempotent(spark, sf_dir, tmp_path):
+    log = _changelog(spark, sf_dir).persist()
+    view = _view(spark, tmp_path)
+    for e in range(3):
+        view.foreach_batch(log.filter(F.col("event_id") % 3 == e), e)
+    before = _state(view)
+    view.foreach_batch(log.filter(F.col("event_id") % 3 == 1), 1)  # redelivery
+    assert _state(view) == before
+    log.unpersist()
+
+
+def test_cdc_tombstone_never_resurrects(spark, tmp_path):
+    """upsert(ts=5) -> delete(ts=10) -> LATE upsert(ts=7): the key stays
+    deleted; a genuinely newer upsert(ts=12) then revives it."""
+    schema = "user_id long, ts long, event_id long, op string, event_type string, value double"
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=4
+    )
+    view.foreach_batch(
+        spark.createDataFrame([(1, 5, 100, "U", "signup", 1.0)], schema), 0
+    )
+    view.foreach_batch(
+        spark.createDataFrame([(1, 10, 101, "D", "error", 0.0)], schema), 1
+    )
+    view.foreach_batch(
+        spark.createDataFrame([(1, 7, 102, "U", "login", 2.0)], schema), 2
+    )
+    assert view.read().count() == 0
+    assert view.read(with_tombstones=True).count() == 1  # tombstone is state
+    view.foreach_batch(
+        spark.createDataFrame([(1, 12, 103, "U", "purchase", 3.0)], schema), 3
+    )
+    assert {r.event_type for r in view.read().collect()} == {"purchase"}
+
+
+def test_cdc_same_ts_tie_breaks_by_sequence(spark, tmp_path):
+    """Equal timestamps resolve by the unique sequence column — the
+    crafted-collision case the generated testdata never produces."""
+    schema = "user_id long, ts long, event_id long, op string, event_type string, value double"
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=4
+    )
+    view.foreach_batch(
+        spark.createDataFrame(
+            [(1, 5, 200, "U", "a", 1.0), (1, 5, 201, "U", "b", 2.0)], schema
+        ),
+        0,
+    )
+    assert _state(view)[1][0] == "b"
+
+
+def test_cdc_compaction_drops_only_expired_tombstones(spark, tmp_path):
+    schema = "user_id long, ts long, event_id long, op string, event_type string, value double"
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=4
+    )
+    rows = [
+        (1, 5, 1, "D", "error", 0.0),   # old tombstone -> dropped
+        (2, 50, 2, "D", "error", 0.0),  # recent tombstone -> kept
+        (3, 5, 3, "U", "login", 1.0),   # old live row -> kept
+    ]
+    view.foreach_batch(spark.createDataFrame(rows, schema), 0)
+    view.compact(1, drop_tombstones_where=F.col("ts") < 10)
+    with_t = {r.user_id for r in view.read(with_tombstones=True).collect()}
+    assert with_t == {2, 3}
+    assert {r.user_id for r in view.read().collect()} == {3}
+    # a replayed epoch BELOW the compaction is skipped (already committed)
+    view.foreach_batch(spark.createDataFrame(rows, schema), 0)
+    assert {r.user_id for r in view.read(with_tombstones=True).collect()} == {2, 3}
+
+
+def test_cdc_precommit_crash_redo(spark, sf_dir, tmp_path):
+    """A version dir written without its manifest (crash before commit)
+    is redone cleanly from the committed parent."""
+    import shutil
+
+    log = _changelog(spark, sf_dir).persist()
+    view = _view(spark, tmp_path)
+    view.foreach_batch(log.filter(F.col("event_id") % 2 == 0), 0)
+    view.foreach_batch(log.filter(F.col("event_id") % 2 == 1), 1)
+    good = _state(view)
+    # simulate: epoch 1 wrote data but crashed pre-manifest
+    (tmp_path / "cdc" / "manifest" / "v1.json").unlink()
+    shutil.rmtree(str(tmp_path / "cdc" / "data" / "v=1"))
+    view.foreach_batch(log.filter(F.col("event_id") % 2 == 1), 1)
+    assert _state(view) == good
+    log.unpersist()

@@ -339,3 +339,21 @@ def test_k_anonymity_partition_is_consistent(spark, sf_dir):
     for r in rows:
         assert (r.small_groups == 0) == (r.rows_suppressed == 0)
         assert r.min_group <= r.max_group
+
+
+def test_zlib_class_ratios_order_as_entropy_predicts():
+    """Deflate must compress the repetitive class far better than the
+    high-entropy hex class (the signal the quality filter relies on),
+    and the pinned oracle constants must reproduce under a fresh
+    compression call."""
+    import zlib
+
+    from convex_batch_processor_spark.queries.llm48 import _ZCOMP, _ZLEVEL, _ZPAY
+
+    ratios = {
+        k: len(zlib.compress(v.encode(), _ZLEVEL)) / len(v.encode())
+        for k, v in _ZPAY.items()
+    }
+    assert ratios[0] < 0.2 < ratios[1]
+    for k, v in _ZPAY.items():
+        assert len(zlib.compress(v.encode(), _ZLEVEL)) == _ZCOMP[k]

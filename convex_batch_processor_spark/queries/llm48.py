@@ -198,9 +198,13 @@ def target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: class payloads: highly repetitive / pseudo-random / short constant.
 #: FIXED strings, so each class's deflate size is one constant the oracle
 #: pins below (computed from the same bytes at module import).
+import hashlib as _hashlib
+
 _ZPAY = {
     0: "the quick brown fox jumps over the lazy dog " * 12,
-    1: "9f8a7c1be2d4035f6a8b9c0d1e2f3a4b5c6d7e8f" * 8,
+    1: "".join(
+        _hashlib.md5(f"entropy{i}".encode()).hexdigest() for i in range(10)
+    ),
     2: "structured boilerplate header v1 " * 6,
 }
 _ZLEVEL = 6

@@ -52,6 +52,11 @@ _QUERIES = [
     "histogram_quantile_accuracy",
     "functional_dependency_check",
     "hll_accuracy_profile",
+    # round-4 continuation additions (events/orders only)
+    "peak_concurrency_by_user",
+    "partition_skew_audit",
+    "dp_noisy_counts_by_type",
+    "randomized_response_rate",
 ]
 
 
@@ -78,7 +83,10 @@ def adv_dir(tmp_path_factory):
                 (8, TIMESTAMP '2024-02-20 00:00:00', 8, 'purchase', 4.00,  '{{"k": 8}}'),
                 -- user 9: signup-only (censored in KM terms), null value
                 (9, TIMESTAMP '2024-01-07 12:00:00', 9, 'signup',   NULL,  '{{"k": 9}}'),
-                (10, TIMESTAMP '2024-01-08 12:00:00', 9, 'error',   5.75,  '{{"k": 10}}')
+                (10, TIMESTAMP '2024-01-08 12:00:00', 9, 'error',   5.75,  '{{"k": 10}}'),
+                -- close-at-open boundary: event 11 starts exactly when
+                -- event 10's 300 s concurrency slot closes (sweep tie rule)
+                (11, TIMESTAMP '2024-01-08 12:05:00', 9, 'view',    1.25,  '{{"k": 11}}')
             ) t(event_id, ts, user_id, event_type, value, props)
         ) TO '{d}/events.parquet' (FORMAT PARQUET)
         """
@@ -154,6 +162,17 @@ _DOC_QUERIES = [
     "html_extract_text",
     "url_canonicalize_stats",
     "web_curation_pipeline",  # exact-dup texts (docs 2/3) hit the dedup stage
+    # round-4 continuation additions (documents only)
+    "skipgram_pairs_topk",  # empty doc and 1-token doc exercise the guards
+    "negative_sampling_table",
+    "frequent_word_subsample",
+    "char_entropy_quality",
+    "unicode_normalize_stats",
+    "mojibake_repair_stats",
+    "padding_waste_buckets",  # empty doc: 0 real tokens, full-bucket padding
+    "zlib_ratio_classes",
+    "gif_decode_features",
+    "k_anonymity_audit",
 ]
 
 _EMB_QUERIES = [

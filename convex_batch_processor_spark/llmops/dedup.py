@@ -287,29 +287,18 @@ def minhash_neardup(
     )
 
 
-def minhash_md5_neardup(
+def minhash_md5_candidates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_perm: int = 16,
     rows_per_band: int = 4,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """ENGINE-PORTABLE MinHash-LSH near-dup: identical pipeline shape to
-    ``minhash_neardup`` (signatures → bands → exact-Jaccard verify) but
-    the hash family is md5-derived — h_p(s) = the first 16 hex chars of
-    md5("p:" || s), minimized LEXICOGRAPHICALLY — so ANY engine with md5
-    reproduces the exact same signatures, candidates, and verified pairs
-    (xxhash64 exists only in Spark, which is why minhash_neardup is
-    rows-only). The trade: md5 costs a few× more than xxhash64 per
-    shingle — use this variant when cross-engine reproducibility of the
-    candidate set matters (dataset versioning, audited dedup), the
-    xxhash one when raw throughput does.
-
-    Scale shape is unchanged: one shingle-keyed aggregation for
-    signatures (num_perm mins in a single groupBy pass), banded bucket
-    equi-join (never all-pairs), candidate-only verification.
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """The banded CANDIDATE stage of the md5 MinHash pipeline, exposed
+    separately so callers can audit the raw candidate set (the LSH
+    recall/precision evaluation in queries/llm50) instead of only the
+    verified pairs. Returns (candidate pairs, persisted shingle frame) —
+    reuse the latter for verification to avoid recomputing shingles."""
     sh_raw = with_shingles(df, text_col, id_col).persist()
     shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
     mins = [
@@ -348,6 +337,33 @@ def minhash_md5_neardup(
         )
         .distinct()
     )
+    return cands, sh_raw
+
+
+def minhash_md5_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ENGINE-PORTABLE MinHash-LSH near-dup: identical pipeline shape to
+    ``minhash_neardup`` (signatures -> bands -> exact-Jaccard verify) but
+    the hash family is md5-derived — h_p(s) = the first 16 hex chars of
+    md5("p:" || s), minimized LEXICOGRAPHICALLY — so ANY engine with md5
+    reproduces the exact same signatures, candidates, and verified pairs
+    (xxhash64 exists only in Spark, which is why minhash_neardup is
+    rows-only). The trade: md5 costs a few x more than xxhash64 per
+    shingle — use this variant when cross-engine reproducibility of the
+    candidate set matters (dataset versioning, audited dedup), the
+    xxhash one when raw throughput does.
+
+    Scale shape is unchanged: one shingle-keyed aggregation for
+    signatures (num_perm mins in a single groupBy pass), banded bucket
+    equi-join (never all-pairs), candidate-only verification.
+    """
+    cands, sh_raw = minhash_md5_candidates(df, text_col, id_col, num_perm, rows_per_band)
     return jaccard_pairs(df, cands, text_col, id_col, shingle_df=sh_raw).filter(
         F.col("jaccard") >= threshold
     )

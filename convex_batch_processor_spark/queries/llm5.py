@@ -30,6 +30,7 @@ from ..llmops import textstats as X
 from ..llmops.dedup import shingles_from_tokens, tokens_col
 from .registry import register
 from .sqlfrags import LM_CTES as _LM_CTES
+from .sqlfrags import MINHASH_MD5_CTES as _MINHASH_CTES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -411,41 +412,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_portable_neardup",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents
-    ),
-    sh AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-            range(1, greatest(1, len(t) - 1)),
-            i -> array_to_string(list_slice(t, i, i + 2), ' ')
-        ))) AS shingle
-        FROM toks WHERE len(t) >= 3
-    ),
-    sig AS (
-        SELECT doc_id, p, MIN(substr(md5(p || ':' || shingle), 1, 16)) AS h
-        FROM sh, unnest(range(0, 16)) AS u(p) GROUP BY 1, 2
-    ),
-    bands AS (
-        SELECT doc_id, p // 4 AS band_idx,
-               array_to_string(list(h ORDER BY p), '|') AS band_key
-        FROM sig GROUP BY doc_id, p // 4
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         AND a.doc_id < b.doc_id
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
-    inter AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS i
-        FROM cand c
-        JOIN sh x ON x.doc_id = c.id_a
-        JOIN sh y ON y.doc_id = c.id_b AND y.shingle = x.shingle
-        GROUP BY 1, 2
-    )
+    oracle=f"""
+    WITH {_MINHASH_CTES}
     SELECT id_a, id_b,
            CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
     FROM inter

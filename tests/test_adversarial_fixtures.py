@@ -173,6 +173,8 @@ _DOC_QUERIES = [
     "zlib_ratio_classes",
     "gif_decode_features",
     "k_anonymity_audit",
+    "neardup_eval_metrics",  # identical docs 2/3 -> one true pair
+    "jaccard_pair_histogram",
 ]
 
 _EMB_QUERIES = [

@@ -99,6 +99,14 @@ HEADLINE = [
     "exact_substr_scrub",
     "png_decode_features",
     "web_curation_pipeline",
+    # round-4 final-session additions: map-side skip-gram pair stream,
+    # char-level entropy scoring, the LZW GIF codec round-trip, the
+    # inverted-index LSH quality audit, and the endpoint sweep-line
+    "skipgram_pairs_topk",
+    "char_entropy_quality",
+    "gif_decode_features",
+    "neardup_eval_metrics",
+    "peak_concurrency_by_user",
 ]
 
 

@@ -57,6 +57,8 @@ _QUERIES = [
     "partition_skew_audit",
     "dp_noisy_counts_by_type",
     "randomized_response_rate",
+    "cuped_variance_reduction",  # NULL-value rows and single-period users
+    "purged_time_folds",
 ]
 
 
@@ -175,6 +177,7 @@ _DOC_QUERIES = [
     "k_anonymity_audit",
     "neardup_eval_metrics",  # identical docs 2/3 -> one true pair
     "jaccard_pair_histogram",
+    "soundex_blocking_stats",
 ]
 
 _EMB_QUERIES = [

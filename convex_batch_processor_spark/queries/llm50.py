@@ -32,22 +32,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _truth_pairs(sh_raw: DataFrame):
-    """(id_a, id_b) pairs with exact Jaccard >= _TAU via the inverted
-    index (a true pair at tau >= 0.5 must share a shingle, so the
-    shared-shingle join finds every one), plus the per-doc set sizes."""
-    st = sh_raw.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    x = st.select(F.col("doc_id").alias("id_a"), "shingle")
-    y = st.select(F.col("doc_id").alias("id_b"), "shingle")
+    """(id_a, id_b, exact Jaccard) for every shared-shingle pair via the
+    inverted index (a true pair at tau >= 0.5 must share a shingle, so
+    the join finds every one). Count-verify shape (the
+    ngram_jaccard_pairs lesson): shingles are distinct per doc, so the
+    matching-row count per pair IS the intersection size, and the set
+    sizes ride along in the exploded rows — no size join-back, no
+    array re-verify."""
+    st = sh_raw.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    x = st.select(
+        F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"), "shingle"
+    )
+    y = st.select(
+        F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"), "shingle"
+    )
     tr = (
         x.join(y, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sa", "sb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"))
-    return tr.join(sa, "id_a").join(sb, "id_b").select(
+    return tr.select(
         "id_a",
         "id_b",
         (

@@ -287,6 +287,41 @@ def minhash_neardup(
     )
 
 
+def minhash_md5_hash(perm: int, shingle_col="shingle"):
+    """Permutation-p hash of a shingle: first 16 hex chars of
+    md5("p:" || shingle) — lexicographic min over these is the portable
+    signature element (any engine with md5 replays it)."""
+    col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    return F.substring(F.md5(F.concat(F.lit(f"{perm}:"), col)), 1, 16)
+
+
+def minhash_group_signatures(
+    df: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    num_perm: int = 16,
+) -> DataFrame:
+    """Merged MinHash signature PER GROUP (h0..h{num_perm-1} columns):
+    the min over every shingle of every document in the group — the
+    group-level shingle-set sketch (estimate cross-source containment/
+    Jaccard from signature agreement without touching row data).
+
+    Because min is a mergeable, order-independent aggregate, this same
+    expression runs as a STREAMING stateful aggregation
+    (streaming/sketches.streaming_minhash_signatures) with state
+    guaranteed bit-identical to the batch-built sketch — and mergeable
+    with one across pipelines.
+    """
+    toks = df.select(*group_cols, tokens_col(text_col).alias("_toks"))
+    sh = toks.select(
+        *group_cols, F.explode(shingles_from_tokens("_toks")).alias("shingle")
+    )
+    mins = [
+        F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)
+    ]
+    return sh.groupBy(*group_cols).agg(*mins)
+
+
 def minhash_md5_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -301,12 +336,7 @@ def minhash_md5_candidates(
     reuse the latter for verification to avoid recomputing shingles."""
     sh_raw = with_shingles(df, text_col, id_col).persist()
     shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    mins = [
-        F.min(
-            F.substring(F.md5(F.concat(F.lit(f"{p}:"), F.col("shingle"))), 1, 16)
-        ).alias(f"h{p}")
-        for p in range(num_perm)
-    ]
+    mins = [F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)]
     sigs = shingled.groupBy(id_col).agg(*mins)
     n_bands = num_perm // rows_per_band
     bands = sigs.select(

@@ -170,3 +170,24 @@ def spacesaving_topk_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_minhash_signatures(
+    stream: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    num_perm: int = 16,
+) -> DataFrame:
+    """Maintain per-group MinHash signatures over a document stream: the
+    running min of each of ``num_perm`` portable md5 permutation hashes
+    across every shingle seen for the group — the live dedup/containment
+    index a crawl pipeline consults as documents arrive. State is
+    groups x num_perm values forever (mins only ever decrease).
+
+    Delegates to the batch builder (llmops/dedup.minhash_group_signatures)
+    — a min-aggregation is an allowed streaming stateful op, and sharing
+    the expression guarantees the streaming state is bit-identical to a
+    batch-built signature over the same rows, and MERGEABLE with one."""
+    from ..llmops.dedup import minhash_group_signatures
+
+    return minhash_group_signatures(stream, group_cols, text_col, num_perm)

@@ -271,3 +271,95 @@ def test_spacesaving_topk_guarantees(spark, sf_dir, tmp_path):
         for (g2, item), t in true.items():
             if g2 == grp and t > totals[grp] / cap:
                 assert item in items, (grp, item, t, totals[grp])
+
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+DOC_ROWS = [
+    (1, "web", "a b c d e f"),
+    (2, "web", "c d e f g h"),
+    (3, "book", "x y z w v u t"),
+    (4, "web", "a b c q r s"),
+    (5, "book", "x y z a b c"),
+    (6, "book", ""),  # empty doc: contributes no shingles
+]
+
+
+def test_streaming_minhash_signatures_match_batch(spark, tmp_path):
+    """Arbitrary micro-batch splits must converge to the batch-built
+    group signatures (min-merge is order-independent), and per-batch
+    snapshots must be monotone (mins only ever decrease)."""
+    from convex_batch_processor_spark.llmops.dedup import minhash_group_signatures
+    from convex_batch_processor_spark.streaming.sketches import (
+        streaming_minhash_signatures,
+    )
+
+    src = tmp_path / "docs"
+    for i, row in enumerate(DOC_ROWS):
+        spark.createDataFrame([row], DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_minhash_signatures(stream, ["source"])
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("mh_sigs")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.source: tuple(r[f"h{p}"] for p in range(16))
+        for r in spark.sql("SELECT * FROM mh_sigs").collect()
+    }
+    batch_df = spark.createDataFrame(DOC_ROWS, DOC_SCHEMA)
+    want = {
+        r.source: tuple(r[f"h{p}"] for p in range(16))
+        for r in minhash_group_signatures(batch_df, ["source"]).collect()
+    }
+    assert got == want
+    # monotonicity: signatures over a PREFIX of the docs are >= the final
+    prefix = spark.createDataFrame(DOC_ROWS[:3], DOC_SCHEMA)
+    pre = {
+        r.source: tuple(r[f"h{p}"] for p in range(16))
+        for r in minhash_group_signatures(prefix, ["source"]).collect()
+    }
+    for src_key, sig in pre.items():
+        assert all(a >= b for a, b in zip(sig, want[src_key]))
+
+
+def test_group_signature_agreement_tracks_overlap(spark):
+    """Groups sharing most shingles agree on most mins; disjoint groups
+    agree on (almost) none — the containment signal the sketch exists
+    for."""
+    from convex_batch_processor_spark.llmops.dedup import minhash_group_signatures
+
+    rows = [
+        (1, "a", "p q r s t u v w"),
+        (2, "b", "p q r s t u v x"),  # near-identical shingle set to a
+        (3, "c", "m n o k l j i h"),  # disjoint
+    ]
+    rows_out = (
+        minhash_group_signatures(spark.createDataFrame(rows, DOC_SCHEMA), ["source"])
+        .selectExpr("source", *[f"h{p}" for p in range(16)])
+        .collect()
+    )
+    sigs = {r[0]: tuple(r[1:17]) for r in rows_out}
+    agree_ab = sum(x == y for x, y in zip(sigs["a"], sigs["b"]))
+    agree_ac = sum(x == y for x, y in zip(sigs["a"], sigs["c"]))
+    assert agree_ab > agree_ac
+    assert agree_ac <= 2

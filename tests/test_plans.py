@@ -385,3 +385,68 @@ def test_split_gain_global_window_is_histogram_bounded(spark, sf_dir):
     for cols in E.global_window_inputs(q(spark, sf_dir, "best_split_information_gain")):
         named = {c for c in cols if not c.startswith("_we")}  # drop internal
         assert named <= {"split_value", "c", "p", "nl", "pl", "n", "pp"}, cols
+
+
+def test_skipgram_pairs_are_generated_map_side(spark, sf_dir):
+    """The pair stream must come from a Generate over the token array —
+    no join anywhere (the position self-join is the shape we rejected),
+    and the top-k is a TakeOrdered, not a global sort."""
+    df = q(spark, sf_dir, "skipgram_pairs_topk")
+    plan = E.physical_plan(df)
+    for tok in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert tok not in plan, tok
+    assert E.uses_take_ordered(df)
+
+
+def test_negative_sampling_global_window_is_vocab_bounded(spark, sf_dir):
+    """The cumulative-probability window is global by semantics but must
+    see only the bounded top-k vocabulary projection, never corpus rows."""
+    inputs = E.global_window_inputs(q(spark, sf_dir, "negative_sampling_table"))
+    assert inputs, "expected the cum-prob window"
+    for cols in inputs:
+        assert "text" not in cols and "doc_id" not in cols, cols
+
+
+def test_quantile_normalize_window_is_histogram_bounded(spark, sf_dir):
+    """The midrank cumulative window runs on the (v, c) value histogram —
+    no corpus column may appear in its input."""
+    inputs = E.global_window_inputs(q(spark, sf_dir, "quantile_normalize_values"))
+    assert inputs, "expected the cumulative histogram window"
+    for cols in inputs:
+        assert cols <= {"v", "c", "below"}, cols
+
+
+def test_calibration_windows_and_joins_stay_on_histogram(spark, sf_dir):
+    """Both calibration queries reduce lineitem once; everything after is
+    histogram-sized with broadcast-only joins."""
+    for name in ("calibration_bins", "calibration_ece_brier"):
+        df = q(spark, sf_dir, name)
+        plan = E.physical_plan(df)
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_target_encoding_broadcasts_the_dimension(spark, sf_dir):
+    assert E.uses_broadcast_join(q(spark, sf_dir, "target_encode_brand"))
+
+
+def test_bfs_has_no_cartesian_and_bounded_rounds(spark, sf_dir):
+    plan = E.physical_plan(q(spark, sf_dir, "bfs_hop_distance"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_peak_concurrency_windows_are_key_partitioned(spark, sf_dir):
+    """The sweep-line running sum must be user-partitioned — a global
+    endpoint window would serialize the corpus through one task."""
+    assert E.global_window_inputs(q(spark, sf_dir, "peak_concurrency_by_user")) == []
+
+
+def test_dedup_eval_truth_join_has_no_cartesian(spark, sf_dir):
+    """Pair generation must be equi-joins (band buckets / shared
+    shingles). The BroadcastNestedLoopJoin nodes that DO appear are the
+    three 1-row scalar-count combines — idiomatic and O(1)."""
+    plan = E.physical_plan(q(spark, sf_dir, "neardup_eval_metrics"))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar combines only

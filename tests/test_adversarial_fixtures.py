@@ -59,6 +59,7 @@ _QUERIES = [
     "randomized_response_rate",
     "cuped_variance_reduction",  # NULL-value rows and single-period users
     "purged_time_folds",
+    "did_estimator",  # NULL values and missing cells-by-day coverage
 ]
 
 

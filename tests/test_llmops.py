@@ -333,3 +333,34 @@ def test_exact_substr_scrub_keeps_first_occurrence(spark):
     assert out[3]["n_removed"] == 0 and out[3]["clean_md5"] == md5(uniq_text)
     # sub-n docs can never be covered
     assert out[4]["n_removed"] == 0 and out[4]["clean_md5"] == md5("short doc")
+
+
+# --- Jaro-Winkler (record linkage) ------------------------------------------
+
+
+def test_jaro_winkler_published_vectors():
+    """Independent ground truth: the canonical Winkler reference pairs
+    (and classic textbook values) pin the implementation the oracle's
+    literal scores are generated from."""
+    from convex_batch_processor_spark.llmops.linkage import jaro, jaro_winkler
+
+    assert round(jaro_winkler("MARTHA", "MARHTA"), 3) == 0.961
+    assert round(jaro_winkler("DIXON", "DICKSONX"), 3) == 0.813
+    assert round(jaro_winkler("DWAYNE", "DUANE"), 3) == 0.840
+    assert round(jaro("CRATE", "TRACE"), 3) == 0.733
+    assert jaro_winkler("ABC", "ABC") == 1.0
+    assert jaro_winkler("ABC", "") == 0.0
+    assert jaro_winkler("", "") == 1.0  # exact-equality short-circuit
+    assert jaro_winkler("A", "B") == 0.0
+    # prefix bonus only above the 0.7 boost threshold
+    assert jaro_winkler("ABCDEF", "UVWXYZ") == jaro("ABCDEF", "UVWXYZ")
+
+
+def test_jw_score_pairs_vectorized(spark):
+    from convex_batch_processor_spark.llmops.linkage import jaro_winkler, jw_score_pairs
+
+    rows = [("martha", "marhta"), ("smith", "jones"), ("x", "x")]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = {(r.a, r.b): r.jw for r in jw_score_pairs(df, "a", "b").collect()}
+    for a, b in rows:
+        assert got[(a, b)] == round(jaro_winkler(a, b), 9)

@@ -60,6 +60,8 @@ _QUERIES = [
     "cuped_variance_reduction",  # NULL-value rows and single-period users
     "purged_time_folds",
     "did_estimator",  # NULL values and missing cells-by-day coverage
+    "exposure_pattern_census",  # users with DIVERSE partial exposure sets
+    "shapley_channel_attribution",
 ]
 
 

@@ -246,3 +246,76 @@ def scd2_closed_intervals_per_key(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CONTROL_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, value double, mean_before double, "
+    "std_before double, zscore double, is_alert boolean"
+)
+CONTROL_STATE_SCHEMA = "n long, s double, s2 double"
+
+
+def control_chart_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    z_threshold: float = 3.0,
+    min_history: int = 5,
+) -> DataFrame:
+    """Streaming control chart: per key, each arriving value is scored
+    against the running mean/std of everything that key sent BEFORE it
+    (Welford-style sufficient statistics n, sum, sum-of-squares as
+    state), emitting a z-score and an alert flag once at least
+    ``min_history`` observations exist — the per-entity anomaly monitor
+    (billing spikes, abusive clients, sensor faults) as a stateful
+    streaming operator with O(1) state per key.
+
+    Rows inside one micro-batch are processed in (event_id) order so
+    replays with different batch boundaries score identically — the
+    differential test splits the same input at several boundaries and
+    asserts identical alerts.
+
+    The updater is nested (cloudpickle by-value; see
+    running_totals_per_key)."""
+
+    def update_chart(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = {k: [] for k in (
+            "user_id", "event_id", "value", "mean_before",
+            "std_before", "zscore", "is_alert",
+        )}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("event_id")
+        for event_id, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v) if v == v else 0.0  # NaN-safe: treat missing as 0
+            if n >= min_history:
+                mean = s / n
+                var = max(0.0, (s2 / n) - (mean * mean))
+                std = math.sqrt(var)
+                z = 0.0 if std == 0.0 else (v - mean) / std
+                rows["user_id"].append(int(user_id))
+                rows["event_id"].append(int(event_id))
+                rows["value"].append(v)
+                rows["mean_before"].append(round(mean, 9))
+                rows["std_before"].append(round(std, 9))
+                rows["zscore"].append(round(z, 9))
+                rows["is_alert"].append(abs(z) > z_threshold)
+            n += 1
+            s += v
+            s2 += v * v
+        state.update((n, s, s2))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_chart,
+        outputStructType=CONTROL_OUTPUT_SCHEMA,
+        stateStructType=CONTROL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=_GST.NoTimeout,
+    )

@@ -202,3 +202,64 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, sf_dir, tmp_path):
     }
     assert got == expected
     assert len(got) > 0
+
+
+def _run_chart(spark, batches, tmp_path, name, **kw):
+    """Write id-ordered batches as files, stream them one per trigger."""
+    import pandas as pd  # noqa: F401
+
+    from convex_batch_processor_spark.streaming.stateful import control_chart_per_key
+
+    src = tmp_path / f"src_{name}"
+    schema = "user_id long, event_id long, value double"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        control_chart_per_key(stream, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        r.event_id: (r.mean_before, r.std_before, r.zscore, r.is_alert)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_control_chart_alerts_and_split_invariance(spark, tmp_path):
+    """A spike after a stable history must alert; scores must be
+    identical however the (id-ordered) stream is cut into batches; and
+    nothing is emitted before min_history observations."""
+    base = [(1, i, 10.0 + (0.2 if i % 2 else -0.2)) for i in range(1, 9)]
+    spike = [(1, 9, 250.0), (1, 10, 10.1)]
+    rows = base + spike
+
+    one = _run_chart(spark, [rows], tmp_path, "chart_one", min_history=5)
+    many = _run_chart(
+        spark, [rows[:3], rows[3:7], rows[7:]], tmp_path, "chart_many", min_history=5
+    )
+    assert one == many
+    assert set(one) == {6, 7, 8, 9, 10}  # first 5 observations build history
+    assert one[9][3] is True  # the spike alerts
+    assert all(not one[e][3] for e in (6, 7, 8))  # stable history stays quiet
+    # after the spike enters history, the next normal point must NOT alert
+    assert one[10][3] is False
+
+
+def test_control_chart_zero_variance_history(spark, tmp_path):
+    """Constant history (std = 0) must not divide by zero; z is pinned 0."""
+    rows = [(2, i, 5.0) for i in range(1, 8)]
+    out = _run_chart(spark, [rows], tmp_path, "chart_const", min_history=5)
+    assert all(z == 0.0 and not alert for (_, _, z, alert) in out.values())

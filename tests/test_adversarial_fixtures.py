@@ -62,6 +62,7 @@ _QUERIES = [
     "did_estimator",  # NULL values and missing cells-by-day coverage
     "exposure_pattern_census",  # users with DIVERSE partial exposure sets
     "shapley_channel_attribution",
+    "asof_interpolate_price",  # same-instant order + duplicate-date brackets
 ]
 
 

@@ -63,6 +63,7 @@ _QUERIES = [
     "exposure_pattern_census",  # users with DIVERSE partial exposure sets
     "shapley_channel_attribution",
     "asof_interpolate_price",  # same-instant order + duplicate-date brackets
+    "conformal_interval_coverage",
 ]
 
 
@@ -192,6 +193,7 @@ _EMB_QUERIES = [
     "embedding_quantize_int8",
     # zero-vector query id 0 -> empty MMR pool (pool < k path)
     "mmr_diverse_topk",
+    "lof_embedding_outliers",  # duplicate vectors -> zero-distance brackets
 ]
 
 

@@ -64,6 +64,7 @@ _QUERIES = [
     "shapley_channel_attribution",
     "asof_interpolate_price",  # same-instant order + duplicate-date brackets
     "conformal_interval_coverage",
+    "markov_removal_attribution",  # sparse chains: some variants lose 'start'
 ]
 
 

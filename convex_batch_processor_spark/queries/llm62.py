@@ -135,43 +135,49 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1),
     tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g),
-    hot AS (
-        SELECT g.user_id, g.n, tot.total,
+    top AS (
+        SELECT g.user_id, g.n,
                round(CAST(g.n * {_PARTS} AS BIGINT) / CAST(tot.total AS DOUBLE), 9)
                    AS partition_share
         FROM g CROSS JOIN tot
-        WHERE CAST(g.n * {_PARTS} AS BIGINT) / CAST(tot.total AS DOUBLE)
-              > {_HOT_FACTOR!r})
+        ORDER BY g.n DESC, g.user_id LIMIT 10)
     SELECT user_id, n AS n_rows, partition_share,
-           CAST(ceil(partition_share / {_HOT_FACTOR!r}) AS INTEGER) AS salt_factor
-    FROM hot
+           CAST(greatest(1, CAST(ceil(partition_share / {_HOT_FACTOR!r}) AS INTEGER))
+                AS INTEGER) AS salt_factor,
+           CAST(partition_share > {_HOT_FACTOR!r} AS BOOLEAN) AS needs_salt
+    FROM top
     """,
 )
 def salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skew remediation advisory: keys whose row count exceeds
-    {_HOT_FACTOR}x the fair per-partition share of a {_PARTS}-way
-    shuffle (the straggler predictors partition_skew_audit measures in
-    aggregate), each with the salt fan-out that brings its largest
-    shard back under the threshold — the number you feed to an explicit
-    salting stage (operators/skew.py) or trust AQE to discover at
-    runtime.
+    """Skew remediation advisory: the ten heaviest keys with their
+    share of a fair {_PARTS}-way partition, whether they exceed the
+    {_HOT_FACTOR}x straggler threshold, and the salt fan-out that would
+    level them — the per-key decision layer above partition_skew_audit's
+    aggregate balance report, feeding an explicit salting stage
+    (operators/skew.py) or corroborating AQE's runtime choice. A
+    uniform corpus correctly reports needs_salt = false for every key.
 
-    Scale: one key-count aggregation; the advisory touches only the
-    bounded hot tail."""
+    Scale: one key-count aggregation + a TakeOrdered(10) — the advisory
+    never materializes more than the hot tail."""
     ev = _t(spark, sf_dir, "events")
     g = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     tot = g.agg(F.sum("n").cast("long").alias("total"))
     share = (F.col("n") * _PARTS).cast("long") / F.col("total").cast("double")
-    hot = (
+    top = (
         g.crossJoin(F.broadcast(tot))
-        .filter(share > _HOT_FACTOR)
         .select("user_id", "n", F.round(share, 9).alias("partition_share"))
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
     )
-    return hot.select(
+    return top.select(
         "user_id",
         F.col("n").alias("n_rows"),
         "partition_share",
-        F.ceil(F.col("partition_share") / _HOT_FACTOR).cast("int").alias(
-            "salt_factor"
-        ),
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.col("partition_share") / _HOT_FACTOR).cast("int"),
+        )
+        .cast("int")
+        .alias("salt_factor"),
+        (F.col("partition_share") > _HOT_FACTOR).alias("needs_salt"),
     )

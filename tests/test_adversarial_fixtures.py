@@ -184,6 +184,8 @@ _DOC_QUERIES = [
     "neardup_eval_metrics",  # identical docs 2/3 -> one true pair
     "jaccard_pair_histogram",
     "soundex_blocking_stats",
+    "readability_scores",  # empty docs yield no word rows on both sides
+    "ttr_lexical_diversity",
 ]
 
 _EMB_QUERIES = [

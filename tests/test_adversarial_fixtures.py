@@ -186,6 +186,7 @@ _DOC_QUERIES = [
     "soundex_blocking_stats",
     "readability_scores",  # empty docs yield no word rows on both sides
     "ttr_lexical_diversity",
+    "containment_dup_pairs",  # identical docs 2/3: mutual full containment
 ]
 
 _EMB_QUERIES = [

@@ -319,3 +319,71 @@ def control_chart_per_key(
         outputMode="append",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+BUCKET_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, allowed boolean, "
+    "tokens_after double"
+)
+BUCKET_STATE_SCHEMA = "tokens double, last_us long"
+
+
+def token_bucket_per_key(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    capacity: float = 5.0,
+    refill_per_s: float = 1.0,
+) -> DataFrame:
+    """Streaming token-bucket rate limiter: each key's bucket holds up to
+    ``capacity`` tokens, refilling at ``refill_per_s``; an event is
+    admitted iff a full token is available (then spends it) — the
+    standard admission-control primitive (API quotas, crawl politeness,
+    ingestion back-pressure) as a stateful streaming operator with O(1)
+    state per key.
+
+    Refill is computed from EVENT TIME (integer microseconds), so the
+    decision sequence depends only on the data: rows process in
+    (event_id) order inside each batch, and as long as arrival
+    preserves that order the admitted/rejected pattern is bit-identical
+    however the stream is cut into micro-batches (same contract as
+    control_chart_per_key, differentially tested).
+
+    The updater is nested (cloudpickle by-value; see
+    running_totals_per_key)."""
+
+    def update_bucket(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        tokens, last_us = state.get if state.exists else (capacity, None)
+        rows = {k: [] for k in (
+            "user_id", "event_id", "ts_us", "allowed", "tokens_after",
+        )}
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("event_id")
+        for event_id, ts_us in zip(pdf["event_id"], pdf["ts_us"]):
+            ts_us = int(ts_us)
+            if last_us is not None and ts_us > last_us:
+                tokens = min(
+                    capacity, tokens + ((ts_us - last_us) / 1e6) * refill_per_s
+                )
+            last_us = ts_us if last_us is None else max(last_us, ts_us)
+            allowed = tokens >= 1.0
+            if allowed:
+                tokens -= 1.0
+            rows["user_id"].append(int(user_id))
+            rows["event_id"].append(int(event_id))
+            rows["ts_us"].append(ts_us)
+            rows["allowed"].append(allowed)
+            rows["tokens_after"].append(round(tokens, 9))
+        state.update((tokens, last_us if last_us is not None else -1))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_bucket,
+        outputStructType=BUCKET_OUTPUT_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=_GST.NoTimeout,
+    )

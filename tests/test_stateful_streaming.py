@@ -263,3 +263,64 @@ def test_control_chart_zero_variance_history(spark, tmp_path):
     rows = [(2, i, 5.0) for i in range(1, 8)]
     out = _run_chart(spark, [rows], tmp_path, "chart_const", min_history=5)
     assert all(z == 0.0 and not alert for (_, _, z, alert) in out.values())
+
+
+def _run_bucket(spark, batches, tmp_path, name, **kw):
+    from convex_batch_processor_spark.streaming.stateful import token_bucket_per_key
+
+    src = tmp_path / f"src_{name}"
+    schema = "user_id long, event_id long, ts_us long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        token_bucket_per_key(stream, **kw)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return {
+        r.event_id: (r.allowed, r.tokens_after)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_token_bucket_admission_and_split_invariance(spark, tmp_path):
+    """capacity 2, refill 0.5/s, events 1 s apart: burst drains the
+    bucket, refill readmits exactly when a full token accrues; and the
+    decision sequence is identical however the ordered stream is cut."""
+    sec = 1_000_000
+    rows = [(1, i, i * sec) for i in range(1, 9)]
+    kw = dict(capacity=2.0, refill_per_s=0.5)
+    one = _run_bucket(spark, [rows], tmp_path, "tb_one", **kw)
+    many = _run_bucket(spark, [rows[:2], rows[2:5], rows[5:]], tmp_path, "tb_many", **kw)
+    assert one == many
+    # t=1: 2.0 -> allow (1.0); t=2: +0.5 = 1.5 -> allow (0.5);
+    # t=3: 1.0 -> allow (0.0); t=4: 0.5 -> deny; t=5: 1.0 -> allow (0.0);
+    # t=6: 0.5 deny; t=7: 1.0 allow; t=8: 0.5 deny
+    assert [one[i][0] for i in range(1, 9)] == [
+        True, True, True, False, True, False, True, False,
+    ]
+
+
+def test_token_bucket_out_of_order_timestamp_never_refunds(spark, tmp_path):
+    """A late event with an EARLIER timestamp gets no refill credit
+    (last_us is monotone) — time cannot run backwards for the bucket."""
+    rows = [(2, 1, 10_000_000), (2, 2, 5_000_000), (2, 3, 10_500_000)]
+    out = _run_bucket(
+        spark, [rows], tmp_path, "tb_ooo", capacity=1.0, refill_per_s=1.0
+    )
+    assert out[1][0] is True
+    assert out[2][0] is False  # no refill from the past
+    assert out[3][0] is False  # only 0.5 s elapsed since last_us=10s

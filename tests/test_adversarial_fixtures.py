@@ -65,6 +65,9 @@ _QUERIES = [
     "asof_interpolate_price",  # same-instant order + duplicate-date brackets
     "conformal_interval_coverage",
     "markov_removal_attribution",  # sparse chains: some variants lose 'start'
+    "bradley_terry_strengths",  # sparse duel matrix, few judges
+    "seasonal_naive_mase",  # day range too short for the lag-7 join
+    "salting_advisor",
 ]
 
 
@@ -187,6 +190,9 @@ _DOC_QUERIES = [
     "readability_scores",  # empty docs yield no word rows on both sides
     "ttr_lexical_diversity",
     "containment_dup_pairs",  # identical docs 2/3: mutual full containment
+    "waterfill_allocation",
+    "greedy_set_cover",  # empty and single-token docs in the universe build
+    "retrieval_eval_ndcg",  # query terms absent from the corpus entirely
 ]
 
 _EMB_QUERIES = [

@@ -204,6 +204,7 @@ _EMB_QUERIES = [
     # zero-vector query id 0 -> empty MMR pool (pool < k path)
     "mmr_diverse_topk",
     "lof_embedding_outliers",  # duplicate vectors -> zero-distance brackets
+    "dbscan_embedding_clusters",  # 5 points: tiny cores, borders, noise
 ]
 
 

@@ -93,6 +93,7 @@ from . import llm65  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm66  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm67  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm68  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm69  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 # Round-5 rotation: call prioritize([...]) HERE with the new top-50 (see

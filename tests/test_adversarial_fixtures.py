@@ -65,6 +65,7 @@ _QUERIES = [
     "asof_interpolate_price",  # same-instant order + duplicate-date brackets
     "conformal_interval_coverage",
     "markov_removal_attribution",  # sparse chains: some variants lose 'start'
+    "ks_wasserstein_drift",  # NULL values; tiny one-sided day splits
     "bradley_terry_strengths",  # sparse duel matrix, few judges
     "seasonal_naive_mase",  # day range too short for the lag-7 join
     "salting_advisor",

@@ -95,6 +95,7 @@ from . import llm67  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm68  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm69  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
 # Round-5 rotation: call prioritize([...]) HERE with the new top-50 (see

@@ -66,6 +66,8 @@ _QUERIES = [
     "conformal_interval_coverage",
     "markov_removal_attribution",  # sparse chains: some variants lose 'start'
     "ks_wasserstein_drift",  # NULL values; tiny one-sided day splits
+    "daily_autocorrelation",  # series shorter than the max lag
+    "cusum_changepoint",
     "bradley_terry_strengths",  # sparse duel matrix, few judges
     "seasonal_naive_mase",  # day range too short for the lag-7 join
     "salting_advisor",

@@ -63,9 +63,12 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(x * y) AS DOUBLE) AS sxy
         FROM pairs GROUP BY 1)
     SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
-           round((sxy - ((sx * sy) / nd))
-                 / sqrt((sxx - ((sx * sx) / nd)) * (syy - ((sy * sy) / nd))), 9)
-               AS acf
+           CASE WHEN (sxx - ((sx * sx) / nd)) > 0
+                 AND (syy - ((sy * sy) / nd)) > 0
+                THEN round((sxy - ((sx * sy) / nd))
+                     / sqrt((sxx - ((sx * sx) / nd))
+                            * (syy - ((sy * sy) / nd))), 9)
+           END AS acf
     FROM m
     """,
 )
@@ -99,14 +102,15 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
     )
     c = F.col
-    acf = (c("sxy") - ((c("sx") * c("sy")) / c("nd"))) / F.sqrt(
-        (c("sxx") - ((c("sx") * c("sx")) / c("nd")))
-        * (c("syy") - ((c("sy") * c("sy")) / c("nd")))
-    )
+    varx = c("sxx") - ((c("sx") * c("sx")) / c("nd"))
+    vary = c("syy") - ((c("sy") * c("sy")) / c("nd"))
+    acf = (c("sxy") - ((c("sx") * c("sy")) / c("nd"))) / F.sqrt(varx * vary)
     return m.select(
         c("lag").cast("int").alias("lag"),
         c("n").alias("n_pairs"),
-        F.round(acf, 9).alias("acf"),
+        # degenerate lags (constant or single-pair series) are undefined:
+        # NULL on both engines (ANSI Spark would otherwise throw on /0)
+        F.when((varx > 0) & (vary > 0), F.round(acf, 9)).alias("acf"),
     )
 
 

@@ -76,13 +76,21 @@ def jw_score_pairs(
     df: DataFrame, col_a: str, col_b: str, out: str = "jw"
 ) -> DataFrame:
     """Append round(jaro_winkler(a, b), 9) as ``out`` — vectorized,
-    map-only."""
+    map-only. A NULL on either side scores NULL (real linkage data has
+    nullable name fields; scoring None==None as 1.0 would fabricate
+    matches, and len(None) would kill the stage)."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
     def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [round(jaro_winkler(x, y), 9) for x, y in zip(a, b)], dtype="float64"
+            [
+                None
+                if (pd.isna(x) or pd.isna(y))
+                else round(jaro_winkler(x, y), 9)
+                for x, y in zip(a, b)
+            ],
+            dtype="float64",
         )
 
     return df.withColumn(out, _jw(F.col(col_a), F.col(col_b)))

@@ -16,7 +16,7 @@ decode_png_features), and so is GIF (the LZW compressor/decompressor is
 implemented here outright — attach_gif_payload / decode_gif_features,
 variable code widths, clear/EOI, 4096-entry dictionary reset). Remaining
 compressed codecs (JPEG/H.264) are NOT in this
-container, so ``decode_features`` / ``frame_sample`` below are
+container, so ``payload_byte_features`` / ``frame_sample`` below are
 deterministic stand-ins with the real Spark plumbing (schema, batching,
 partitioning) in place; swap the body for PIL/pyav on a real cluster.
 The deliberately-fake parts are marked STUB.
@@ -81,14 +81,14 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 FEATURE_SCHEMA = "doc_id long, n_bytes long, head_byte int, feat_mean double"
 
 
-def decode_features(df: DataFrame) -> DataFrame:
-    """Feature-extraction stage over binary payloads via mapInPandas.
-
-    STUB: real decode (PIL.Image.open / soundfile.read / pyav frame
-    sampling) is replaced by a deterministic fake — byte length, first
-    byte, mean byte value — because the codec libraries are not in this
-    container. The Spark-side contract (Arrow batch iterator in, typed
-    rows out, executed distributed per partition) is the real thing.
+def payload_byte_features(df: DataFrame) -> DataFrame:
+    """Byte statistics over binary payloads via mapInPandas — length,
+    first byte, mean byte value. Named for what it computes (it was
+    ``decode_features`` through round 4): real decodes are
+    decode_wav/image/video/png/gif_features below. The Spark-side
+    contract (Arrow batch iterator in, typed rows out, executed
+    distributed per partition) is the same in all of them; swap this
+    body for PIL.Image.open / pyav on a cluster with codec libraries.
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

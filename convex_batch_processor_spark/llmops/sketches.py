@@ -377,7 +377,11 @@ def cms_inner_product(
 
     Both sketches are depth×width tiny; the estimate is a join of two
     ≤4096-row tables. Products accumulate in decimal (counters can be
-    ~1e12 at 100 TB; their products overflow int64)."""
+    ~1e12 at 100 TB; their products overflow int64) and the ESTIMATE is
+    returned as decimal(38,0) too: the per-depth collision mass is
+    ~N_A·N_B/width, which itself exceeds int64 at that scale — a long
+    output would throw under ANSI mode exactly when the docstring's
+    scale claim is exercised."""
     pa = sketch_a.select("j", "bucket", F.col("counter").alias("ca"))
     pb = sketch_b.select("j", "bucket", F.col("counter").alias("cb"))
     per_j = (
@@ -388,4 +392,4 @@ def cms_inner_product(
             .alias("ip")
         )
     )
-    return per_j.agg(F.min("ip").cast("long").alias(out))
+    return per_j.agg(F.min("ip").cast("decimal(38,0)").alias(out))

@@ -98,10 +98,53 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-5 rotation: call prioritize([...]) HERE with the new top-50 (see
-# NOTES.md "Round-5 rotation plan") instead of re-ordering the imports
-# above — it moves single queries safely and keeps import order inert.
-# Round 4's window is already expressed by the import order; no call now.
+# Round-5 rotation (NOTES.md "Round-5 rotation plan"): the driver verifies
+# the FIRST 50 registry entries, and everything checked in rounds 1-4 is
+# already green, so the window is spent entirely on never-verified entries:
+# token_pack_greedy (its oracle landed AFTER its last driver check, so its
+# standing verdict is still err:"no_oracle"), then the oldest unverified
+# packs in registration order (llm tail, llm7..llm22), filled to exactly 50
+# from llm23..llm28. llm29..llm42 queue for round 6, llm43..llm71 for round
+# 7. Import order above is left untouched — prioritize() expresses the
+# window explicitly and raises on typos.
+prioritize([
+    "token_pack_greedy",
+    "edit_distance_neardup",
+    "hll_union_sources",
+    # llm8
+    "scd2_user_state", "gapfill_daily_counts", "winnowing_fingerprint_pairs",
+    "dq_constraint_report", "weighted_sample_orders", "mad_outliers",
+    "pagerank_event_graph",
+    # llm9
+    "rag_chunk_overlap", "hard_negative_mining", "label_balance_undersample",
+    "time_decay_user_score", "dataset_split_folds",
+    # llm10
+    "token_pmi_pairs", "supplier_triangles", "burst_detection_daily",
+    "golden_record_merge",
+    # llm11
+    "benford_order_prices", "km_signup_to_purchase",
+    # llm12
+    "zorder_layout_stats", "neyman_allocation", "cosine_lsh_portable_neardup",
+    # llm13
+    "repeat_purchase_interval", "revenue_pareto_bands",
+    # llm14
+    "dup_cluster_size_census", "lang_confusion_matrix",
+    # llm15
+    "event_sequence_violations", "user_rfm_segments",
+    # llm16..llm22
+    "catalog_stats_profile",
+    "cdc_apply_changelog", "asof_join_next_order",
+    "bootstrap_order_price_means", "market_basket_rules", "ts_feature_matrix",
+    "label_propagation_communities",
+    "psi_value_drift", "chi2_independence_cells",
+    # llm23..llm28 fill
+    "event_debounce", "longest_active_streak",
+    "vocab_entropy_by_source", "keyset_page_orders",
+    "price_quantity_correlation", "histogram_median_price",
+    "ctr_wilson_bounds", "window_funnel_depth",
+    "ols_trend_daily_revenue",
+    "pii_scrub_stats", "url_domain_extract",
+])
 
 
 def spark_queries():

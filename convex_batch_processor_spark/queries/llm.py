@@ -396,7 +396,7 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_decode_features",
+    "payload_byte_stats",
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
@@ -409,18 +409,21 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction over binary payloads
-    (image/video decode body is a deterministic STUB — those codecs are
-    not in the container; the REAL decode path is audio_decode_features).
+def payload_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas byte statistics over binary payloads —
+    length, head byte, mean byte value. NOT a decode: this is the
+    Arrow-plumbing exerciser (JVM→Arrow→pandas→JVM round-trip, typed
+    batch iterator contract); real decodes live in
+    audio/image/video/png/gif_decode_features. Registered as
+    ``multimodal_decode_features`` through round 4; renamed in round 5
+    so no "decode" name is backed by byte stats.
 
-    ORACLE-CHECKED since round 4 via prediction: the payload is the
-    utf-8 text bytes, and this corpus is pure ASCII (byte ≡ code point,
-    asserted by the oracle itself: a non-ASCII regeneration would
-    hash-fail loudly), so SQL predicts byte length, first byte, and mean
-    byte value without running any Python — verifying the whole
-    JVM→Arrow→pandas→JVM plumbing end to end."""
-    return M.decode_features(M.attach_payload(_t(spark, sf_dir, "documents")))
+    ORACLE-CHECKED via prediction: the payload is the utf-8 text bytes,
+    and this corpus is pure ASCII (byte ≡ code point, asserted by the
+    oracle itself: a non-ASCII regeneration would hash-fail loudly), so
+    SQL predicts byte length, first byte, and mean byte value without
+    running any Python."""
+    return M.payload_byte_features(M.attach_payload(_t(spark, sf_dir, "documents")))
 
 
 @register(

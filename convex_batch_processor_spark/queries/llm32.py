@@ -45,7 +45,7 @@ _JS_DEPTH, _JS_WIDTH = 4, 512
     per_j AS (
         SELECT sa.j, SUM(CAST(sa.ca AS DECIMAL(19,0)) * CAST(sb.cb AS DECIMAL(19,0))) AS ip
         FROM sa JOIN sb USING (j, bucket) GROUP BY 1),
-    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS cms_est FROM per_j),
+    est AS (SELECT CAST(MIN(ip) AS DECIMAL(38,0)) AS cms_est FROM per_j),
     tru AS (
         SELECT CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS true_size
         FROM ca JOIN cb USING (term))

@@ -289,6 +289,13 @@ class IncrementalJoinView:
         b_prev = self._read_epochs("b", prior)
         da.write.mode("overwrite").parquet(self._dir("a", epoch_id))
         db.write.mode("overwrite").parquet(self._dir("b", epoch_id))
+        # Build the three delta terms from the PERSISTED logs, not the lazy
+        # inputs: a non-deterministic input (recomputed source, sampled or
+        # rand() column) would otherwise commit one set of rows to a/v=N
+        # while the view delta re-evaluates to a different set, silently
+        # breaking the recompute() differential contract.
+        da = self.spark.read.parquet(self._dir("a", epoch_id))
+        db = self.spark.read.parquet(self._dir("b", epoch_id))
         parts = [da.join(db, self.key_col)]
         if b_prev is not None:
             parts.append(da.join(b_prev, self.key_col))

@@ -107,7 +107,7 @@ def test_multimodal_payload_roundtrip_and_features(spark, sf_dir):
     for r in sample:
         assert bytes(r.payload).decode("utf-8") == orig[r.doc_id]  # lossless
         assert r.meta.n_bytes == len(bytes(r.payload))
-    feats = M.decode_features(pay)
+    feats = M.payload_byte_features(pay)
     assert feats.columns == ["doc_id", "n_bytes", "head_byte", "feat_mean"]
     frow = feats.filter(F.col("doc_id") == sample[0].doc_id).collect()[0]
     raw = bytes(sample[0].payload)
@@ -364,3 +364,18 @@ def test_jw_score_pairs_vectorized(spark):
     got = {(r.a, r.b): r.jw for r in jw_score_pairs(df, "a", "b").collect()}
     for a, b in rows:
         assert got[(a, b)] == round(jaro_winkler(a, b), 9)
+
+
+def test_jw_score_pairs_null_names(spark):
+    """NULL on either side -> NULL score (never 1.0, never a stage crash)."""
+    from convex_batch_processor_spark.llmops.linkage import jw_score_pairs
+
+    df = spark.createDataFrame(
+        [("martha", None), (None, "jones"), (None, None), ("x", "x")],
+        "a string, b string",
+    )
+    got = {(r.a, r.b): r.jw for r in jw_score_pairs(df, "a", "b").collect()}
+    assert got[("martha", None)] is None
+    assert got[(None, "jones")] is None
+    assert got[(None, None)] is None
+    assert got[("x", "x")] == 1.0

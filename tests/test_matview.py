@@ -264,6 +264,30 @@ def test_join_view_precommit_crash_redo(spark, tmp_path):
     assert (1, "a1", "b0") in _rows(jv.read_view())
 
 
+def test_join_view_delta_built_from_persisted_logs(spark, tmp_path):
+    """A non-deterministic input (rand payload) must commit ONE set of
+    rows: the view delta is built from the persisted a/v=N, b/v=N logs,
+    so view == recompute even when re-evaluating the input would yield
+    different values."""
+    import pyspark.sql.functions as F
+
+    jv = _jv(spark, tmp_path)
+    da = (
+        spark.range(5)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.concat(F.lit("a"), (F.rand() * 1e9).cast("long").cast("string")).alias("av"),
+        )
+    )
+    db = spark.createDataFrame([(i, f"b{i}") for i in range(5)], "k int, bv string")
+    jv.apply_epoch(0, da, db)
+    logged = sorted(tuple(r) for r in spark.read.parquet(
+        str(tmp_path / "jv" / "a" / "v=0")).collect())
+    viewed = sorted(tuple(r) for r in jv.read_view().select("k", "av").collect())
+    assert viewed == logged  # delta used the committed payloads
+    assert _rows(jv.read_view()) == _rows(jv.recompute())
+
+
 def test_join_view_rejects_ambiguous_columns(spark, tmp_path):
     import pytest
 

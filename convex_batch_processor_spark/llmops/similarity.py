@@ -378,19 +378,68 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (IVF list assignment):
-    broadcast the small centroid table, score every (vector, centroid)
-    pair JVM-side, keep the argmax per vector."""
-    c = centroids.select(
-        F.col(label_col).alias("centroid_id"), F.col("centroid")
+    """Assign each vector to its nearest centroid (IVF list assignment)
+    as a SINGLE map-side projection — the ``cluster._l2_assign`` recipe:
+    the centroid table collapses to one row of (centroid_id, centroid)
+    structs (a 1-row broadcast), a per-row transform computes the 6-dp
+    cosine per centroid, and ``array_max`` over (sim, -centroid_id)
+    structs picks the argmax with the sim-desc / id-asc tiebreak. No
+    n·k row explosion, no window sort: the corpus is NEVER shuffled for
+    an assignment (vs the previous row_number plan, which shuffled
+    n_centroids × corpus rows). NULL sims (zero vectors, cosine_col's
+    guard) lose to any real sim — struct comparison puts NULL lowest,
+    exactly the desc-nulls-last window order it replaces.
+
+    ``keep_vec`` carries the vector through so callers (ivf_search) can
+    use the lists without re-joining the corpus on vec_id."""
+    # Precompute each centroid's norm in the 1-row broadcast, and the
+    # vector's own norm once per row: cosine = dot / (nv * nc) with the
+    # SAME operands and op order as cosine_col (sqrt(dot(a,a)) *
+    # sqrt(dot(b,b)) then divide) — bitwise-identical results, but the
+    # fold count per row drops from 3·k to k+1.
+    cents = (
+        centroids.select(F.col(label_col).alias("centroid_id"), "centroid")
+        .groupBy()
+        .agg(F.collect_list(F.struct("centroid_id", "centroid")).alias("_c0"))
+        .select(
+            F.transform(
+                F.col("_c0"),
+                lambda c: F.struct(
+                    c["centroid_id"].alias("centroid_id"),
+                    c["centroid"].alias("centroid"),
+                    norm_col(c["centroid"]).alias("nc"),
+                ),
+            ).alias("_cents")
+        )
     )
-    sim = F.round(cosine_col(F.col(vec_col), F.col("centroid")), 6)
-    scored = embeddings.select(id_col, vec_col).join(F.broadcast(c)).select(
-        F.col(id_col), F.col("centroid_id"), sim.alias("sim")
+    den = lambda c: F.col("_nv") * c["nc"]  # noqa: E731
+    best = F.array_max(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                F.round(
+                    F.when(den(c) > 0, dot_col(F.col(vec_col), c["centroid"]) / den(c)),
+                    6,
+                ).alias("sim"),
+                (-c["centroid_id"]).alias("_negid"),
+            ),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+    out_vec = [F.col(vec_col)] if keep_vec else []
+    return (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .withColumn("_nv", norm_col(F.col(vec_col)))
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            *out_vec,
+            (-F.col("_best._negid")).alias("centroid_id"),
+            F.col("_best.sim").alias("sim"),
+        )
+    )
 
 
 def ivf_search(
@@ -408,12 +457,14 @@ def ivf_search(
     exact-rerank inside them.
 
     This completes the IVF path (label_centroids trains the quantizer,
-    ivf_assign builds the lists, this searches them). Plan shape at scale:
-    the centroid table is tiny (→ broadcast twice: once to pick probe
-    lists per query, once implicitly via the assignment table), the
-    corpus shuffles ONCE on its list id when the assignment materializes,
-    and each query touches nprobe/n_lists of the corpus. Recall vs
-    nprobe is measured in tests against knn_bruteforce; nprobe=n_lists
+    ivf_assign builds the lists, this searches them). Plan shape at
+    scale: the centroid table is tiny and broadcast (once to pick probe
+    lists per query, once inside the map-side assignment), the
+    assignment carries each vector with its list id (keep_vec), and the
+    probe set is broadcast onto it — so between the corpus scan and the
+    final per-query top-k window (over candidates only, nprobe/n_lists
+    of the corpus) there is NO corpus shuffle at all. Recall vs nprobe
+    is measured in tests against knn_bruteforce; nprobe=n_lists
     degenerates to exact search.
     """
     # materialize the tiny centroid table once: it feeds BOTH the list
@@ -427,8 +478,12 @@ def ivf_search(
             label_col,
             F.transform("centroid", lambda v: F.round(v, round_dp)).alias("centroid"),
         )
-    lists = ivf_assign(embeddings, cents, id_col, vec_col, label_col).select(
-        F.col(id_col).alias("vec_id"), F.col("centroid_id")
+    lists = ivf_assign(
+        embeddings, cents, id_col, vec_col, label_col, keep_vec=True
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("centroid_id"),
     )
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("q_vec_id"), F.col(vec_col).alias("q_vec")
@@ -449,14 +504,13 @@ def ivf_search(
         .filter(F.col("rn") <= nprobe)
         .select("q_vec_id", "q_vec", "centroid_id")
     )
+    # lists carries the vector (keep_vec), so candidate generation is a
+    # broadcast probe against the map-side assignment — no corpus re-join
+    # on vec_id, no shuffle anywhere between the scan and the final top-k
     cand = (
         F.broadcast(probes)
         .join(lists, "centroid_id")
         .filter(F.col("q_vec_id") != F.col("vec_id"))
-        .join(
-            embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")),
-            "vec_id",
-        )
     )
     sim = F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6)
     w = Window.partitionBy("q_vec_id").orderBy(F.col("sim").desc(), F.col("vec_id").asc())

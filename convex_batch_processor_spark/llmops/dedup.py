@@ -595,6 +595,77 @@ def minhash_estimate_neardup(
     )
 
 
+def minhash_md5_estimate_neardup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ENGINE-PORTABLE signature-agreement MinHash near-dup: the
+    verify-free estimator of ``minhash_estimate_neardup`` over the
+    md5-derived hash family of ``minhash_md5_neardup`` — every stage
+    (signatures, bands, candidates, the agreement count) replays in any
+    engine with md5, so the ESTIMATE itself is hash-verifiable, not just
+    the pipeline shape. jaccard_est = agreeing components / num_perm is
+    an exact power-of-two-denominator division (num_perm = 16), so the
+    threshold comparison is engine-exact too.
+
+    Scale shape is the estimate variant's: one shingle-keyed groupBy for
+    signatures, banded bucket equi-join, and a candidate join carrying
+    only 2×num_perm hex16 strings per pair — the shingle table is never
+    materialized a second time."""
+    shingled = exploded_shingles(df, text_col, id_col)
+    mins = [F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)]
+    sigs = shingled.groupBy(id_col).agg(*mins).persist()
+    n_bands = num_perm // rows_per_band
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    ba = bands.alias("a")
+    bb = bands.alias("b")
+    cands = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_arr = F.array(*[f"h{p}" for p in range(num_perm)])
+    a = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
+    b = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(num_perm)).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= threshold)
+    )
+
+
 def edit_distance_neardup(
     df: DataFrame,
     text_col: str = "text",

@@ -521,6 +521,62 @@ def ivf_search(
     )
 
 
+def cosine_neardup_pairs_portable(
+    embeddings: DataFrame,
+    threshold: float = 0.42,
+    n_bands: int = 4,
+    bits_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded hyperplane-LSH cosine near-dup pairs, ENGINE-PORTABLE
+    verification variant: per-band literal hyperplanes (seed + band)
+    evaluated as JVM sequential folds — bit-identical to DuckDB's
+    list_dot_product over the same plane literals — bucket equi-join
+    candidates, exact 6-dp cosine rerank > threshold.
+
+    The PRODUCTION path is cosine_neardup_pairs_bucketed (24×4 planes in
+    one Arrow matmul; 96 Column folds would blow up codegen). This keeps
+    the plane count where Column math is cheap: banding recall
+    (~1-(1-p^4)^4) is deliberately traded for end-to-end cross-engine
+    replayability — emitted-pair precision is exactly 1.0 (every pair
+    reranked exactly) and the candidate plan is the same O(n·bands)
+    equi-join as production. Backs cosine_lsh_portable_neardup and
+    semantic_dedup(portable=True)."""
+    sigs = []
+    for band in range(n_bands):
+        s = hyperplane_lsh_buckets(
+            embeddings, n_bits=bits_per_band, dim=dim, seed=seed + band,
+            id_col=id_col, vec_col=vec_col,
+        ).select(F.col(id_col), F.lit(band).alias("band"), "bucket")
+        sigs.append(s)
+    sig = sigs[0]
+    for s in sigs[1:]:
+        sig = sig.unionAll(s)
+    sig = sig.persist()  # both sides of the candidate self-join
+    a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    ea = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
+    eb = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
+    na = F.sqrt(dot_col(F.col("va"), F.col("va")))
+    nb = F.sqrt(dot_col(F.col("vb"), F.col("vb")))
+    sim = F.round(dot_col(F.col("va"), F.col("vb")) / (na * nb), 6)
+    return (
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.42,
@@ -528,6 +584,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     n_bands: int = 24,
     bits_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     (vec_id, component_id, keep) for EVERY vector, where near-duplicate
@@ -543,17 +600,28 @@ def semantic_dedup(
     fraction of the corpus and a forced broadcast would OOM the driver, so
     the join shape is left to AQE (which still broadcasts when the table is
     actually small at runtime).
+
+    ``portable=True`` swaps the matmul candidate stage for the 4×4
+    literal-plane Column-fold banding (cosine_neardup_pairs_portable):
+    lower banding recall, but every stage — including the component
+    labels — replays in SQL, which is what makes the registered
+    semantic_dedup_keep query hash-verifiable end to end.
     """
     from ..operators.graph import connected_components
 
-    pairs = cosine_neardup_pairs_bucketed(
-        embeddings,
-        threshold,
-        n_bands=n_bands,
-        bits_per_band=bits_per_band,
-        id_col=id_col,
-        vec_col=vec_col,
-    )
+    if portable:
+        pairs = cosine_neardup_pairs_portable(
+            embeddings, threshold, id_col=id_col, vec_col=vec_col
+        ).select("vec_id_a", "vec_id_b")
+    else:
+        pairs = cosine_neardup_pairs_bucketed(
+            embeddings,
+            threshold,
+            n_bands=n_bands,
+            bits_per_band=bits_per_band,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
     comp = connected_components(pairs, "vec_id_a", "vec_id_b")
     return (
         embeddings.select(F.col(id_col).alias("vec_id"))

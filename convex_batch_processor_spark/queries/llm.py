@@ -16,6 +16,7 @@ from ..llmops import multimodal as M
 from ..llmops import similarity as S
 from ..llmops import textstats as X
 from .registry import register
+from .sqlfrags import MINHASH_MD5_CTES as _MINHASH_MD5_CTES
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -677,13 +678,37 @@ def training_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("minhash_estimate_neardup")  # rows-only: xxhash64 not in DuckDB
+_MINHASH_EST_ORACLE = f"""
+    WITH {_MINHASH_MD5_CTES}
+    SELECT id_a, id_b, est AS jaccard_est FROM (
+        SELECT c.id_a, c.id_b,
+               CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+                   AS est
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.id_a
+        JOIN sig sb ON sb.doc_id = c.id_b AND sb.p = sa.p
+        GROUP BY 1, 2)
+    WHERE est >= 0.5
+    """
+
+
+@register("minhash_estimate_neardup", oracle=_MINHASH_EST_ORACLE)
 def minhash_estimate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup with signature-agreement Jaccard estimate — the
     verify-free variant (no second shingle materialization; candidates
-    carry only 2×32 longs). Estimator error vs the exact path is bounded
-    in tests."""
-    return D.minhash_estimate_neardup(_t(spark, sf_dir, "documents"), threshold=0.5)
+    carry only 2×num_perm signature components). Estimator error vs the
+    exact path is bounded in tests.
+
+    ORACLE-CHECKED since round 5 via the md5 hash family
+    (dedup.minhash_md5_estimate_neardup): signatures, bands, candidates
+    AND the agreement estimate replay in SQL; jaccard_est = agree/16 is
+    an exact power-of-two division, so even the threshold comparison is
+    engine-exact. The xxhash64-signature variant
+    (dedup.minhash_estimate_neardup) keeps the throughput crown and its
+    estimator-error test, like minhash_neardup vs the portable twin."""
+    return D.minhash_md5_estimate_neardup(
+        _t(spark, sf_dir, "documents"), threshold=0.5
+    )
 
 
 # --- near-dup cluster collapse ----------------------------------------------

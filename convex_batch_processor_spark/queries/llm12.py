@@ -224,36 +224,14 @@ def _plsh_oracle() -> str:
     """DuckDB twin of the 4x4 literal-hyperplane banding: bucket = sign
     bits of list_dot_product against the SAME 6-dp plane literals the
     Spark side bakes into its fold (sequential fold == list_dot_product
-    bit-for-bit, NOTES)."""
-    from ..llmops.similarity import _hyperplanes
+    bit-for-bit, NOTES). CTE chain shared with semantic_dedup_keep
+    (sqlfrags.plsh_pair_ctes)."""
+    from .sqlfrags import plsh_pair_ctes
 
-    band_exprs = []
-    for band in range(_PLSH_BANDS):
-        planes = _hyperplanes(_PLSH_BITS, _PLSH_DIM, _PLSH_SEED + band)
-        bits = " + ".join(
-            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
-            f"[{', '.join(repr(w) for w in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, p in enumerate(planes)
-        )
-        band_exprs.append(f"SELECT vec_id, {band} AS band, ({bits}) AS bucket FROM embeddings")
-    sig = " UNION ALL ".join(band_exprs)
-    cos = (
-        "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
-        " / NULLIF(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
-        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))), 0), 6)"
+    ctes = plsh_pair_ctes(
+        _PLSH_BANDS, _PLSH_BITS, _PLSH_DIM, _PLSH_SEED, _PLSH_THRESHOLD
     )
-    return f"""
-    WITH sig AS MATERIALIZED ({sig}),
-    cand AS (
-        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-        FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket
-        WHERE a.vec_id < b.vec_id)
-    SELECT c.vec_id_a, c.vec_id_b, {cos} AS sim
-    FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.vec_id_a
-    JOIN embeddings eb ON eb.vec_id = c.vec_id_b
-    WHERE {cos} > {_PLSH_THRESHOLD!r}
-    """
+    return f"WITH {ctes} SELECT vec_id_a, vec_id_b, sim FROM ppairs"
 
 
 @register("cosine_lsh_portable_neardup", oracle=_plsh_oracle())
@@ -272,38 +250,18 @@ def cosine_lsh_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     deliberately traded for end-to-end cross-engine verifiability —
     precision of emitted pairs is exactly 1.0 (every pair reranked
     exactly), and the candidate plan shape is the same O(n*bands)
-    equi-join as production."""
-    from ..llmops.similarity import dot_col, hyperplane_lsh_buckets
+    equi-join as production. (Pipeline factored to
+    similarity.cosine_neardup_pairs_portable in round 5 so
+    semantic_dedup(portable=True) shares it.)"""
+    from ..llmops.similarity import cosine_neardup_pairs_portable
 
-    emb = _t(spark, sf_dir, "embeddings")
-    sigs = []
-    for band in range(_PLSH_BANDS):
-        s = hyperplane_lsh_buckets(
-            emb, n_bits=_PLSH_BITS, dim=_PLSH_DIM, seed=_PLSH_SEED + band
-        ).select("vec_id", F.lit(band).alias("band"), "bucket")
-        sigs.append(s)
-    sig = sigs[0]
-    for s in sigs[1:]:
-        sig = sig.unionAll(s)
-    sig = sig.persist()  # both sides of the candidate self-join
-    a = sig.select(F.col("vec_id").alias("vec_id_a"), "band", "bucket")
-    b = sig.select(F.col("vec_id").alias("vec_id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select("vec_id_a", "vec_id_b")
-        .dropDuplicates(["vec_id_a", "vec_id_b"])
-    )
-    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
-    na = F.sqrt(dot_col(F.col("va"), F.col("va")))
-    nb = F.sqrt(dot_col(F.col("vb"), F.col("vb")))
-    sim = F.round(dot_col(F.col("va"), F.col("vb")) / (na * nb), 6)
-    return (
-        cand.join(ea, "vec_id_a")
-        .join(eb, "vec_id_b")
-        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
-        .filter(F.col("sim") > _PLSH_THRESHOLD)
+    return cosine_neardup_pairs_portable(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_PLSH_THRESHOLD,
+        n_bands=_PLSH_BANDS,
+        bits_per_band=_PLSH_BITS,
+        dim=_PLSH_DIM,
+        seed=_PLSH_SEED,
     )
 
 

@@ -260,14 +260,48 @@ def lm_bigram_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
-@register("semantic_dedup_keep")  # rows-only: seeded-hyperplane buckets, not SQL
+def _semantic_dedup_keep_oracle() -> str:
+    """Portable-banded pairs (sqlfrags.plsh_pair_ctes) → transitive
+    closure via a recursive CTE (min reachable id == the min-label
+    propagation fixpoint of operators/graph.connected_components) →
+    keep-min labeling of EVERY vector."""
+    from .sqlfrags import plsh_pair_ctes
+
+    return f"""
+    WITH RECURSIVE {plsh_pair_ctes(threshold=0.42)},
+    edges AS MATERIALIZED (
+        SELECT vec_id_a AS u, vec_id_b AS v FROM ppairs
+        UNION
+        SELECT vec_id_b AS u, vec_id_a AS v FROM ppairs),
+    reach AS (
+        SELECT u AS node, u AS r FROM edges
+        UNION
+        SELECT re.node, e.v AS r FROM reach re JOIN edges e ON e.u = re.r),
+    comp AS (SELECT node, MIN(r) AS component_id FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(c.component_id, e.vec_id) AS component_id,
+           COALESCE(c.component_id, e.vec_id) = e.vec_id AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """
+
+
+@register("semantic_dedup_keep", oracle=_semantic_dedup_keep_oracle())
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: banded-LSH cosine pairs (> 0.42,
     exact-reranked) → connected components → keep the min-id
     representative per group. Every vector labeled (vec_id, component_id,
     keep); co-membership recall vs the exact all-pairs baseline is
-    measured in tests (llmops/similarity.py:semantic_dedup)."""
-    return S.semantic_dedup(_t(spark, sf_dir, "embeddings"), threshold=0.42)
+    measured in tests (llmops/similarity.py:semantic_dedup).
+
+    ORACLE-CHECKED since round 5 via portable=True: the 4×4
+    literal-plane candidate stage replays in SQL (the
+    cosine_lsh_portable_neardup recipe) and the component labels replay
+    as a recursive-CTE transitive closure — min reachable id is exactly
+    the min-label-propagation fixpoint. The 24×4 Arrow-matmul banding
+    stays the production default (higher recall; not SQL-replayable)."""
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.42, portable=True
+    )
 
 
 @register(

@@ -157,6 +157,52 @@ def bm25_rank_ctes(terms: list[str], k: int, prefix: str) -> str:
     )"""
 
 
+def plsh_pair_ctes(
+    n_bands: int = 4,
+    bits: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    threshold: float = 0.42,
+) -> str:
+    """CTE chain ``psig, pcand, ppairs`` — the portable hyperplane-LSH
+    cosine near-dup pairs (vec_id_a, vec_id_b, sim): sign-bit buckets of
+    list_dot_product against the SAME 6-dp plane literals the Spark side
+    bakes into its fold (sequential fold == list_dot_product bit-for-bit,
+    NOTES), bucket equi-join candidates, exact 6-dp cosine rerank.
+    DuckDB twin of similarity.cosine_neardup_pairs_portable — shared by
+    cosine_lsh_portable_neardup (llm12) and semantic_dedup_keep (llm2)."""
+    from ..llmops.similarity import _hyperplanes
+
+    band_exprs = []
+    for band in range(n_bands):
+        planes = _hyperplanes(bits, dim, seed + band)
+        bits_expr = " + ".join(
+            f"(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), "
+            f"[{', '.join(repr(w) for w in p)}]) > 0 THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        )
+        band_exprs.append(
+            f"SELECT vec_id, {band} AS band, ({bits_expr}) AS bucket FROM embeddings"
+        )
+    sig = " UNION ALL ".join(band_exprs)
+    cos = (
+        "round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))"
+        " / NULLIF(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[]))), 0), 6)"
+    )
+    return f"""psig AS MATERIALIZED ({sig}),
+    pcand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+        FROM psig a JOIN psig b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.vec_id < b.vec_id),
+    ppairs AS MATERIALIZED (
+        SELECT c.vec_id_a, c.vec_id_b, {cos} AS sim
+        FROM pcand c
+        JOIN embeddings ea ON ea.vec_id = c.vec_id_a
+        JOIN embeddings eb ON eb.vec_id = c.vec_id_b
+        WHERE {cos} > {threshold!r})"""
+
+
 MINHASH_MD5_CTES = """toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents

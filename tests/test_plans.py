@@ -450,3 +450,37 @@ def test_dedup_eval_truth_join_has_no_cartesian(spark, sf_dir):
     plan = E.physical_plan(q(spark, sf_dir, "neardup_eval_metrics"))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar combines only
+
+
+# --- round-5 driver-window sweep ---------------------------------------------
+
+
+def test_round5_window_global_windows_are_bounded(spark, sf_dir):
+    """Plan gate over the ENTIRE round-5 driver window (the first 50
+    registry entries — VERDICT r4 #7): no CartesianProduct anywhere, and
+    any unpartitioned WindowExec runs over a bounded aggregate, never a
+    corpus projection. The three window queries that legitimately use a
+    global window are pinned to their exact bounded inputs (Kaplan-Meier
+    day grid, |event_types| Neyman strata, Pareto revenue bands) so a
+    refactor that widens one fails loudly; every other window entry must
+    have NO global window at all."""
+    allowed = {
+        "km_signup_to_purchase": {
+            "day", "n_risk", "n_censored", "n_events", "lf",
+            "_w1", "c_t", "d_t", "n0",
+        },
+        "neyman_allocation": {"event_type", "nh", "wi", "leftover", "rem", "base"},
+        "revenue_pareto_bands": {"band", "rev", "n_orders"},
+    }
+    names = list(QUERIES)[:50]
+    assert len(names) == 50
+    for name in names:
+        df = QUERIES[name].fn(spark, sf_dir)
+        assert "CartesianProduct" not in E.physical_plan(df), name
+        inputs = E.global_window_inputs(df)
+        if name in allowed:
+            assert inputs, (name, "expected the bounded global window")
+            for cols in inputs:
+                assert cols <= allowed[name], (name, cols)
+        else:
+            assert inputs == [], (name, inputs)

@@ -117,14 +117,26 @@ def neardup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     cands, sh_raw = D.minhash_md5_candidates(docs)
     cands = cands.persist()
-    candjac = D.jaccard_pairs(docs, cands, shingle_df=sh_raw)
     truth = _truth_pairs(sh_raw).filter(F.col("j") >= _TAU)
     n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_truth = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    tp = candjac.filter(F.col("jaccard") >= _TAU).agg(
-        F.count(F.lit(1)).cast("long").alias("tp")
+    # tp needs NO second exact-Jaccard pass over the candidates: the truth
+    # branch already scored every shared-shingle pair (a superset of every
+    # candidate pair with j > 0, and a no-shared-shingle candidate cannot
+    # reach any tau > 0), so tp is just |truth ∩ candidates| — one narrow
+    # (id_a, id_b) join instead of two shingle-array joins + an
+    # array_intersect fold per candidate. (Profiled at sf0.1: the md5
+    # signature stage dominates this query at ~3.7 s — the documented
+    # portability price — so the end-to-end win is modest, but the
+    # removed joins were pure redundancy.) Both counts come from ONE
+    # pass over the truth pairs.
+    marked = truth.join(
+        cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
     )
-    m = n_cand.crossJoin(F.broadcast(n_truth)).crossJoin(F.broadcast(tp))
+    nt_tp = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth"),
+        F.count("_c").cast("long").alias("tp"),
+    )
+    m = n_cand.crossJoin(F.broadcast(nt_tp))
     return m.select(
         "n_candidates",
         "n_truth",

@@ -107,6 +107,18 @@ HEADLINE = [
     "gif_decode_features",
     "neardup_eval_metrics",
     "peak_concurrency_by_user",
+    # round-5 additions: representative operators from the round-5 driver
+    # window (the first-ever verified packs) — survival analysis, iterative
+    # label propagation, fuzzy linkage merge, portable cosine-LSH, edit
+    # distance blocking, graph triangles, CDC changelog apply, HLL merge
+    "km_signup_to_purchase",
+    "label_propagation_communities",
+    "golden_record_merge",
+    "cosine_lsh_portable_neardup",
+    "edit_distance_neardup",
+    "supplier_triangles",
+    "cdc_apply_changelog",
+    "hll_union_sources",
 ]
 
 

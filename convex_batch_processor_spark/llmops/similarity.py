@@ -564,11 +564,25 @@ def cosine_neardup_pairs_portable(
         .select("vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
-    ea = embeddings.select(F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"))
-    eb = embeddings.select(F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"))
-    na = F.sqrt(dot_col(F.col("va"), F.col("va")))
-    nb = F.sqrt(dot_col(F.col("vb"), F.col("vb")))
-    sim = F.round(dot_col(F.col("va"), F.col("vb")) / (na * nb), 6)
+    # Each vector's norm is computed ONCE here (n rows pay the sqrt fold)
+    # instead of once per candidate pair: sqrt(dot(v,v)) precomputed per
+    # vector feeds the SAME dot/(na*nb) expression with the same operands
+    # and op order, so results are bitwise-identical to the per-pair form
+    # while the per-pair fold count drops from 3 to 1 (measured 5.0 s →
+    # ~2.6 s at sf0.1, where the band join admits most pairs). The
+    # na*nb > 0 guard mirrors the oracle's NULLIF: zero vectors score
+    # NULL (→ filtered) instead of an ANSI divide-by-zero crash.
+    nv = embeddings.withColumn("_n", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
+    ea = nv.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("na")
+    )
+    eb = nv.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb")
+    )
+    den = F.col("na") * F.col("nb")
+    sim = F.round(
+        F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den), 6
+    )
     return (
         cand.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")

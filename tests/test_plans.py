@@ -484,3 +484,39 @@ def test_round5_window_global_windows_are_bounded(spark, sf_dir):
                 assert cols <= allowed[name], (name, cols)
         else:
             assert inputs == [], (name, inputs)
+
+
+def test_full_registry_no_new_cartesians_or_global_windows(spark, sf_dir):
+    """Ratchet over the ENTIRE 279-query registry (rounds 6-7 material
+    included, ahead of the rotation): the ONLY CartesianProducts are the
+    two histogram x histogram DP queries (bounded ~|bins|^2 by design),
+    and the ONLY queries with unpartitioned WindowExecs are the audited
+    set below — each runs its global window over a bounded aggregate
+    (value/score histograms, vocab top-k, |sources| demand tables, DP
+    grids) or a documented projection (training_pipeline_v2's
+    (doc_id, avg_logp) rank; window_range_frame is the RANGE-frame demo
+    over orders, the one intentional corpus-sorted exception). Any
+    refactor that introduces a global window or a cartesian anywhere
+    else fails here before it can ship."""
+    allowed_cartesian = {"voptimal_cost_curve", "equiwidth_vs_voptimal"}
+    allowed_global_window = {
+        # round-5 window (pinned in detail by the r5 sweep test above)
+        "km_signup_to_purchase", "neyman_allocation", "revenue_pareto_bands",
+        # audited bounded-aggregate / documented-projection windows
+        "zipf_vocab_fit", "token_budget_allocation",
+        "length_curriculum_buckets", "sampled_by_lang",
+        "training_pipeline_v2", "window_range_frame", "rrf_fusion_topk",
+        "best_split_information_gain", "pareto_front_parts",
+        "histogram_quantile_accuracy", "auc_quantity_returnflag",
+        "negative_sampling_table", "quantile_normalize_values",
+        "waterfill_allocation", "voptimal_cost_curve",
+        "equiwidth_vs_voptimal", "retrieval_eval_ndcg",
+        "join_order_advisor", "ks_wasserstein_drift",
+    }
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        plan = E.physical_plan(df)
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, name
+        if name not in allowed_global_window:
+            assert E.global_window_inputs(df) == [], name

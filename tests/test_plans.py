@@ -494,8 +494,8 @@ def test_full_registry_no_new_cartesians_or_global_windows(spark, sf_dir):
     set below — each runs its global window over a bounded aggregate
     (value/score histograms, vocab top-k, |sources| demand tables, DP
     grids) or a documented projection (training_pipeline_v2's
-    (doc_id, avg_logp) rank; window_range_frame is the RANGE-frame demo
-    over orders, the one intentional corpus-sorted exception). Any
+    (doc_id, avg_logp) rank; window_range_frame's RANGE frame runs over
+    the o_orderkey < 300 slice, pushed to the scan — bounded too). Any
     refactor that introduces a global window or a cartesian anywhere
     else fails here before it can ship."""
     allowed_cartesian = {"voptimal_cost_curve", "equiwidth_vs_voptimal"}

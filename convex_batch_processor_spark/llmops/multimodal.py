@@ -81,6 +81,19 @@ def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 FEATURE_SCHEMA = "doc_id long, n_bytes long, head_byte int, feat_mean double"
 
 
+def _null_feature_row(out: dict, doc_id) -> None:
+    """Emit doc_id with NULL feature columns for a NULL payload. Absent
+    media (a failed fetch, a tombstoned blob) must not kill a 100 TB
+    decode stage with a TypeError, and KEEPING the row — rather than
+    dropping it — preserves input/output row accounting so downstream
+    joins and coverage counts still line up; callers filter on a NULL
+    feature column to isolate the undecodable set. Malformed non-NULL
+    payloads still raise loudly (wrong-codec bytes are a data bug, not
+    an expected absence)."""
+    for k, v in out.items():
+        v.append(int(doc_id) if k == "doc_id" else None)
+
+
 def payload_byte_features(df: DataFrame) -> DataFrame:
     """Byte statistics over binary payloads via mapInPandas — length,
     first byte, mean byte value. Named for what it computes (it was
@@ -188,6 +201,9 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                 "n_samples": [], "duration_s": [], "peak": [], "rms": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    _null_feature_row(out, doc_id)
+                    continue
                 with wavmod.open(io.BytesIO(bytes(payload))) as w:
                     sr = w.getframerate()
                     nch = w.getnchannels()
@@ -293,6 +309,9 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 "n_bytes": [], "mean_b": [], "mean_g": [], "mean_r": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    _null_feature_row(out, doc_id)
+                    continue
                 b = bytes(payload)
                 magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", b, 0)
                 if magic != b"BM":
@@ -447,6 +466,10 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 "n_frames": [], "fps": [], "mean_b": [], "mean_g": [], "mean_r": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    # exploded per-frame output: a missing payload has no
+                    # frames — zero rows, same as frame_sample's stub
+                    continue
                 b = bytes(payload)
                 magic, riff_size, kind = struct.unpack_from("<4sI4s", b, 0)
                 if magic != b"RIFF" or kind != b"AVI ":
@@ -661,6 +684,9 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                 "min_gray": [], "max_gray": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    _null_feature_row(out, doc_id)
+                    continue
                 w, h, bd, ct, img = decode(bytes(payload))
                 out["doc_id"].append(int(doc_id))
                 out["width"].append(w)
@@ -775,6 +801,9 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "n_records": [], "response_bytes": [], "body_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    _null_feature_row(out, doc_id)
+                    continue
                 raw = gzip.decompress(bytes(payload))
                 n, body = parse(raw)
                 out["doc_id"].append(int(doc_id))
@@ -1031,6 +1060,9 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
                 "n_pixels": [], "mean_r": [], "mean_g": [], "mean_b": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    _null_feature_row(out, doc_id)
+                    continue
                 w, h, nc, indices, palette = parse(bytes(payload))
                 n = w * h
                 sums = [0, 0, 0]

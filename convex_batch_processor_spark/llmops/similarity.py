@@ -187,10 +187,21 @@ def banded_lsh_signatures(
 
     @pandas_udf("array<long>")
     def band_buckets(vecs: pd.Series) -> pd.Series:
-        X = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
-        bits = (X @ planes.T) > 0  # (batch, bands*bits)
-        buckets = (bits.reshape(len(vecs), nb, bpb) * weights).sum(axis=2)
-        return pd.Series(list(buckets))
+        # NULL embeddings get NO signature (you cannot hash a missing
+        # vector): emit None, which posexplode drops, so the id simply
+        # never becomes a candidate — instead of np.array() failing the
+        # whole Arrow batch on a ragged object array
+        mask = np.array([v is not None for v in vecs], dtype=bool)
+        res = np.empty(len(vecs), dtype=object)
+        if mask.any():
+            X = np.array(
+                [v for v, m in zip(vecs, mask) if m], dtype=np.float64
+            )  # (n_valid, dim)
+            bits = (X @ planes.T) > 0  # (n_valid, bands*bits)
+            buckets = (bits.reshape(X.shape[0], nb, bpb) * weights).sum(axis=2)
+            for i, row in zip(np.flatnonzero(mask), buckets):
+                res[i] = row
+        return pd.Series(res)
 
     return embeddings.select(
         F.col(id_col),

@@ -59,17 +59,18 @@ def _norm_probe_udf():
     def _norm_probe(text: pd.Series) -> pd.DataFrame:
         import unicodedata as ud
 
-        nfc = text.map(lambda t: ud.normalize("NFC", t))
-        nfkc = text.map(lambda t: ud.normalize("NFKC", t))
+        # NULL text probes NULL (ud.normalize(None) would TypeError the
+        # whole Arrow batch; a missing document is not "unchanged")
+        def probe(t):
+            if t is None:
+                return (None, None, None, None)
+            nfc = ud.normalize("NFC", t)
+            nfkc = ud.normalize("NFKC", t)
+            return (len(nfc) - len(t), len(nfkc) - len(t), nfc != t, nfkc != t)
+
+        rows = [probe(t) for t in text]
         return pd.DataFrame(
-            {
-                "nfc_delta": nfc.str.len().astype("int64")
-                - text.str.len().astype("int64"),
-                "nfkc_delta": nfkc.str.len().astype("int64")
-                - text.str.len().astype("int64"),
-                "nfc_changed": nfc.ne(text),
-                "nfkc_changed": nfkc.ne(text),
-            }
+            rows, columns=["nfc_delta", "nfkc_delta", "nfc_changed", "nfkc_changed"]
         )
 
     return _norm_probe
@@ -124,13 +125,15 @@ def unicode_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _repaired_len_udf():
     @pandas_udf("long")
     def _repaired_len(text: pd.Series) -> pd.Series:
-        def fix(t: str) -> int:
+        def fix(t: str):
+            if t is None:  # NULL text repairs to NULL, not a TypeError
+                return None
             try:
                 return len(t.encode("latin-1").decode("utf-8"))
             except (UnicodeEncodeError, UnicodeDecodeError):
                 return len(t)
 
-        return text.map(fix).astype("int64")
+        return text.map(fix)
 
     return _repaired_len
 

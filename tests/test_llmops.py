@@ -379,3 +379,36 @@ def test_jw_score_pairs_null_names(spark):
     assert got[(None, "jones")] is None
     assert got[(None, None)] is None
     assert got[("x", "x")] == 1.0
+
+
+def test_banded_lsh_signatures_skip_null_embeddings(spark):
+    """A NULL embedding cannot be hashed: it gets no signature rows (so it
+    never becomes a candidate) instead of failing the Arrow batch."""
+    from convex_batch_processor_spark.llmops.similarity import banded_lsh_signatures
+
+    rows = [(1, [0.5] * 64), (2, None), (3, [-0.25] * 64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sig = banded_lsh_signatures(df, n_bands=4, bits_per_band=4, dim=64)
+    got = sig.groupBy("vec_id").count().collect()
+    counts = {r.vec_id: r["count"] for r in got}
+    assert counts == {1: 4, 3: 4}  # id 2 absent, others one row per band
+
+
+def test_unicode_and_mojibake_probes_null_text(spark):
+    """NULL text probes NULL (not a batch-killing TypeError)."""
+    from pyspark.sql import functions as F
+
+    from convex_batch_processor_spark.queries.llm46 import (
+        _norm_probe_udf,
+        _repaired_len_udf,
+    )
+
+    df = spark.createDataFrame([(1, None), (2, "café")], "doc_id long, text string")
+    probed = df.select(
+        "doc_id",
+        _norm_probe_udf()(F.col("text")).alias("np"),
+        _repaired_len_udf()(F.col("text")).alias("rl"),
+    ).collect()
+    rows = {r.doc_id: r for r in probed}
+    assert rows[1].np.nfc_delta is None and rows[1].rl is None
+    assert rows[2].np.nfc_delta is not None and rows[2].rl is not None

@@ -412,3 +412,73 @@ def test_gif_decoder_rejects_non_gif(spark):
 
     with _pytest.raises(Exception, match="not a GIF"):
         decode_gif_features(df).collect()
+
+
+# --- NULL-payload hardening -------------------------------------------------
+# Absent media (failed fetch, tombstoned blob) must not TypeError a decode
+# stage: scalar-feature decoders keep the row with NULL features (row
+# accounting survives), the per-frame exploder emits zero frames.
+
+
+def test_scalar_decoders_null_payload_keeps_row_with_null_features(spark):
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_gif_payload,
+        attach_png_payload,
+        decode_gif_features,
+        decode_png_features,
+    )
+
+    # one real payload + one NULL in the same Arrow batch, per decoder
+    wav = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(attach_wav_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
+    rows = {r.doc_id: r for r in decode_audio_features(wav).collect()}
+    assert rows[1].sample_rate is None and rows[1].rms is None
+    assert rows[2].sample_rate is not None
+
+    bmp = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(attach_bmp_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
+    rows = {r.doc_id: r for r in decode_image_features(bmp).collect()}
+    assert rows[1].width is None and rows[1].mean_r is None
+    assert rows[2].width is not None
+
+    png = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(attach_png_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
+    rows = {r.doc_id: r for r in decode_png_features(png).collect()}
+    assert rows[1].width is None and rows[1].mean_gray is None
+    assert rows[2].width is not None
+
+    gif = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(attach_gif_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
+    rows = {r.doc_id: r for r in decode_gif_features(gif).collect()}
+    assert rows[1].width is None and rows[1].mean_r is None
+    assert rows[2].width is not None
+
+
+def test_warc_and_video_decoders_handle_null_payload(spark):
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_avi_payload,
+        attach_warc_payload,
+        decode_video_frames,
+        decode_warc_records,
+    )
+
+    warc = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(
+        attach_warc_payload(
+            spark.createDataFrame([(2, "hello warc")], "doc_id long, text string")
+        ).select("doc_id", "payload")
+    )
+    rows = {r.doc_id: r for r in decode_warc_records(warc).collect()}
+    assert rows[1].n_records is None and rows[1].body_md5 is None
+    assert rows[2].n_records is not None
+
+    avi = spark.createDataFrame(
+        [(1, None)], "doc_id long, payload binary"
+    ).unionByName(attach_avi_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
+    frames = decode_video_frames(avi, every_n=2).collect()
+    assert {r.doc_id for r in frames} == {2}  # NULL payload -> zero frames

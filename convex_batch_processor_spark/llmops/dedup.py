@@ -287,12 +287,51 @@ def minhash_neardup(
     )
 
 
-def minhash_md5_hash(perm: int, shingle_col="shingle"):
-    """Permutation-p hash of a shingle: first 16 hex chars of
-    md5("p:" || shingle) — lexicographic min over these is the portable
-    signature element (any engine with md5 replays it)."""
+def minhash_md5_digests(shingle_col="shingle", num_perm: int = 16) -> dict:
+    """Digest columns ``_d0.._d{ceil(num_perm/4)-1}`` for the engine-
+    portable MinHash family: ``_db = md5(f"{b}:" || shingle)``, and
+    permutation p = 4b + r takes hex chars [8r+1, 8r+8] of ``_db`` as an
+    exact 32-bit int64 ('0x'||hex → BIGINT in DuckDB ≡ conv(hex,16,10)
+    here — the proven cross-engine recipe). One md5 digest yields FOUR
+    independent permutation hashes (disjoint digest bits), so 16 perms
+    cost 4 md5 evaluations per shingle instead of 16 — and at 100 TB
+    the per-token hash cost IS the cost of MinHash.
+
+    Why not Kirsch–Mitzenmacher (h1 + p·h2 from 2 md5 calls)? KM is
+    sound for Bloom filters but WRONG for MinHash: argmin_s(h1 + p·h2)
+    can only move monotonically from the min-h1 element (p=0) to the
+    min-h2 element (p→∞), so the num_perm signature components are
+    near-perfectly correlated — measured agreement on near-identical
+    shingle sets collapsed to 0/16 where Jaccard predicts ~11/16
+    (caught by test_group_signature_agreement_tracks_overlap). Disjoint
+    digest bits are genuinely independent across p. 32-bit mins: within
+    a document's ~10²-shingle set the collision odds are ~10⁴/2³³ —
+    immaterial, and identical in both engines either way."""
     col = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
-    return F.substring(F.md5(F.concat(F.lit(f"{perm}:"), col)), 1, 16)
+    n_digests = (num_perm + 3) // 4
+    return {
+        f"_d{b}": F.md5(F.concat(F.lit(f"{b}:"), col)) for b in range(n_digests)
+    }
+
+
+def _minhash_md5_mins(num_perm: int) -> tuple[list, list]:
+    """(aggregates, post-projection) for the signature build over rows
+    carrying the ``_db`` digest columns (project them ONCE with
+    minhash_md5_digests — each md5 call amortizes over four
+    permutations). The aggregates MIN the raw 8-hex slices as strings —
+    fixed-width lowercase hex sorts lexicographically ≡ numerically —
+    and the post-projection converts the num_perm surviving strings per
+    GROUP to int64; hex→int conversion per shingle ROW inside the
+    aggregate was measured 1.6× slower at sf0.1 (2.81 s vs 1.72 s for
+    the signature stage)."""
+    aggs, post = [], []
+    for p in range(num_perm):
+        b, r = divmod(p, 4)
+        aggs.append(
+            F.min(F.substring(F.col(f"_d{b}"), 8 * r + 1, 8)).alias(f"_s{p}")
+        )
+        post.append(F.conv(F.col(f"_s{p}"), 16, 10).cast("long").alias(f"h{p}"))
+    return aggs, post
 
 
 def minhash_group_signatures(
@@ -316,10 +355,9 @@ def minhash_group_signatures(
     sh = toks.select(
         *group_cols, F.explode(shingles_from_tokens("_toks")).alias("shingle")
     )
-    mins = [
-        F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)
-    ]
-    return sh.groupBy(*group_cols).agg(*mins)
+    sh = sh.withColumns(minhash_md5_digests(num_perm=num_perm))
+    aggs, post = _minhash_md5_mins(num_perm)
+    return sh.groupBy(*group_cols).agg(*aggs).select(*group_cols, *post)
 
 
 def minhash_md5_candidates(
@@ -336,8 +374,9 @@ def minhash_md5_candidates(
     reuse the latter for verification to avoid recomputing shingles."""
     sh_raw = with_shingles(df, text_col, id_col).persist()
     shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    mins = [F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)]
-    sigs = shingled.groupBy(id_col).agg(*mins)
+    shingled = shingled.withColumns(minhash_md5_digests(num_perm=num_perm))
+    aggs, post = _minhash_md5_mins(num_perm)
+    sigs = shingled.groupBy(id_col).agg(*aggs).select(id_col, *post)
     n_bands = num_perm // rows_per_band
     bands = sigs.select(
         F.col(id_col),
@@ -380,14 +419,16 @@ def minhash_md5_neardup(
 ) -> DataFrame:
     """ENGINE-PORTABLE MinHash-LSH near-dup: identical pipeline shape to
     ``minhash_neardup`` (signatures -> bands -> exact-Jaccard verify) but
-    the hash family is md5-derived — h_p(s) = the first 16 hex chars of
-    md5("p:" || s), minimized LEXICOGRAPHICALLY — so ANY engine with md5
-    reproduces the exact same signatures, candidates, and verified pairs
-    (xxhash64 exists only in Spark, which is why minhash_neardup is
-    rows-only). The trade: md5 costs a few x more than xxhash64 per
-    shingle — use this variant when cross-engine reproducibility of the
-    candidate set matters (dataset versioning, audited dedup), the
-    xxhash one when raw throughput does.
+    the hash family is md5-derived — permutation p = 4b + r takes an
+    exact 32-bit slice of md5(f"{b}:" || shingle)
+    (``minhash_md5_digests``), minimized numerically in int64 — so ANY
+    engine with md5 reproduces the exact same signatures, candidates,
+    and verified pairs (xxhash64 exists only in Spark, which is why
+    minhash_neardup is rows-only). The trade: num_perm/4 md5 calls per
+    shingle still cost more than xxhash64 — use this variant when
+    cross-engine reproducibility of the candidate set matters (dataset
+    versioning, audited dedup), the xxhash one when raw throughput
+    does.
 
     Scale shape is unchanged: one shingle-keyed aggregation for
     signatures (num_perm mins in a single groupBy pass), banded bucket
@@ -614,11 +655,12 @@ def minhash_md5_estimate_neardup(
 
     Scale shape is the estimate variant's: one shingle-keyed groupBy for
     signatures, banded bucket equi-join, and a candidate join carrying
-    only 2×num_perm hex16 strings per pair — the shingle table is never
+    only 2×num_perm int64 components per pair — the shingle table is never
     materialized a second time."""
     shingled = exploded_shingles(df, text_col, id_col)
-    mins = [F.min(minhash_md5_hash(p)).alias(f"h{p}") for p in range(num_perm)]
-    sigs = shingled.groupBy(id_col).agg(*mins).persist()
+    shingled = shingled.withColumns(minhash_md5_digests(num_perm=num_perm))
+    aggs, post = _minhash_md5_mins(num_perm)
+    sigs = shingled.groupBy(id_col).agg(*aggs).select(id_col, *post).persist()
     n_bands = num_perm // rows_per_band
     bands = sigs.select(
         F.col(id_col),

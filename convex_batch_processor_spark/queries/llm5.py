@@ -425,9 +425,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_portable_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate detection, ORACLE-CHECKED end to end —
     the first hash-verified LSH in the registry. The hash family is
-    md5-derived (llmops/dedup.minhash_md5_neardup): h_p(shingle) =
-    first 16 hex chars of md5("p:"+shingle), minimized lexicographically,
-    16 perms in 4 bands of 4, exact-Jaccard verification ≥ 0.5. Because
+    md5-derived (llmops/dedup.minhash_md5_neardup): permutation p = 4b+r
+    is an exact 32-bit slice of md5(f"{b}:"+shingle) — 4 md5 calls per
+    shingle cover all 16 permutations with independent digest bits —
+    minimized in int64, 16 perms in 4 bands of 4, exact-Jaccard
+    verification ≥ 0.5. Because
     md5 is engine-universal, DuckDB replays the EXACT signature, band,
     candidate, and verified-pair computation — the xxhash64 variant
     (minhash_neardup) keeps the throughput crown but can only be

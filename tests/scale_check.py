@@ -1,0 +1,135 @@
+"""Scaling-exponent sweep: measure how operator runtime grows with data.
+
+The correctness gates prove operators RIGHT at small scale; this gate
+measures whether their cost grows like the plan audit claims. Each
+audited query runs at sf0.001 / sf0.01 / sf0.1 (100x data end to end)
+and the per-decade exponent alpha = log10(t_hi / t_lo) is reported for
+each step. An operator whose plan is one scan + bounded shuffles should
+land alpha <= ~1.2 on the 0.01 -> 0.1 decade (alpha is biased DOWN on
+the first decade, where fixed job latency dominates the tiny inputs —
+report both, judge on the second). alpha >= superlinear_limit on the
+second decade fails the sweep: that is the signature of a pair
+expansion outgrowing its cap, a broadcast flipping to a shuffle of
+something corpus-sized, or driver-side state growing with the data.
+
+Runnable standalone (prints one JSON line per query + a summary table):
+
+    python tests/scale_check.py [query ...]
+
+Defaults cover the most expensive plan families: inverted-index pair
+expansion (jaccard / tfidf-cosine / winnowing), banded LSH (md5 MinHash),
+iterative convergence (k-means, connected components via dedup collapse,
+pagerank), sketch build+probe (bloom decontamination), global
+aggregation (TPC-H q1), and a mapInPandas codec (audio).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIRS = [
+    ("/root/testdata/sf0.001", 0.001),
+    ("/root/testdata/sf0.01", 0.01),
+    ("/root/testdata/sf0.1", 0.1),
+]
+
+#: audited set: one representative per expensive plan family
+DEFAULT_QUERIES = [
+    "q1_pricing_summary",          # full-scan global agg (the linear baseline)
+    "dedup_exact",                 # one digest shuffle
+    "ngram_jaccard_pairs",         # inverted-index pair expansion
+    "tfidf_cosine_pairs",          # weighted pair expansion, df-capped
+    "minhash_portable_neardup",    # banded LSH candidates + verify
+    "winnowing_fingerprint_pairs", # fingerprint-keyed pair expansion
+    "bloom_decontamination_prefilter",  # sketch build + map-side probe
+    "kmeans_clusters",             # iterative broadcast-assign
+    "dedup_keep_best",             # pair graph + iterative min-label CC
+    "pagerank_event_graph",        # iteration on a bounded aggregate
+    "exact_substr_scrub",          # inverted 8-gram index + rebuild
+    "audio_decode_features",       # mapInPandas codec batch path
+]
+
+#: second-decade exponent above this fails the sweep
+SUPERLINEAR_LIMIT = 1.35
+RUNS = 3
+
+
+def _median(xs: list[float]) -> float:
+    xs = sorted(xs)
+    mid = len(xs) // 2
+    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+
+def main() -> None:
+    from convex_batch_processor_spark.queries import QUERIES
+    from convex_batch_processor_spark.session import get_spark
+
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown}")
+
+    spark = get_spark(
+        app_name="scale-check",
+        # same scan-split override as bench.py: the small-SF files are a
+        # few MB, so split at row-group granularity or the sweep measures
+        # single-task scans at every scale
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import col, pandas_udf
+
+    _warm = pandas_udf(lambda s: s * 1.0, "double")
+    spark.range(0, 3_200, numPartitions=32).select(
+        _warm(col("id").cast("double"))
+    ).write.mode("overwrite").format("noop").save()
+
+    failures = []
+    for name in names:
+        fn = QUERIES[name].fn
+        med = []
+        for sf_dir, _sf in SF_DIRS:
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                samples.append(time.monotonic() - t0)
+                spark.catalog.clearCache()
+            med.append(_median(samples))
+        alphas = [
+            round(math.log10(med[i + 1] / med[i]), 3) for i in range(len(med) - 1)
+        ]
+        ok = alphas[-1] <= SUPERLINEAR_LIMIT
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sec": [round(t, 3) for t in med],
+                    "alpha_per_decade": alphas,
+                    "ok": ok,
+                }
+            ),
+            flush=True,
+        )
+        if not ok:
+            failures.append((name, alphas[-1]))
+
+    if failures:
+        print(f"\nSUPERLINEAR (alpha > {SUPERLINEAR_LIMIT} on 0.01->0.1): {failures}")
+    else:
+        print(f"\nall {len(names)} queries subquadratic "
+              f"(second-decade alpha <= {SUPERLINEAR_LIMIT})")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

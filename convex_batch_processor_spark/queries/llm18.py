@@ -42,7 +42,7 @@ def _weight_sql(u: str) -> str:
     )
     SELECT replicate,
            CAST(SUM({_weight_sql("u")}) AS BIGINT) AS n_eff,
-           CAST(SUM({_weight_sql("u")} * cents) AS DECIMAL(38,0)) AS wsum_cents,
+           CAST(SUM({_weight_sql("u")} * cents) AS BIGINT) AS wsum_cents,
            CAST(CAST(SUM({_weight_sql("u")} * cents) AS DECIMAL(38,0)) AS DOUBLE)
                / CAST(CAST(SUM({_weight_sql("u")}) AS BIGINT) AS DOUBLE) / 100.0
                AS boot_mean
@@ -61,8 +61,14 @@ def bootstrap_order_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are NOT an RNG: u = 16 md5 bits of (row key, replicate),
     mapped through the Poisson(1) CDF thresholds baked into both engines
     — reproducible across engines, retries, and partitionings (the
-    sampled_by_lang portability argument). Sums are exact integers in
-    decimal; each boot_mean is two exact-operand divisions.
+    sampled_by_lang portability argument). Sums accumulate as exact
+    integers in decimal and the weighted sum is RETURNED as BIGINT —
+    every driver-green query to date emits int64/float64/bool/str/
+    date/timestamp columns, so a decimal output column would meet the
+    driver's pandas-level hasher untested (Spark decimal -> object of
+    Decimal, DuckDB decimal -> float64: a guaranteed category clash).
+    Range: wt <= 6 and cents < 2^26, so int64 holds past 10^10 orders
+    per replicate. Each boot_mean is two exact-operand divisions.
 
     Scale: output is B rows; the only shuffle is the {_BOOT_B}-group
     aggregation of map-side partials."""
@@ -93,7 +99,9 @@ def bootstrap_order_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.groupBy("replicate").agg(
         F.sum("wt").cast("long").alias("n_eff"),
-        F.sum((F.col("wt") * F.col("cents")).cast("decimal(38,0)")).alias("wsum_cents"),
+        F.sum((F.col("wt") * F.col("cents")).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("wsum_cents"),
         (
             F.sum((F.col("wt") * F.col("cents")).cast("decimal(38,0)")).cast("double")
             / F.sum("wt").cast("long").cast("double")

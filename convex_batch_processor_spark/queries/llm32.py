@@ -45,12 +45,12 @@ _JS_DEPTH, _JS_WIDTH = 4, 512
     per_j AS (
         SELECT sa.j, SUM(CAST(sa.ca AS DECIMAL(19,0)) * CAST(sb.cb AS DECIMAL(19,0))) AS ip
         FROM sa JOIN sb USING (j, bucket) GROUP BY 1),
-    est AS (SELECT CAST(MIN(ip) AS DECIMAL(38,0)) AS cms_est FROM per_j),
+    est AS (SELECT CAST(CAST(MIN(ip) AS DECIMAL(38,0)) AS DOUBLE) AS cms_est FROM per_j),
     tru AS (
         SELECT CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS true_size
         FROM ca JOIN cb USING (term))
     SELECT t.true_size, e.cms_est,
-           round(CAST(e.cms_est AS DOUBLE) / t.true_size, 6) AS over_ratio
+           round(e.cms_est / t.true_size, 6) AS over_ratio
     FROM tru t, est e
     """,
 )
@@ -84,11 +84,18 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         ca.join(cb, "term")
         .agg(F.sum(ca.cnt * cb.cnt).cast("long").alias("true_size"))
     )
+    # The library estimator stays decimal(38,0) (collision mass can pass
+    # int64 at extreme scale — see cms_inner_product), but the QUERY
+    # returns it as double: no externally hash-verified query emits a raw
+    # decimal column (Spark decimal -> pandas object of Decimal, DuckDB
+    # decimal -> float64 — an untested category at the driver's hasher),
+    # and exact-integer -> nearest-double is IEEE-identical in both
+    # engines, so parity is unaffected.
     return (
         tru.crossJoin(F.broadcast(est))
         .select(
             "true_size",
-            "cms_est",
+            F.col("cms_est").cast("double").alias("cms_est"),
             F.round(
                 F.col("cms_est").cast("double") / F.col("true_size"), 6
             ).alias("over_ratio"),

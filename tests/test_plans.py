@@ -528,3 +528,26 @@ def test_full_registry_no_new_cartesians_or_global_windows(spark, sf_dir):
             if "Filter" in ln and "transform(" in ln
         ]
         assert not bad, (name, bad[:1])
+
+
+def test_full_registry_output_types_are_driver_precedented(spark, sf_dir):
+    """Every registered query returns only column types an external
+    hash-verified run has already proven safe end-to-end: int64/int32,
+    float64, boolean, string, date, timestamp (tz and ntz). Arrays
+    crashed the external canonicalizer once (the product_quantize_pq
+    lesson) and raw decimal outputs materialize differently at the two
+    engines' pandas layers (Spark -> object of Decimal, DuckDB ->
+    float64), so both are banned at the QUERY boundary — accumulate in
+    decimal internally, cast to bigint/double on return."""
+    safe = {
+        "bigint", "int", "smallint", "tinyint", "double", "boolean",
+        "string", "date", "timestamp", "timestamp_ntz",
+    }
+    for name, spec in QUERIES.items():
+        schema = spec.fn(spark, sf_dir).schema
+        bad = {
+            f.name: f.dataType.simpleString()
+            for f in schema.fields
+            if f.dataType.simpleString().split("(")[0].split("<")[0] not in safe
+        }
+        assert not bad, (name, bad)

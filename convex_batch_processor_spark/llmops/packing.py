@@ -34,8 +34,15 @@ from .textstats import token_count
 
 
 def _with_tokens(docs: DataFrame, group_col: str, id_col: str, text_col: str) -> DataFrame:
+    # NULL text (failed fetch, tombstoned row) packs as 0 tokens: without
+    # the coalesce the NULL count reaches pack_greedy's pandas stage as
+    # NaN and the int schema kills the whole Arrow batch (the same
+    # absent-input class the codec/LSH surfaces guard against); oracles
+    # mirror with COALESCE(..., 0).
     return docs.select(
-        F.col(group_col), F.col(id_col), token_count(text_col).alias("n_tokens")
+        F.col(group_col),
+        F.col(id_col),
+        F.coalesce(token_count(text_col), F.lit(0)).alias("n_tokens"),
     )
 
 

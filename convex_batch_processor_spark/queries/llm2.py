@@ -121,7 +121,8 @@ def eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sized AS (
         SELECT source, doc_id,
-               len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens
+               COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)
+                   AS n_tokens
         FROM documents
     )
     SELECT source, doc_id, n_tokens,
@@ -148,8 +149,8 @@ def token_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH RECURSIVE sized AS MATERIALIZED (
         SELECT source, doc_id,
-               CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER)
-                   AS n_tokens,
+               CAST(COALESCE(len(list_filter(string_split(text, ' '), x -> x <> '')), 0)
+                    AS INTEGER) AS n_tokens,
                row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         FROM documents
     ),

@@ -84,6 +84,27 @@ def test_pack_greedy_matches_python_oracle_and_respects_capacity(spark, sf_dir):
         assert total <= cap or counts[key] == 1, f"overfull multi-doc bin {key}"
 
 
+def test_pack_handles_null_text_as_zero_tokens(spark):
+    """A NULL text (failed fetch, tombstoned row) must pack as a 0-token
+    doc, not NaN-poison the greedy fold or kill the Arrow batch on the
+    int schema."""
+    rows = [
+        ("web", 1, "a b c"),
+        ("web", 2, None),
+        ("web", 3, "d e"),
+        ("book", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    greedy = {r.doc_id: r for r in P.pack_greedy(df, capacity=4).collect()}
+    chunks = {r.doc_id: r for r in P.pack_chunks(df, capacity=4).collect()}
+    assert len(greedy) == len(chunks) == 4
+    for got in (greedy, chunks):
+        assert got[2].n_tokens == 0 and got[4].n_tokens == 0
+        # 0-token docs never close a bin: doc 2 rides doc 1's bin
+        assert got[2].bin_id == got[1].bin_id
+        assert got[4].bin_id == 0
+
+
 def test_pack_chunks_bins_are_contiguous_cumsum(spark, sf_dir):
     cap = 512
     got = P.pack_chunks(_docs(spark, sf_dir), capacity=cap).collect()

@@ -98,52 +98,45 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-5 rotation (NOTES.md "Round-5 rotation plan"): the driver verifies
-# the FIRST 50 registry entries, and everything checked in rounds 1-4 is
-# already green, so the window is spent entirely on never-verified entries:
-# token_pack_greedy (its oracle landed AFTER its last driver check, so its
-# standing verdict is still err:"no_oracle"), then the oldest unverified
-# packs in registration order (llm tail, llm7..llm22), filled to exactly 50
-# from llm23..llm28. llm29..llm42 queue for round 6, llm43..llm71 for round
-# 7. Import order above is left untouched — prioritize() expresses the
-# window explicitly and raises on typos.
+# Round-6 rotation (NOTES.md "Round-6 rotation plan"): the driver verifies
+# the FIRST 50 registry entries; round 5 went 50/50 green, so this window
+# is spent on (1) the three re-queues whose standing verdicts predate their
+# current oracle/name — minhash_estimate_neardup + semantic_dedup_keep
+# gained DuckDB oracles in round 5 AFTER their last check (standing
+# verdicts: err no_oracle), payload_byte_stats was renamed in round 5 from
+# multimodal_decode_features so its r4-green verdict is under the old
+# name — and (2) 47 never-verified entries in registration order
+# (llm29..llm49 material). The remaining 36 (soundex_blocking_stats ..
+# cusum_changepoint) queue for round 7, after which every registered query
+# has a driver verdict. List machine-validated end of round 5 AND re-checked
+# at the start of round 6: 50 unique registered oracle-backed names, only
+# the two documented re-queues carry a prior verdict.
 prioritize([
-    "token_pack_greedy",
-    "edit_distance_neardup",
-    "hll_union_sources",
-    # llm8
-    "scd2_user_state", "gapfill_daily_counts", "winnowing_fingerprint_pairs",
-    "dq_constraint_report", "weighted_sample_orders", "mad_outliers",
-    "pagerank_event_graph",
-    # llm9
-    "rag_chunk_overlap", "hard_negative_mining", "label_balance_undersample",
-    "time_decay_user_score", "dataset_split_folds",
-    # llm10
-    "token_pmi_pairs", "supplier_triangles", "burst_detection_daily",
-    "golden_record_merge",
-    # llm11
-    "benford_order_prices", "km_signup_to_purchase",
-    # llm12
-    "zorder_layout_stats", "neyman_allocation", "cosine_lsh_portable_neardup",
-    # llm13
-    "repeat_purchase_interval", "revenue_pareto_bands",
-    # llm14
-    "dup_cluster_size_census", "lang_confusion_matrix",
-    # llm15
-    "event_sequence_violations", "user_rfm_segments",
-    # llm16..llm22
-    "catalog_stats_profile",
-    "cdc_apply_changelog", "asof_join_next_order",
-    "bootstrap_order_price_means", "market_basket_rules", "ts_feature_matrix",
-    "label_propagation_communities",
-    "psi_value_drift", "chi2_independence_cells",
-    # llm23..llm28 fill
-    "event_debounce", "longest_active_streak",
-    "vocab_entropy_by_source", "keyset_page_orders",
-    "price_quantity_correlation", "histogram_median_price",
-    "ctr_wilson_bounds", "window_funnel_depth",
-    "ols_trend_daily_revenue",
-    "pii_scrub_stats", "url_domain_extract",
+    # re-queues (oracle landed / name changed after last driver check)
+    "minhash_estimate_neardup", "semantic_dedup_keep", "payload_byte_stats",
+    # llm29..llm33
+    "mmr_diverse_topk", "tfidf_cosine_pairs", "sorted_neighborhood_pairs",
+    "journey_triples_topk", "rrf_fusion_topk", "welch_ttest_priorities",
+    "gini_by_segment", "join_size_estimate_cms", "best_split_information_gain",
+    "exact_substr_scrub", "feature_hash_stats", "pareto_front_parts",
+    "consistent_hash_rebalance", "histogram_quantile_accuracy",
+    "linear_attribution_credit", "kmeans_silhouette",
+    # llm37..llm40 (codec / web-curation predictive-oracle packs)
+    "png_decode_features", "warc_extract_stats", "robots_filter_stats",
+    "html_extract_text", "url_canonicalize_stats", "web_curation_pipeline",
+    # llm41..llm42
+    "functional_dependency_check", "hll_accuracy_profile",
+    "auc_quantity_returnflag", "logloss_quantity_model",
+    # llm43..llm46
+    "skipgram_pairs_topk", "negative_sampling_table",
+    "frequent_word_subsample", "ols_price_normal_eq",
+    "calibration_bins", "calibration_ece_brier", "dp_noisy_counts_by_type",
+    "randomized_response_rate", "k_anonymity_audit",
+    "unicode_normalize_stats", "mojibake_repair_stats", "char_entropy_quality",
+    # llm47..llm49
+    "gif_decode_features", "bfs_hop_distance", "target_encode_brand",
+    "zlib_ratio_classes", "peak_concurrency_by_user", "padding_waste_buckets",
+    "partition_skew_audit", "neardup_eval_metrics", "jaccard_pair_histogram",
 ])
 
 

@@ -1,10 +1,11 @@
-"""Round-5 driver-window contract (NOTES "Round-5 rotation plan").
+"""Round-6 driver-window contract (NOTES "Round-6 rotation plan").
 
-The driver verifies the FIRST 50 registry entries per round; rounds 1-4
-left 131 entries with no verdict, and round 5's single highest-leverage
-deliverable is spending the whole window on them. These tests pin that
-state so an accidental import reorder or registry growth fails loudly
-BEFORE the driver runs — no Spark session needed.
+The driver verifies the FIRST 50 registry entries per round; rounds 1-5
+checked 197 distinct queries (round 5 went 50/50 green) leaving 82 with
+no verdict. Round 6's window = 3 documented re-queues + 47 never-verified
+entries in registration order. These tests pin that state so an
+accidental import reorder or registry growth fails loudly BEFORE the
+driver runs — no Spark session needed.
 """
 
 from __future__ import annotations
@@ -16,28 +17,45 @@ from convex_batch_processor_spark.queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Names in the round-6 window that legitimately carry a pre-round-6
+# verdict: minhash_estimate_neardup + semantic_dedup_keep were checked in
+# round 3 as rows-only (err no_oracle) and gained DuckDB oracles in round
+# 5 AFTER that check; payload_byte_stats was renamed in round 5 from
+# multimodal_decode_features, so its r4-green verdict is under the old
+# name and the driver has never recorded one under the new name.
+_REQUEUES = {"minhash_estimate_neardup", "semantic_dedup_keep"}
 
-def _verified_before_round5() -> set[str]:
+
+def _verified_before_round6() -> set[str]:
     seen: set[str] = set()
-    for r in ("01", "02", "03", "04"):
+    for r in ("01", "02", "03", "04", "05"):
         with open(os.path.join(_REPO, f"CORRECTNESS_r{r}.json")) as f:
             seen |= set(json.load(f))
     return seen
 
 
 def test_registry_frozen_at_279():
-    """VERDICT r4 #2: no new packs in round 5 until the verification
-    backlog fits one window."""
+    """VERDICT r5 #2: the registry stays frozen at 279 until the
+    verification backlog is zero (end of round 7)."""
     assert len(QUERIES) == 279, len(QUERIES)
 
 
-def test_round5_window_spends_every_slot_on_unverified_entries():
-    """The only previously-checked name allowed in the window is
-    token_pack_greedy, re-queued because its oracle landed AFTER its
-    last driver check (standing verdict: err no_oracle)."""
+def test_round6_window_spends_every_slot_on_unverified_entries():
+    """Only the documented re-queues may appear with a prior verdict;
+    the other 48 slots (payload_byte_stats has no verdict under its
+    post-rename name) must be first-time verifications."""
     names = list(QUERIES)[:50]
-    already = [n for n in names if n in _verified_before_round5()]
-    assert already == ["token_pack_greedy"], already
+    already = sorted(n for n in names if n in _verified_before_round6())
+    assert already == sorted(_REQUEUES), already
+
+
+def test_round6_window_leads_with_the_requeues():
+    """The three re-queues head the window so their stale no_oracle /
+    renamed verdicts are replaced first."""
+    assert list(QUERIES)[:3] == [
+        "minhash_estimate_neardup", "semantic_dedup_keep",
+        "payload_byte_stats",
+    ]
 
 
 def test_every_window_entry_is_oracle_backed():

@@ -350,6 +350,15 @@ def minhash_group_signatures(
     (streaming/sketches.streaming_minhash_signatures) with state
     guaranteed bit-identical to the batch-built sketch — and mergeable
     with one across pipelines.
+
+    SKETCH FORMAT v2 (round 5): h0..h{p-1} changed from 16-hex STRINGS
+    (min over hex digests) to INT64 (conv base-16 min applied after the
+    string min — same ordering, fixed-width hex is order-isomorphic to
+    its integer value). Any streaming checkpoint or persisted sketch
+    written by the v1 string-typed aggregates is schema-incompatible:
+    REBUILD such state from source rather than restoring/merging — a
+    restore fails on the aggregate expression change, and a hand-merged
+    v1 string MIN against v2 int64 MIN would silently mismatch.
     """
     toks = df.select(*group_cols, tokens_col(text_col).alias("_toks"))
     sh = toks.select(

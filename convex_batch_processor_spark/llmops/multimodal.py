@@ -105,15 +105,23 @@ def payload_byte_features(df: DataFrame) -> DataFrame:
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # NULL payload -> NULL features (row kept), the _null_feature_row
+        # convention every real decoder below follows; EMPTY payload is a
+        # present-but-degenerate file and keeps sentinel head_byte=-1 /
+        # feat_mean=0.0. The registered oracle mirrors both cases.
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
-                    "head_byte": payloads.map(lambda b: -1 if b is None or len(b) == 0 else b[0]),
+                    "n_bytes": payloads.map(lambda b: None if b is None else len(b)),
+                    "head_byte": payloads.map(
+                        lambda b: None if b is None else (-1 if len(b) == 0 else b[0])
+                    ),
                     "feat_mean": payloads.map(
-                        lambda b: 0.0 if b is None or len(b) == 0 else float(sum(b)) / len(b)
+                        lambda b: None
+                        if b is None
+                        else (0.0 if len(b) == 0 else float(sum(b)) / len(b))
                     ),
                 }
             )

@@ -444,6 +444,14 @@ def ivf_assign(
         .join(F.broadcast(cents))
         .withColumn("_nv", norm_col(F.col(vec_col)))
         .withColumn("_best", best)
+        # Degenerate guard: an EMPTY centroid table still produces one
+        # broadcast row (empty _cents array), where array_max yields a
+        # NULL _best for every vector. Drop those rows so the contract
+        # matches the pre-r5 broadcast-join plan: no centroids -> zero
+        # assignments, never a corpus of NULL centroid_ids. (A zero
+        # vector still assigns: its sims are all NULL but _best is a
+        # real struct with sim NULL and the lowest centroid_id.)
+        .filter(F.col("_best").isNotNull())
         .select(
             F.col(id_col),
             *out_vec,

@@ -401,9 +401,11 @@ def multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
-           CAST(CASE WHEN length(text) = 0 THEN -1
+           CAST(CASE WHEN text IS NULL THEN NULL
+                     WHEN length(text) = 0 THEN -1
                      ELSE ascii(substr(text, 1, 1)) END AS INTEGER) AS head_byte,
-           CASE WHEN length(text) = 0 THEN 0.0
+           CASE WHEN text IS NULL THEN NULL
+                WHEN length(text) = 0 THEN 0.0
                 ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
                                                   i -> ascii(substr(text, i, 1)))) AS DOUBLE)
                      / length(text) END AS feat_mean

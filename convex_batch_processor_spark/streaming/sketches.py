@@ -187,7 +187,12 @@ def streaming_minhash_signatures(
     Delegates to the batch builder (llmops/dedup.minhash_group_signatures)
     — a min-aggregation is an allowed streaming stateful op, and sharing
     the expression guarantees the streaming state is bit-identical to a
-    batch-built signature over the same rows, and MERGEABLE with one."""
+    batch-built signature over the same rows, and MERGEABLE with one.
+
+    SKETCH FORMAT v2: h-columns are int64 since round 5 (were 16-hex
+    strings). Checkpoints written by the v1 string-typed aggregates must
+    be REBUILT, not restored — see minhash_group_signatures's format
+    note."""
     from ..llmops.dedup import minhash_group_signatures
 
     return minhash_group_signatures(stream, group_cols, text_col, num_perm)

@@ -145,6 +145,18 @@ def test_label_centroids_match_numpy(spark, sf_dir):
     assert assigned.select("vec_id").distinct().count() == emb.count()
 
 
+def test_ivf_assign_empty_centroids_returns_zero_rows(spark, sf_dir):
+    """ADVICE r5: the map-side rewrite's collect_list aggregate emits one
+    row even for an empty centroid table; the degenerate-case guard must
+    restore the broadcast-join contract (no centroids -> no assignments),
+    not a corpus of NULL centroid_ids."""
+    from convex_batch_processor_spark.llmops.similarity import ivf_assign, label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    no_cents = label_centroids(emb).filter("label < -1")
+    assert ivf_assign(emb, no_cents).count() == 0
+
+
 def test_salted_agg_equals_plain_agg(spark, sf_dir):
     from pyspark.sql import functions as F2
 

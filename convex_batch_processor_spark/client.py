@@ -1,11 +1,12 @@
 """BatchProcessor — drop-in-shaped client facade.
 
 Mirrors the reference's public client API (src/client/index.ts:197-349:
-``addItems, flush, getBatchStatus, getFlushHistory, startIterator,
-pauseIterator, resumeIterator, cancelIterator, getIteratorStatus,
-listIteratorJobs, deleteIteratorJob``) so a reference user's calling code
-maps 1:1, with Convex function handles replaced by registry handle names
-and Convex tables by parquet dirs.
+``addItems, flush, getBatchStatus, getFlushHistory,
+getAllBatchesForBaseId, deleteBatch, startIterator, pauseIterator,
+resumeIterator, cancelIterator, getIteratorStatus, listIteratorJobs,
+deleteIteratorJob``) so a reference user's calling code maps 1:1, with
+Convex function handles replaced by registry handle names and Convex
+tables by parquet dirs.
 
 Differences (documented, by design):
 - callbacks receive an epoch-bounded DataFrame, not a JS array — collect()
@@ -114,6 +115,28 @@ class BatchProcessor:
     def get_flush_history(self, batch_id: str, limit: int = 10) -> DataFrame:
         """getFlushHistory (index.ts:254-263): newest-first attempts."""
         return self._acc(batch_id).flush_history(limit)
+
+    def get_all_batches_for_base_id(self, base_batch_id: str) -> list[dict]:
+        """getAllBatchesForBaseId (index.ts:258-263, server lib.ts:246-277):
+        every ``base::seq`` batch of one logical stream — completed epochs,
+        a flushing (admitted-but-uncommitted) epoch if a flush is in
+        flight or pending retry, and the current accumulating batch —
+        with on-demand item counts and timestamps. Unknown base → []
+        (the reference's empty index scan)."""
+        if base_batch_id not in self._accumulators:
+            return []
+        return self._accumulators[base_batch_id].list_batches()
+
+    def delete_batch(self, batch_id: str) -> dict:
+        """deleteBatch (index.ts:265-270, server lib.ts:300-337): delete one
+        ``base::seq`` batch's staged items. Returns
+        ``{"deleted": bool, "reason"?: str}`` verbatim — refuses while the
+        batch is flushing or still holds pending items; audit history
+        survives. ``batch_id`` is the FULL composite id (schema.ts:6)."""
+        base, sep, seq = batch_id.rpartition("::")
+        if not sep or not seq.isdigit() or base not in self._accumulators:
+            return {"deleted": False, "reason": "Batch not found"}
+        return self._accumulators[base].delete_batch(int(seq))
 
     def _acc(self, batch_id: str) -> BatchAccumulator:
         if batch_id not in self._accumulators:

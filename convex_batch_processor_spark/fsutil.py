@@ -52,6 +52,12 @@ def delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jp, False))
 
 
+def mtime(spark: SparkSession, path: str) -> float:
+    """Modification time as epoch seconds (Hadoop reports millis)."""
+    fs, jp = _fs_path(spark, path)
+    return fs.getFileStatus(jp).getModificationTime() / 1000.0
+
+
 def content_bytes(spark: SparkSession, path: str) -> int:
     """Total bytes under a path (recursive); 0 if absent."""
     fs, jp = _fs_path(spark, path)

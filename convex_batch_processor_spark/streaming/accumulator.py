@@ -221,26 +221,27 @@ class BatchAccumulator:
 
     # --- D8 retention: delete flushed staging files -------------------------
 
-    def _committed_files(self) -> set[str]:
-        """BASENAMES of staging files belonging to COMMITTED epochs (from
-        the checkpoint's commits/ + FileStreamSource log). All filesystem
-        access goes through the Hadoop FS API (fsutil) so the root may be
-        an object store; comparison is by basename because the source log
-        stores percent-encoded URIs while directory listings return raw
-        paths — staging is one flat dir of Spark part-files, whose names
-        are globally unique and URI-safe, so basenames identify exactly."""
+    def _source_epoch_files(self) -> dict[int, set[str]]:
+        """Staging file BASENAMES per epoch, from the checkpoint's
+        FileStreamSource log — every epoch the stream ever ADMITTED,
+        whether its commit landed or not. All filesystem access goes
+        through the Hadoop FS API (fsutil) so the root may be an object
+        store; comparison is by basename because the source log stores
+        percent-encoded URIs while directory listings return raw paths —
+        staging is one flat dir of Spark part-files, whose names are
+        globally unique and URI-safe, so basenames identify exactly."""
         import json
         from urllib.parse import unquote, urlparse
 
-        commits_dir = os.path.join(self.checkpoint_dir, "commits")
         source_log = os.path.join(self.checkpoint_dir, "sources", "0")
-        committed = {n for n in fsutil.listdir(self.spark, commits_dir) if n.isdigit()}
-        names: set[str] = set()
-        for epoch in sorted(committed, key=int):
-            log_file = os.path.join(source_log, epoch)
-            if not fsutil.exists(self.spark, log_file):
+        out: dict[int, set[str]] = {}
+        for epoch in fsutil.listdir(self.spark, source_log):
+            if not epoch.isdigit():
                 continue
-            for line in fsutil.read_text(self.spark, log_file).splitlines():
+            names: set[str] = set()
+            for line in fsutil.read_text(
+                self.spark, os.path.join(source_log, epoch)
+            ).splitlines():
                 line = line.strip()
                 if not line.startswith("{"):
                     continue
@@ -248,6 +249,20 @@ class BatchAccumulator:
                 path = entry.get("path", "")
                 if path:
                     names.add(os.path.basename(unquote(urlparse(path).path)))
+            out[int(epoch)] = names
+        return out
+
+    def _committed_epochs(self) -> set[int]:
+        """Epoch ids whose foreachBatch commit landed (checkpoint commits/)."""
+        commits_dir = os.path.join(self.checkpoint_dir, "commits")
+        return {int(n) for n in fsutil.listdir(self.spark, commits_dir) if n.isdigit()}
+
+    def _committed_files(self) -> set[str]:
+        """BASENAMES of staging files belonging to COMMITTED epochs."""
+        by_epoch = self._source_epoch_files()
+        names: set[str] = set()
+        for epoch in self._committed_epochs():
+            names |= by_epoch.get(epoch, set())
         return names
 
     def vacuum_staging(self, dry_run: bool = False) -> list[str]:
@@ -285,6 +300,106 @@ class BatchAccumulator:
         df = self.spark.read.schema(FLUSH_HISTORY_SCHEMA).parquet(self.history_dir)
         df = df.orderBy(F.col("flushed_at").desc(), F.col("epoch_id").desc())
         return df.limit(limit) if limit is not None else df
+
+    def _count_staged(self, names: set[str]) -> int:
+        """Row count across a set of staging-file basenames (0 if empty)."""
+        paths = [
+            os.path.join(self.staging_dir, n) for n in names if n.endswith(".parquet")
+        ]
+        if not paths:
+            return 0
+        return self.spark.read.schema(self.item_schema).parquet(*paths).count()
+
+    def _file_mtimes(self, names: set[str]) -> tuple[dt.datetime | None, dt.datetime | None]:
+        """(min, max) modification time over existing staging files."""
+        times = [
+            fsutil.mtime(self.spark, os.path.join(self.staging_dir, n))
+            for n in names
+        ]
+        if not times:
+            return None, None
+        return (
+            dt.datetime.fromtimestamp(min(times)),
+            dt.datetime.fromtimestamp(max(times)),
+        )
+
+    def list_batches(self) -> list[dict]:
+        """getAllBatchesForBaseId (lib.ts:246-277) over the epoch model:
+        ``sequence`` ≡ foreachBatch ``epoch_id`` (D6), ``batch_id`` is the
+        composed ``base::seq`` (P6, lib.ts:62). A COMMITTED epoch is a
+        ``completed`` batch; an admitted-but-uncommitted epoch (failed
+        flush pending retry) is ``flushing``; staged files not yet
+        admitted form the current ``accumulating`` batch with
+        sequence = next epoch.
+
+        ``item_count`` counts rows whose staging files still exist — the
+        reference computes itemCount from live batchItems and deletes
+        them at flush (lib.ts:622-634; ``vacuum_staging`` is that
+        deletion here), so a completed batch counts its flushed size
+        until vacuumed, 0 after. ``last_updated_at`` mirrors
+        max(batchItems.createdAt) via file mtimes, falling back to the
+        batch's own timestamp — here the epoch's flush-history time
+        (lib.ts:259-267)."""
+        if not self._ensure_staging():
+            return []  # nothing ever staged → no batch docs (lib.ts:251-253)
+        by_epoch = self._source_epoch_files()
+        committed = self._committed_epochs()
+        existing = set(fsutil.listdir(self.spark, self.staging_dir))
+        hist_at: dict[int, dt.datetime] = {}
+        for r in self.flush_history().collect():
+            hist_at.setdefault(r.epoch_id, r.flushed_at)  # newest-first order
+
+        def entry(seq: int, names: set[str], status: str) -> dict:
+            live = names & existing
+            created, updated = self._file_mtimes(live)
+            fallback = hist_at.get(seq)
+            return {
+                "batch_id": f"{self.batch_id}::{seq}",
+                "base_batch_id": self.batch_id,
+                "sequence": seq,
+                "item_count": self._count_staged(live),
+                "status": status,
+                "created_at": created or fallback,
+                "last_updated_at": updated or fallback,
+            }
+
+        out = [
+            entry(seq, names, "completed" if seq in committed else "flushing")
+            for seq, names in sorted(by_epoch.items())
+        ]
+        admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
+        pending = {n for n in existing - admitted if n.endswith(".parquet")}
+        next_seq = max(by_epoch) + 1 if by_epoch else 0
+        out.append(entry(next_seq, pending, "accumulating"))
+        return out
+
+    def delete_batch(self, sequence: int) -> dict:
+        """deleteBatch (lib.ts:300-337): refuse while flushing or with
+        pending items, else delete the batch's staged items — the
+        reference's batchItems deletion; flush-history audit rows
+        survive, exactly as the reference keeps flushHistory."""
+        if not self._ensure_staging():
+            return {"deleted": False, "reason": "Batch not found"}
+        by_epoch = self._source_epoch_files()
+        committed = self._committed_epochs()
+        next_seq = max(by_epoch) + 1 if by_epoch else 0
+        if sequence not in by_epoch and sequence != next_seq:
+            return {"deleted": False, "reason": "Batch not found"}
+        if sequence in by_epoch and sequence not in committed:
+            # admitted but no commit: a flush is in flight (or failed and
+            # pending its at-least-once retry) — deleting its files would
+            # corrupt the replay (lib.ts:312-314)
+            return {"deleted": False, "reason": "Cannot delete batch while flushing"}
+        existing = set(fsutil.listdir(self.spark, self.staging_dir))
+        if sequence == next_seq:
+            admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
+            pending = {n for n in existing - admitted if n.endswith(".parquet")}
+            if self._count_staged(pending) > 0:
+                return {"deleted": False, "reason": "Cannot delete batch with pending items"}
+            return {"deleted": True}  # empty accumulating batch (lib.ts:323-325)
+        for name in by_epoch.get(sequence, set()) & existing:
+            fsutil.delete(self.spark, os.path.join(self.staging_dir, name))
+        return {"deleted": True}
 
     def status(self) -> dict:
         """getBatchStatus (lib.ts:206-253): PENDING item count + flush stats.

@@ -157,3 +157,86 @@ def test_facade_short_doc_dedup_does_not_crash(spark, tmp_path):
     assert len(sh[5]) > 0
     # full pipeline over the degenerate corpus completes
     assert D.minhash_neardup(docs).count() == 0
+
+
+def test_get_all_batches_and_delete_batch_lifecycle(spark, tmp_path):
+    """getAllBatchesForBaseId + deleteBatch (index.ts:258-270, server
+    lib.ts:246-337): list the base::seq batches of one stream and delete
+    them under the reference's guard semantics."""
+    reg = HandleRegistry()
+    reg.add("noopFlush", lambda df, ep: None)
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.accumulator("events", EVENT_SCHEMA, "noopFlush")
+
+    # unknown base / nothing staged: reference's empty index scan + not-found
+    assert bp.get_all_batches_for_base_id("nope") == []
+    assert bp.delete_batch("events::0") == {"deleted": False, "reason": "Batch not found"}
+    assert bp.delete_batch("malformed-id") == {"deleted": False, "reason": "Batch not found"}
+
+    bp.add_items("events", [{"eventName": "a", "timestamp": 1}, {"eventName": "b", "timestamp": 2}])
+    batches = bp.get_all_batches_for_base_id("events")
+    assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
+        (0, "accumulating", 2)
+    ]
+    assert batches[0]["batch_id"] == "events::0"
+    assert batches[0]["base_batch_id"] == "events"
+    assert batches[0]["created_at"] is not None
+
+    # accumulating with pending items refuses deletion (lib.ts:323-325)
+    assert bp.delete_batch("events::0") == {
+        "deleted": False,
+        "reason": "Cannot delete batch with pending items",
+    }
+
+    assert bp.flush("events") is True
+    bp.add_items("events", [{"eventName": "c", "timestamp": 3}])
+    batches = bp.get_all_batches_for_base_id("events")
+    assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
+        (0, "completed", 2),
+        (1, "accumulating", 1),
+    ]
+
+    # deleting the completed batch removes its staged items (batchItems
+    # deletion) but keeps audit history and the accumulating batch
+    assert bp.delete_batch("events::0") == {"deleted": True}
+    batches = bp.get_all_batches_for_base_id("events")
+    assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
+        (0, "completed", 0),
+        (1, "accumulating", 1),
+    ]
+    assert bp.get_flush_history("events").count() >= 1
+
+    # out-of-range sequence: not found
+    assert bp.delete_batch("events::7") == {"deleted": False, "reason": "Batch not found"}
+
+
+def test_delete_batch_refuses_while_flush_pending_retry(spark, tmp_path):
+    """An admitted-but-uncommitted epoch (failed flush awaiting its
+    at-least-once retry) maps to the reference's 'flushing' guard
+    (lib.ts:312-314): deleting its files would corrupt the replay."""
+    reg = HandleRegistry()
+    fail = {"on": True}
+
+    def flaky(df, ep):
+        if fail["on"]:
+            raise RuntimeError("downstream unavailable")
+
+    reg.add("flakyFlush", flaky)
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.accumulator("ev", EVENT_SCHEMA, "flakyFlush")
+    bp.add_items("ev", [{"eventName": "a", "timestamp": 1}])
+    with pytest.raises(RuntimeError):
+        bp.flush("ev")
+    batches = bp.get_all_batches_for_base_id("ev")
+    assert [(b["sequence"], b["status"]) for b in batches] == [
+        (0, "flushing"),
+        (1, "accumulating"),
+    ]
+    assert bp.delete_batch("ev::0") == {
+        "deleted": False,
+        "reason": "Cannot delete batch while flushing",
+    }
+    # retry succeeds -> epoch commits -> deletable
+    fail["on"] = False
+    assert bp.flush("ev") is True
+    assert bp.delete_batch("ev::0") == {"deleted": True}

@@ -128,6 +128,11 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
     names = names.split(",") if names else HEADLINE
+    if os.environ.get("SPARK_GRAFT_BENCH_REVERSE"):
+        # ordering-sensitivity probe: same work, reversed execution order —
+        # if per-query timings shift materially, the suite has JIT/cache
+        # ordering effects, not per-query regressions
+        names = list(reversed(names))
 
     spark = get_spark(
         app_name="cbps-bench",
@@ -151,6 +156,21 @@ def main() -> None:
     spark.range(0, 3_200, numPartitions=32).select(
         _warm(col("id").cast("double"))
     ).write.mode("overwrite").format("noop").save()
+
+    # Host-speed calibration: a fixed-work probe (pure JVM codegen sum —
+    # no IO, no Python workers, constant plan) timed AFTER warmup, median
+    # of 3. Cross-run comparisons should normalize by this scalar: the
+    # same code on the same host has shown 0.75-1.56x per-query scatter
+    # between runs hours apart (NOTES.md), and without a calibration
+    # anchor every round re-litigates host drift vs real regressions.
+    cal_samples = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        spark.range(200_000_000).selectExpr(
+            "sum(cast(id as double) * id) as s"  # double: id*id overflows long under ANSI
+        ).collect()
+        cal_samples.append(time.monotonic() - t0)
+    calibration = round(sorted(cal_samples)[1], 3)
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
@@ -181,6 +201,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration_sec": calibration,
             }
         )
     )

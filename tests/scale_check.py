@@ -19,8 +19,9 @@ Runnable standalone (prints one JSON line per query + a summary table):
 Defaults cover the most expensive plan families: inverted-index pair
 expansion (jaccard / tfidf-cosine / winnowing), banded LSH (md5 MinHash),
 iterative convergence (k-means, connected components via dedup collapse,
-pagerank), sketch build+probe (bloom decontamination), global
-aggregation (TPC-H q1), and a mapInPandas codec (audio).
+pagerank, golden-record merge), sketch build+probe (bloom
+decontamination), global aggregation (TPC-H q1), a mapInPandas codec
+(audio), triangle enumeration, and hyperplane-LSH bucket join + rerank.
 """
 
 from __future__ import annotations
@@ -53,6 +54,11 @@ DEFAULT_QUERIES = [
     "pagerank_event_graph",        # iteration on a bounded aggregate
     "exact_substr_scrub",          # inverted 8-gram index + rebuild
     "audio_decode_features",       # mapInPandas codec batch path
+    # round-6 additions: the three most expensive r5-bench entries the
+    # verdict audited by plan shape — now also pinned empirically
+    "supplier_triangles",          # ordered-edge triangle enumeration, fanout-capped
+    "cosine_lsh_portable_neardup", # 16-plane LSH bucket join + exact rerank
+    "golden_record_merge",         # min-label CC + component-keyed aggregations
 ]
 
 #: second-decade exponent above this fails the sweep

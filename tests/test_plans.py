@@ -452,25 +452,28 @@ def test_dedup_eval_truth_join_has_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 2  # scalar combines only
 
 
-# --- round-5 driver-window sweep ---------------------------------------------
+# --- current driver-window sweep ---------------------------------------------
 
 
-def test_round5_window_global_windows_are_bounded(spark, sf_dir):
-    """Plan gate over the ENTIRE round-5 driver window (the first 50
-    registry entries — VERDICT r4 #7): no CartesianProduct anywhere, and
-    any unpartitioned WindowExec runs over a bounded aggregate, never a
-    corpus projection. The three window queries that legitimately use a
-    global window are pinned to their exact bounded inputs (Kaplan-Meier
-    day grid, |event_types| Neyman strata, Pareto revenue bands) so a
-    refactor that widens one fails loudly; every other window entry must
-    have NO global window at all."""
+def test_current_window_global_windows_are_bounded(spark, sf_dir):
+    """Plan gate over the ENTIRE live driver window (the first 50
+    registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
+    rotating): no CartesianProduct anywhere, and any unpartitioned
+    WindowExec runs over a bounded aggregate, never a corpus projection.
+    The round-6 window queries that legitimately use a global window are
+    pinned to their exact bounded inputs — fused top-k candidate lists
+    (RRF), the distinct split-value grid, the Pareto-candidate
+    (price, size) aggregate, histogram bins, the distinct-value AUC
+    histogram, and the vocab-bounded sampling table — so a refactor that
+    widens one fails loudly; every other window entry must have NO
+    global window at all."""
     allowed = {
-        "km_signup_to_purchase": {
-            "day", "n_risk", "n_censored", "n_events", "lf",
-            "_w1", "c_t", "d_t", "n0",
-        },
-        "neyman_allocation": {"event_type", "nh", "wi", "leftover", "rem", "base"},
-        "revenue_pareto_bands": {"band", "rev", "n_orders"},
+        "rrf_fusion_topk": {"doc_id", "score"},
+        "best_split_information_gain": {"p", "c", "_we0", "_we1", "split_value"},
+        "pareto_front_parts": {"cents", "msize"},
+        "histogram_quantile_accuracy": {"cents", "bin", "c"},
+        "auc_quantity_returnflag": {"p", "n", "v"},
+        "negative_sampling_table": {"w9", "term", "cnt"},
     }
     names = list(QUERIES)[:50]
     assert len(names) == 50

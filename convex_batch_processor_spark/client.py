@@ -134,7 +134,9 @@ class BatchProcessor:
         batch is flushing or still holds pending items; audit history
         survives. ``batch_id`` is the FULL composite id (schema.ts:6)."""
         base, sep, seq = batch_id.rpartition("::")
-        if not sep or not seq.isdigit() or base not in self._accumulators:
+        # isascii+isdecimal, not isdigit: int() rejects Unicode digit forms
+        # (superscripts, circled digits) that isdigit accepts
+        if not sep or not (seq.isascii() and seq.isdecimal()) or base not in self._accumulators:
             return {"deleted": False, "reason": "Batch not found"}
         return self._accumulators[base].delete_batch(int(seq))
 

@@ -52,10 +52,19 @@ def delete(spark: SparkSession, path: str) -> bool:
     return bool(fs.delete(jp, False))
 
 
-def mtime(spark: SparkSession, path: str) -> float:
-    """Modification time as epoch seconds (Hadoop reports millis)."""
+def list_statuses(spark: SparkSession, path: str) -> dict[str, float]:
+    """Child basename -> modification time in epoch seconds (Hadoop
+    reports millis); {} if the directory is absent. One listStatus call
+    for the whole directory — never stat files one by one (a file may
+    vanish between a listing and a per-file stat, and per-file py4j
+    round-trips make listings O(files))."""
     fs, jp = _fs_path(spark, path)
-    return fs.getFileStatus(jp).getModificationTime() / 1000.0
+    if not fs.exists(jp):
+        return {}
+    return {
+        st.getPath().getName(): st.getModificationTime() / 1000.0
+        for st in fs.listStatus(jp)
+    }
 
 
 def content_bytes(spark: SparkSession, path: str) -> int:

@@ -106,7 +106,7 @@ from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 # verdicts: err no_oracle), payload_byte_stats was renamed in round 5 from
 # multimodal_decode_features so its r4-green verdict is under the old
 # name — and (2) 47 never-verified entries in registration order
-# (llm29..llm49 material). The remaining 36 (soundex_blocking_stats ..
+# (llm29..llm49 material). The remaining 35 (soundex_blocking_stats ..
 # cusum_changepoint) queue for round 7, after which every registered query
 # has a driver verdict. List machine-validated end of round 5 AND re-checked
 # at the start of round 6: 50 unique registered oracle-backed names, only

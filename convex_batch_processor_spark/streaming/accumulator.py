@@ -229,27 +229,40 @@ class BatchAccumulator:
         store; comparison is by basename because the source log stores
         percent-encoded URIs while directory listings return raw paths —
         staging is one flat dir of Spark part-files, whose names are
-        globally unique and URI-safe, so basenames identify exactly."""
+        globally unique and URI-safe, so basenames identify exactly.
+
+        COMPACTION: every compactInterval-th (default 10) batch is
+        written as ``N.compact`` holding the CUMULATIVE entry list (and
+        the plain files it superseded may be cleaned up), so epochs must
+        be grouped by each entry's own ``batchId`` field, never by log
+        file name — reading only plain digit files silently loses every
+        10th epoch from listing/vacuum/status."""
         import json
         from urllib.parse import unquote, urlparse
 
         source_log = os.path.join(self.checkpoint_dir, "sources", "0")
         out: dict[int, set[str]] = {}
-        for epoch in fsutil.listdir(self.spark, source_log):
-            if not epoch.isdigit():
-                continue
-            names: set[str] = set()
+        for fname in fsutil.listdir(self.spark, source_log):
+            stem, dot, suffix = fname.partition(".")
+            if not stem.isdigit() or (dot and suffix != "compact"):
+                continue  # .tmp / .crc noise
+            file_batch = int(stem)
+            # an admitted batch exists even if it carries zero entries
+            out.setdefault(file_batch, set())
             for line in fsutil.read_text(
-                self.spark, os.path.join(source_log, epoch)
+                self.spark, os.path.join(source_log, fname)
             ).splitlines():
                 line = line.strip()
                 if not line.startswith("{"):
                     continue
                 entry = json.loads(line)
                 path = entry.get("path", "")
-                if path:
-                    names.add(os.path.basename(unquote(urlparse(path).path)))
-            out[int(epoch)] = names
+                if not path:
+                    continue
+                batch = int(entry.get("batchId", file_batch))
+                out.setdefault(batch, set()).add(
+                    os.path.basename(unquote(urlparse(path).path))
+                )
         return out
 
     def _committed_epochs(self) -> set[int]:
@@ -302,26 +315,29 @@ class BatchAccumulator:
         return df.limit(limit) if limit is not None else df
 
     def _count_staged(self, names: set[str]) -> int:
-        """Row count across a set of staging-file basenames (0 if empty)."""
+        """Row count across a set of staging-file basenames (0 if empty).
+        ``ignoreMissingFiles``: a concurrent vacuum or delete_batch may
+        remove a file between the caller's listing snapshot and this
+        read — a control-plane count must degrade, not crash."""
         paths = [
             os.path.join(self.staging_dir, n) for n in names if n.endswith(".parquet")
         ]
         if not paths:
             return 0
-        return self.spark.read.schema(self.item_schema).parquet(*paths).count()
-
-    def _file_mtimes(self, names: set[str]) -> tuple[dt.datetime | None, dt.datetime | None]:
-        """(min, max) modification time over existing staging files."""
-        times = [
-            fsutil.mtime(self.spark, os.path.join(self.staging_dir, n))
-            for n in names
-        ]
-        if not times:
-            return None, None
         return (
-            dt.datetime.fromtimestamp(min(times)),
-            dt.datetime.fromtimestamp(max(times)),
+            self.spark.read.schema(self.item_schema)
+            .option("ignoreMissingFiles", "true")
+            .parquet(*paths)
+            .count()
         )
+
+    @staticmethod
+    def _pending_names(by_epoch: dict[int, set[str]], existing: set[str]) -> set[str]:
+        """Staged parquet basenames not admitted by ANY epoch — the
+        accumulating batch's contents (shared by list_batches and
+        delete_batch so the two APIs can never disagree)."""
+        admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
+        return {n for n in existing - admitted if n.endswith(".parquet")}
 
     def list_batches(self) -> list[dict]:
         """getAllBatchesForBaseId (lib.ts:246-277) over the epoch model:
@@ -342,35 +358,56 @@ class BatchAccumulator:
         (lib.ts:259-267)."""
         if not self._ensure_staging():
             return []  # nothing ever staged → no batch docs (lib.ts:251-253)
+        from urllib.parse import unquote, urlparse
+
         by_epoch = self._source_epoch_files()
         committed = self._committed_epochs()
-        existing = set(fsutil.listdir(self.spark, self.staging_dir))
+        # one listStatus snapshot: names AND mtimes together (no per-file
+        # stat round-trips, no stat-after-delete race)
+        statuses = fsutil.list_statuses(self.spark, self.staging_dir)
+        existing = set(statuses)
         hist_at: dict[int, dt.datetime] = {}
         for r in self.flush_history().collect():
             hist_at.setdefault(r.epoch_id, r.flushed_at)  # newest-first order
 
+        # ONE Spark job for every per-file row count — a listing must not
+        # cost O(epochs) jobs; zero-row/vanished files simply don't appear
+        counts: dict[str, int] = {}
+        live_parquet = sorted(n for n in existing if n.endswith(".parquet"))
+        if live_parquet:
+            rows = (
+                self.spark.read.schema(self.item_schema)
+                .option("ignoreMissingFiles", "true")
+                .parquet(*[os.path.join(self.staging_dir, n) for n in live_parquet])
+                .groupBy(F.input_file_name().alias("_f"))
+                .count()
+                .collect()
+            )
+            counts = {
+                os.path.basename(unquote(urlparse(r["_f"]).path)): r["count"]
+                for r in rows
+            }
+
         def entry(seq: int, names: set[str], status: str) -> dict:
             live = names & existing
-            created, updated = self._file_mtimes(live)
+            times = [statuses[n] for n in live]
             fallback = hist_at.get(seq)
             return {
                 "batch_id": f"{self.batch_id}::{seq}",
                 "base_batch_id": self.batch_id,
                 "sequence": seq,
-                "item_count": self._count_staged(live),
+                "item_count": sum(counts.get(n, 0) for n in live),
                 "status": status,
-                "created_at": created or fallback,
-                "last_updated_at": updated or fallback,
+                "created_at": dt.datetime.fromtimestamp(min(times)) if times else fallback,
+                "last_updated_at": dt.datetime.fromtimestamp(max(times)) if times else fallback,
             }
 
         out = [
             entry(seq, names, "completed" if seq in committed else "flushing")
             for seq, names in sorted(by_epoch.items())
         ]
-        admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
-        pending = {n for n in existing - admitted if n.endswith(".parquet")}
         next_seq = max(by_epoch) + 1 if by_epoch else 0
-        out.append(entry(next_seq, pending, "accumulating"))
+        out.append(entry(next_seq, self._pending_names(by_epoch, existing), "accumulating"))
         return out
 
     def delete_batch(self, sequence: int) -> dict:
@@ -392,9 +429,7 @@ class BatchAccumulator:
             return {"deleted": False, "reason": "Cannot delete batch while flushing"}
         existing = set(fsutil.listdir(self.spark, self.staging_dir))
         if sequence == next_seq:
-            admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
-            pending = {n for n in existing - admitted if n.endswith(".parquet")}
-            if self._count_staged(pending) > 0:
+            if self._count_staged(self._pending_names(by_epoch, existing)) > 0:
                 return {"deleted": False, "reason": "Cannot delete batch with pending items"}
             return {"deleted": True}  # empty accumulating batch (lib.ts:323-325)
         for name in by_epoch.get(sequence, set()) & existing:
@@ -411,15 +446,13 @@ class BatchAccumulator:
         staged = 0
         if self._ensure_staging():
             committed = self._committed_files()
-            pending_files = [
-                os.path.join(self.staging_dir, f)
-                for f in fsutil.listdir(self.spark, self.staging_dir)
-                if f.endswith(".parquet") and f not in committed
-            ]
-            if pending_files:
-                staged = (
-                    self.spark.read.schema(self.item_schema).parquet(*pending_files).count()
-                )
+            staged = self._count_staged(
+                {
+                    f
+                    for f in fsutil.listdir(self.spark, self.staging_dir)
+                    if f not in committed
+                }
+            )
         hist = self.flush_history()
         agg = hist.agg(
             F.count(F.lit(1)).alias("attempts"),

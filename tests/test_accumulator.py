@@ -194,3 +194,53 @@ def test_vacuum_staging_removes_only_committed_files(spark, tmp_path):
     seen.clear()
     acc.flush_now()
     assert sorted(seen) == ["e100", "e101"]  # offsets unaffected by vacuum
+
+
+def test_epoch_bookkeeping_survives_source_log_compaction(spark, tmp_path):
+    """FileStreamSource rewrites every compactInterval-th batch's log as
+    'N.compact' (cumulative entries, plain files cleaned up later), so
+    epoch bookkeeping must group by each entry's own batchId field —
+    parsing only plain digit filenames silently loses every Nth epoch
+    from list_batches/delete_batch/status/vacuum_staging (found by a
+    live repro: epoch 9 vanished, its flushed item was recounted as
+    pending forever)."""
+    reg = HandleRegistry()
+
+    @reg.register("collect_events")
+    def collect_events(df, epoch_id):
+        df.count()
+
+    key = "spark.sql.streaming.fileSource.log.compactInterval"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "3")  # compact at batches 2, 5, ... (keeps the test fast)
+    try:
+        acc = make_acc(spark, tmp_path, reg)
+        for i in range(5):  # epochs 0..4 — crosses the batch-2 compaction
+            acc.add_items(events(1, start=i))
+            assert acc.flush_now() is True
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+    by_epoch = acc._source_epoch_files()
+    assert sorted(by_epoch) == [0, 1, 2, 3, 4]
+    assert all(len(v) == 1 for v in by_epoch.values()), by_epoch
+
+    batches = acc.list_batches()
+    assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
+        (0, "completed", 1),
+        (1, "completed", 1),
+        (2, "completed", 1),  # the compacted epoch must not vanish
+        (3, "completed", 1),
+        (4, "completed", 1),
+        (5, "accumulating", 0),
+    ]
+    assert acc.status()["staged_item_count"] == 0  # nothing pending
+    assert acc.delete_batch(2) == {"deleted": True}
+    assert [b["item_count"] for b in acc.list_batches()][:5] == [1, 1, 0, 1, 1]
+    # vacuum reclaims every remaining committed file, compacted epochs included
+    doomed = acc.vacuum_staging()
+    assert len(doomed) == 4
+    assert acc.status()["staged_item_count"] == 0

@@ -172,6 +172,9 @@ def test_get_all_batches_and_delete_batch_lifecycle(spark, tmp_path):
     assert bp.get_all_batches_for_base_id("nope") == []
     assert bp.delete_batch("events::0") == {"deleted": False, "reason": "Batch not found"}
     assert bp.delete_batch("malformed-id") == {"deleted": False, "reason": "Batch not found"}
+    # Unicode digit forms pass str.isdigit but int() rejects them — must
+    # report not-found, not raise ValueError
+    assert bp.delete_batch("events::²") == {"deleted": False, "reason": "Batch not found"}
 
     bp.add_items("events", [{"eventName": "a", "timestamp": 1}, {"eventName": "b", "timestamp": 2}])
     batches = bp.get_all_batches_for_base_id("events")

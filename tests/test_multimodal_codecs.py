@@ -482,3 +482,53 @@ def test_warc_and_video_decoders_handle_null_payload(spark):
     ).unionByName(attach_avi_payload(spark.createDataFrame([(2,)], "doc_id long")).select("doc_id", "payload"))
     frames = decode_video_frames(avi, every_n=2).collect()
     assert {r.doc_id for r in frames} == {2}  # NULL payload -> zero frames
+
+
+def test_payload_byte_features_null_and_empty_parity(spark, tmp_path):
+    """ADVICE r6: NULL payload -> NULL features (row kept, the
+    _null_feature_row convention), EMPTY payload -> present-file
+    sentinels (0 / -1 / 0.0) — and the registered payload_byte_stats
+    oracle predicts BOTH cases, checked end-to-end against DuckDB here
+    because the synthetic documents corpus contains no NULL/empty text
+    to exercise them."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from convex_batch_processor_spark.llmops.multimodal import (
+        attach_payload,
+        payload_byte_features,
+    )
+    from convex_batch_processor_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in payload_byte_features(attach_payload(docs)).collect()}
+    assert (rows[2].n_bytes, rows[2].head_byte, rows[2].feat_mean) == (None, None, None)
+    assert (rows[3].n_bytes, rows[3].head_byte, rows[3].feat_mean) == (0, -1, 0.0)
+    assert (rows[1].n_bytes, rows[1].head_byte) == (5, ord("h"))
+
+    # full oracle parity on a crafted documents table
+    table = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": ["en", "en", "en"],
+            "source": ["a", "a", "a"],
+            "text": ["hello", None, ""],
+        }
+    )
+    pq.write_table(table, str(tmp_path / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_bytes, r.head_byte, r.feat_mean)
+        for r in QUERIES["payload_byte_stats"].fn(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(QUERIES["payload_byte_stats"].oracle).fetchall()
+    }
+    assert got == want

@@ -1,9 +1,11 @@
 """Round-6 driver-window contract (NOTES "Round-6 rotation plan").
 
 The driver verifies the FIRST 50 registry entries per round; rounds 1-5
-checked 197 distinct queries (round 5 went 50/50 green) leaving 82 with
-no verdict. Round 6's window = 3 documented re-queues + 47 never-verified
-entries in registration order. These tests pin that state so an
+checked 197 distinct queries (round 5 went 50/50 green), of which 196
+still exist under their checked name (multimodal_decode_features was
+renamed), leaving 83 current names with no verdict. Round 6's window =
+3 documented re-queues + 47 never-verified entries in registration
+order (35 more queue for round 7). These tests pin that state so an
 accidental import reorder or registry growth fails loudly BEFORE the
 driver runs — no Spark session needed.
 """

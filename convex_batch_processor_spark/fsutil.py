@@ -46,10 +46,11 @@ def listdir(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(jp)]
 
 
-def delete(spark: SparkSession, path: str) -> bool:
-    """Non-recursive delete; False if the path didn't exist."""
+def delete(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """Delete a path (``recursive=True`` for directories with contents);
+    False if the path didn't exist."""
     fs, jp = _fs_path(spark, path)
-    return bool(fs.delete(jp, False))
+    return bool(fs.delete(jp, recursive))
 
 
 def list_statuses(spark: SparkSession, path: str) -> dict[str, float]:

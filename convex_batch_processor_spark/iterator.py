@@ -75,13 +75,61 @@ class IteratorJobState:
     range_bounds: list | None = None
 
     def to_dict(self) -> dict:
-        return self.__dict__.copy()
+        d = self.__dict__.copy()
+        d["cursor"] = _encode_key(d["cursor"])
+        if d["range_bounds"] is not None:
+            d["range_bounds"] = [_encode_key(v) for v in d["range_bounds"]]
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "IteratorJobState":
         obj = cls(job_id=d["job_id"])
         obj.__dict__.update(d)
+        obj.cursor = _decode_key(obj.cursor)
+        if obj.range_bounds is not None:
+            obj.range_bounds = [_decode_key(v) for v in obj.range_bounds]
         return obj
+
+
+def _encode_key(v):
+    """JSON-safe tagged encoding for cursor/bound key values: the cursor
+    is whatever Python value ``collect()`` returned for the key column
+    (datetime for timestamp keys, Decimal for decimal keys, bytes for
+    binary), and ``json.dump`` rejects all three — without this a
+    timestamp-keyed job crashes on its FIRST progress save, AFTER the
+    handle ran, and replays the chunk forever."""
+    import base64
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, _dt.datetime):
+        return {"__key__": "datetime", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"__key__": "date", "v": v.isoformat()}
+    if isinstance(v, _dec.Decimal):
+        return {"__key__": "decimal", "v": str(v)}
+    if isinstance(v, (bytes, bytearray)):
+        return {"__key__": "bytes", "v": base64.b64encode(bytes(v)).decode("ascii")}
+    return v
+
+
+def _decode_key(v):
+    import base64
+    import datetime as _dt
+    import decimal as _dec
+
+    if not (isinstance(v, dict) and "__key__" in v):
+        return v
+    kind, raw = v["__key__"], v["v"]
+    if kind == "datetime":
+        return _dt.datetime.fromisoformat(raw)
+    if kind == "date":
+        return _dt.date.fromisoformat(raw)
+    if kind == "decimal":
+        return _dec.Decimal(raw)
+    if kind == "bytes":
+        return base64.b64decode(raw)
+    raise ValueError(f"unknown cursor encoding {kind!r}")
 
 
 class JobStore:
@@ -344,6 +392,14 @@ class TableIterator:
         one chunk through the registered handle, persists progress, sleeps
         the rate-limit delay, and applies capped-backoff retry on errors.
         """
+        first = self.store.load(job_id)
+        if first.status == "running":
+            # fail fast on config errors: a typo'd handle name is not a
+            # transient failure worth the backoff ladder (same pattern as
+            # accumulator.flush_now)
+            self.registry.resolve(first.process_batch)
+            if first.on_complete:
+                self.registry.resolve(first.on_complete)
         chunks = 0
         while max_chunks is None or chunks < max_chunks:
             st = self.store.load(job_id)
@@ -389,8 +445,12 @@ class TableIterator:
             else:
                 st.cursor = max_key
             st.processed_count += n
-            st.retry_count = 0
-            st.error_message = None
+            if st.status == "running":
+                # a cancel/pause that landed mid-chunk owns the status AND
+                # its error_message ("Cancelled by user") — record the
+                # chunk's real progress but never scrub the transition
+                st.retry_count = 0
+                st.error_message = None
             st.last_run_at = time.time()
             self.store.save(st)
             chunks += 1
@@ -403,7 +463,16 @@ class TableIterator:
         return self.store.load(job_id)
 
     def _complete(self, st: IteratorJobState) -> IteratorJobState:
-        """markJobCompleted + onComplete dispatch (lib.ts:1011-1031)."""
+        """markJobCompleted + onComplete dispatch (lib.ts:1011-1031).
+
+        Re-reads state first: a cooperative pause/cancel landing while the
+        FINAL chunk was processing must win — completing over it would
+        silently revert the user's transition and fire on_complete for a
+        job they cancelled (the reference's status guard, lib.ts:978-981,
+        applies to the completion transition too)."""
+        st = self.store.load(st.job_id)
+        if st.status != "running":
+            return st
         st.status = "completed"
         self.store.save(st)
         if st.on_complete:

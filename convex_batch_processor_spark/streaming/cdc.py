@@ -7,11 +7,12 @@ semantics INCREMENTALLY from a micro-batch stream, the shape a
 Debezium/Delta CDC feed needs: each epoch's delta is collapsed to
 latest-per-key and merged into ONLY the hash buckets it touches.
 
-Storage layout and commit protocol are exactly
-``matview.IncrementalAggView``'s (copy-on-write version dirs +
-version-stamped manifest as the atomic commit point — idempotent under
-at-least-once replay; see that module's docstring for the recovery
-proof). What differs is the merge state machine:
+Storage layout and commit protocol are SHARED with
+``matview.IncrementalAggView`` via ``verstore.VersionedBucketStore``
+(copy-on-write version dirs + version-stamped manifest as the atomic
+commit point — idempotent under at-least-once replay; see matview's
+module docstring for the recovery proof). What differs is the merge
+state machine:
 
 - state rows are the full latest row per key INCLUDING tombstones —
   a delete is data (op = 'D'), not an absence, so a LATE upsert with an
@@ -35,18 +36,21 @@ of per-document mutations.
 
 from __future__ import annotations
 
-import json
-import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import fsutil
+from .verstore import VersionedBucketStore
 
 
 @dataclass
-class CdcStateView:
+class CdcStateView(VersionedBucketStore):
+    """Layout, manifest commit protocol, empty-safe version writes, reads,
+    and vacuum come from :class:`VersionedBucketStore` (shared with
+    IncrementalAggView — the two state machines can no longer drift);
+    only the last-writer-wins collapse lives here."""
+
     spark: SparkSession
     root: str
     key_cols: list[str]
@@ -54,39 +58,7 @@ class CdcStateView:
     op_col: str = "op"  # 'U' upsert / 'D' delete
     n_buckets: int = 16
 
-    # --- layout (same contract as matview.IncrementalAggView) ---------------
-
-    @property
-    def _data_dir(self) -> str:
-        return os.path.join(self.root, "data")
-
-    @property
-    def _manifest_dir(self) -> str:
-        return os.path.join(self.root, "manifest")
-
-    def _version_dir(self, version: int) -> str:
-        return os.path.join(self._data_dir, f"v={version}")
-
-    def committed_versions(self) -> list[int]:
-        out = []
-        for name in fsutil.listdir(self.spark, self._manifest_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
-        return sorted(out)
-
-    def _read_manifest(self, version: int) -> dict[str, int]:
-        path = os.path.join(self._manifest_dir, f"v{version}.json")
-        return json.loads(fsutil.read_text(self.spark, path))
-
-    def _parent_manifest(self, epoch_id: int) -> dict[str, int]:
-        parents = [v for v in self.committed_versions() if v < epoch_id]
-        return self._read_manifest(max(parents)) if parents else {}
-
     # --- the state machine ---------------------------------------------------
-
-    def _bucket(self):
-        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.key_cols])
-        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
     def _collapse(self, df: DataFrame) -> DataFrame:
         """Latest-row-per-key (tombstones included) — idempotent, so it
@@ -127,21 +99,10 @@ class CdcStateView:
                         F.col("bucket").isin(buckets)
                     )
                 )
-            merged = self._collapse(merged)
-            (
-                merged.repartition(1, "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(self._version_dir(epoch_id))
-            )
+            self._write_version(self._collapse(merged), epoch_id)
             manifest = dict(parent)
             manifest.update({str(b): epoch_id for b in changed})
-            fsutil.mkdirs(self.spark, self._manifest_dir)
-            fsutil.write_text(
-                self.spark,
-                os.path.join(self._manifest_dir, f"v{epoch_id}.json"),
-                json.dumps(manifest, sort_keys=True),
-            )
+            self._commit_manifest(epoch_id, manifest)
         finally:
             delta.unpersist()
 
@@ -150,24 +111,7 @@ class CdcStateView:
     def read(self, version: int | None = None, with_tombstones: bool = False) -> DataFrame:
         """Final table state at a committed version (default latest):
         live rows only unless ``with_tombstones`` (audit/compaction)."""
-        versions = self.committed_versions()
-        if not versions:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        if version is None:
-            version = versions[-1]
-        manifest = self._read_manifest(version)
-        by_version: dict[int, list[int]] = {}
-        for b, ver in manifest.items():
-            by_version.setdefault(ver, []).append(int(b))
-        parts = [
-            self.spark.read.parquet(self._version_dir(ver)).filter(
-                F.col("bucket").isin(buckets)
-            )
-            for ver, buckets in sorted(by_version.items())
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = self._read_state(self._latest_version(version))
         if not with_tombstones:
             out = out.filter(F.col(self.op_col) != "D")
         return out.drop("bucket")
@@ -181,7 +125,10 @@ class CdcStateView:
         typically 'order col below the source's replay horizon', the
         caller's watermark argument). Live rows are never dropped.
         Same commit protocol as foreach_batch, so a crashed compaction
-        redoes and a replayed one is skipped."""
+        redoes and a replayed one is skipped. A compact that drops
+        EVERYTHING (all keys deleted, every tombstone past the horizon)
+        commits an empty manifest over a schema-bearing empty version —
+        read() then returns zero rows instead of crashing."""
         if epoch_id in self.committed_versions():
             return
         state = self.read(with_tombstones=True).withColumn("bucket", self._bucket())
@@ -189,22 +136,7 @@ class CdcStateView:
             state = state.filter(
                 (F.col(self.op_col) != "D") | ~drop_tombstones_where
             )
-        (
-            state.repartition(1, "bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(self._version_dir(epoch_id))
-        )
-        buckets = [
-            r.bucket
-            for r in self.spark.read.parquet(self._version_dir(epoch_id))
-            .select("bucket")
-            .distinct()
-            .collect()
-        ]
-        fsutil.mkdirs(self.spark, self._manifest_dir)
-        fsutil.write_text(
-            self.spark,
-            os.path.join(self._manifest_dir, f"v{epoch_id}.json"),
-            json.dumps({str(b): epoch_id for b in buckets}, sort_keys=True),
+        self._write_version(state, epoch_id)
+        self._commit_manifest(
+            epoch_id, {str(b): epoch_id for b in self._written_buckets(epoch_id)}
         )

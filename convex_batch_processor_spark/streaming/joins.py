@@ -52,4 +52,11 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, how).drop(F.col(f"r.{key}"))
+    # ONE surviving key column via coalesce, not drop(r.key): under
+    # right/full outer, a right-only row has l.key NULL — dropping r.key
+    # would emit it with no key at all, so the consumer couldn't tell
+    # WHICH key went unmatched
+    key_out = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
+    l_cols = [F.col(f"l.{c}") for c in left.columns if c != key]
+    r_cols = [F.col(f"r.{c}") for c in right.columns if c != key]
+    return l.join(r, cond, how).select(key_out, *l_cols, *r_cols)

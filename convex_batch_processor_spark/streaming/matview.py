@@ -39,12 +39,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import fsutil
+from .verstore import VersionedBucketStore
 
 
 @dataclass
-class IncrementalAggView:
+class IncrementalAggView(VersionedBucketStore):
     """Continuously-maintained keyed aggregate: count, exact decimal sum,
-    min, max of ``value_col`` per ``key_cols``."""
+    min, max of ``value_col`` per ``key_cols``.
+
+    Layout, manifest commit protocol, empty-safe version writes, reads,
+    and vacuum come from :class:`VersionedBucketStore` (shared with
+    CdcStateView); only the mergeable-aggregate state machine lives
+    here."""
 
     spark: SparkSession
     root: str
@@ -52,44 +58,7 @@ class IncrementalAggView:
     value_col: str
     n_buckets: int = 16
 
-    # --- layout -------------------------------------------------------------
-
-    @property
-    def _data_dir(self) -> str:
-        return os.path.join(self.root, "data")
-
-    @property
-    def _manifest_dir(self) -> str:
-        return os.path.join(self.root, "manifest")
-
-    def _version_dir(self, version: int) -> str:
-        return os.path.join(self._data_dir, f"v={version}")
-
-    # --- manifests ----------------------------------------------------------
-
-    def committed_versions(self) -> list[int]:
-        out = []
-        for name in fsutil.listdir(self.spark, self._manifest_dir):
-            if name.startswith("v") and name.endswith(".json"):
-                out.append(int(name[1:-5]))
-        return sorted(out)
-
-    def _read_manifest(self, version: int) -> dict[str, int]:
-        path = os.path.join(self._manifest_dir, f"v{version}.json")
-        return json.loads(fsutil.read_text(self.spark, path))
-
-    def _parent_manifest(self, epoch_id: int) -> dict[str, int]:
-        """Latest committed manifest STRICTLY BELOW this epoch — a replayed
-        epoch must merge from the same parent it used the first time, never
-        from its own (possibly half-written) output."""
-        parents = [v for v in self.committed_versions() if v < epoch_id]
-        return self._read_manifest(max(parents)) if parents else {}
-
     # --- the aggregate ------------------------------------------------------
-
-    def _bucket(self):
-        key = F.concat_ws("\x1f", *[F.col(k).cast("string") for k in self.key_cols])
-        return F.pmod(F.xxhash64(key), F.lit(self.n_buckets)).cast("int")
 
     def _aggregate(self, df: DataFrame) -> DataFrame:
         """Mergeable partial aggregate of raw rows OR of prior partials —
@@ -145,21 +114,10 @@ class IncrementalAggView:
             merged = delta
             for p in prev_parts:
                 merged = merged.unionByName(p)
-            merged = self._aggregate(merged)
-            (
-                merged.repartition(1, "bucket")
-                .write.mode("overwrite")
-                .partitionBy("bucket")
-                .parquet(self._version_dir(epoch_id))
-            )
+            self._write_version(self._aggregate(merged), epoch_id)
             manifest = dict(parent)
             manifest.update({str(b): epoch_id for b in changed})
-            fsutil.mkdirs(self.spark, self._manifest_dir)
-            fsutil.write_text(
-                self.spark,
-                os.path.join(self._manifest_dir, f"v{epoch_id}.json"),
-                json.dumps(manifest, sort_keys=True),
-            )
+            self._commit_manifest(epoch_id, manifest)
         finally:
             delta.unpersist()
 
@@ -168,58 +126,7 @@ class IncrementalAggView:
     def read(self, version: int | None = None) -> DataFrame:
         """The view at a committed version (default: latest) — one
         bucket-pruned scan per version the manifest references."""
-        versions = self.committed_versions()
-        if not versions:
-            raise FileNotFoundError(f"no committed version under {self.root}")
-        if version is None:
-            version = versions[-1]
-        manifest = self._read_manifest(version)
-        by_version: dict[int, list[int]] = {}
-        for b, ver in manifest.items():
-            by_version.setdefault(ver, []).append(int(b))
-        parts = [
-            self.spark.read.parquet(self._version_dir(ver)).filter(
-                F.col("bucket").isin(buckets)
-            )
-            for ver, buckets in sorted(by_version.items())
-        ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out.drop("bucket")
-
-    # --- maintenance --------------------------------------------------------
-
-    def vacuum(self, keep_versions: int = 1) -> list[int]:
-        """Drop version dirs no committed-and-kept manifest references and
-        manifests older than the newest ``keep_versions``. Returns removed
-        version ids."""
-        if keep_versions < 1:
-            raise ValueError("keep_versions must be >= 1 (0 would delete every "
-                             "manifest and leave the data unreadable)")
-        versions = self.committed_versions()
-        kept_manifests = versions[-keep_versions:]
-        referenced: set[int] = set()
-        for v in kept_manifests:
-            referenced.update(self._read_manifest(v).values())
-        removed = []
-        for name in fsutil.listdir(self.spark, self._data_dir):
-            if not name.startswith("v="):
-                continue
-            ver = int(name[2:])
-            if ver not in referenced:
-                self.spark._jvm.org.apache.hadoop.fs.Path(  # recursive delete
-                    os.path.join(self._data_dir, name)
-                ).getFileSystem(self.spark._jsc.hadoopConfiguration()).delete(
-                    self.spark._jvm.org.apache.hadoop.fs.Path(
-                        os.path.join(self._data_dir, name)
-                    ),
-                    True,
-                )
-                removed.append(ver)
-        for v in versions[:-keep_versions]:
-            fsutil.delete(self.spark, os.path.join(self._manifest_dir, f"v{v}.json"))
-        return sorted(removed)
+        return self._read_state(self._latest_version(version)).drop("bucket")
 
 
 @dataclass
@@ -338,8 +245,15 @@ def join_view_foreach_batch(
     """
 
     def _fn(batch_df: DataFrame, epoch_id: int) -> None:
-        da = batch_df.filter(F.col(side_col) == "a").select(view.key_col, *(a_cols or []))
-        db = batch_df.filter(F.col(side_col) == "b").select(view.key_col, *(b_cols or []))
-        view.apply_epoch(epoch_id, da, db)
+        # persist: the two side filters each traverse the micro-batch, and
+        # in foreachBatch every action re-reads the epoch's staged input —
+        # same double-scan the accumulator's _foreach_batch caches away
+        batch_df.persist()
+        try:
+            da = batch_df.filter(F.col(side_col) == "a").select(view.key_col, *(a_cols or []))
+            db = batch_df.filter(F.col(side_col) == "b").select(view.key_col, *(b_cols or []))
+            view.apply_epoch(epoch_id, da, db)
+        finally:
+            batch_df.unpersist()
 
     return _fn

@@ -141,7 +141,10 @@ def gap_sessions_per_key(
                 yield emit(*cur)  # closed by an in-batch (or cross-batch) gap
                 cur = (1, ts, ts, val)
             else:
-                cur = (cur[0] + 1, cur[1], max(cur[2], ts), cur[3] + val)
+                # min() the start too: a cross-batch LATE event (within the
+                # watermark) may precede the open session's first event, and
+                # the batch sessionize twin reports the true earliest ts
+                cur = (cur[0] + 1, min(cur[1], ts), max(cur[2], ts), cur[3] + val)
         state.update(cur)
         # close when the watermark passes last-event + gap; the timeout
         # timestamp must be strictly beyond the current watermark
@@ -367,7 +370,12 @@ def token_bucket_per_key(
                     capacity, tokens + ((ts_us - last_us) / 1e6) * refill_per_s
                 )
             last_us = ts_us if last_us is None else max(last_us, ts_us)
-            allowed = tokens >= 1.0
+            # 1e-9 admission epsilon: fractional refills accumulate float
+            # representation error, and an exact >= 1.0 flips admit/reject
+            # at exact-rate traffic (e.g. 0.05s steps at 20 tokens/s);
+            # still a pure function of the same floats, so the split-
+            # invariance contract is unchanged
+            allowed = tokens >= 1.0 - 1e-9
             if allowed:
                 tokens -= 1.0
             rows["user_id"].append(int(user_id))

@@ -274,3 +274,85 @@ def test_iterator_drives_curation_op_over_documents(tmp_path, spark, sf_dir):
     assert st.status == "completed"
     assert sum(t[0] for t in totals) == batch.docs == st.processed_count
     assert sum(t[1] for t in totals) == batch.tokens
+
+
+def test_timestamp_key_cursor_roundtrips_job_state(spark, tmp_path):
+    """Review r6: a timestamp-keyed job's cursor is a datetime — the
+    state store must round-trip it (json.dump crashed on the FIRST
+    progress save, after the handle ran, replaying chunk 1 forever)."""
+    import datetime as dt
+
+    reg, sleeps, seen = HandleRegistry(), [], []
+    reg.add("collect", lambda chunk, cur: seen.extend(r.k for r in chunk.collect()))
+    base = dt.datetime(2024, 1, 1)
+    src = spark.createDataFrame(
+        [(base + dt.timedelta(hours=i), i) for i in range(10)], "k timestamp, v int"
+    )
+    it = TableIterator(
+        state_dir=str(tmp_path / "jobs"), source=src, key_col="k",
+        registry=reg, sleep_fn=sleeps.append,
+    )
+    it.start("ts-job", "collect", batch_size=4)
+    mid = it.run("ts-job", max_chunks=1)  # forces a save + reload of the cursor
+    assert mid.cursor == base + dt.timedelta(hours=3)
+    st = it.run("ts-job")
+    assert st.status == "completed"
+    assert st.processed_count == 10
+    assert len(seen) == len(set(seen)) == 10  # no chunk replayed
+
+
+def test_decimal_key_range_bounds_roundtrip(spark, tmp_path):
+    """Decimal keys take the planned-ranges path, so the BOUNDS list is
+    Decimals — it must survive the JSON store too."""
+    from decimal import Decimal
+
+    reg, sleeps, seen = HandleRegistry(), [], []
+    reg.add("collect", lambda chunk, cur: seen.extend(r.k for r in chunk.collect()))
+    src = spark.createDataFrame(
+        [(Decimal(i) / 4, i) for i in range(12)], "k decimal(10,2), v int"
+    )
+    it = TableIterator(
+        state_dir=str(tmp_path / "jobs"), source=src, key_col="k",
+        registry=reg, sleep_fn=sleeps.append,
+    )
+    st0 = it.start("dec-job", "collect", batch_size=5)
+    assert st0.range_bounds is not None  # decimal -> planned ranges
+    st = it.run("dec-job")
+    assert st.status == "completed"
+    assert sorted(seen) == sorted(Decimal(i) / 4 for i in range(12))
+
+
+def test_cancel_during_final_chunk_wins_over_completion(tmp_path, customer):
+    """Review r6: a cooperative cancel landing while the FINAL chunk is
+    processing must not be clobbered by the completion transition, and
+    on_complete must NOT fire for the cancelled job (lib.ts:978-981's
+    status guard applies to completion too)."""
+    reg, sleeps, done = HandleRegistry(), [], []
+    controller = {}
+
+    @reg.register("migrate")
+    def migrate(chunk_df, cursor):
+        chunk_df.count()
+        # simulate another process cancelling mid-final-chunk
+        controller["it"].cancel("cancel-race")
+
+    reg.add("on_done", lambda job_id, n: done.append(job_id))
+    it = make_iter(tmp_path, customer.limit(30), reg, sleeps)
+    controller["it"] = it
+    it.start("cancel-race", "migrate", batch_size=50)  # one chunk = final chunk
+    st = it.run("cancel-race")
+    assert st.status == "failed"
+    assert st.error_message == "Cancelled by user"
+    assert done == []  # completion side effects must not fire
+
+
+def test_unregistered_handle_fails_fast_without_backoff(tmp_path, customer):
+    """Review r6: a typo'd handle name is a config error, not a transient
+    failure — run() must raise immediately instead of burning the whole
+    capped-backoff ladder (the accumulator's flush_now precedent)."""
+    reg, sleeps = HandleRegistry(), []
+    it = make_iter(tmp_path, customer, reg, sleeps)
+    it.start("typo-job", "no_such_handle", batch_size=50)
+    with pytest.raises(KeyError):
+        it.run("typo-job")
+    assert sleeps == []  # zero backoff sleeps: it never entered the retry loop

@@ -324,3 +324,74 @@ def test_token_bucket_out_of_order_timestamp_never_refunds(spark, tmp_path):
     assert out[1][0] is True
     assert out[2][0] is False  # no refill from the past
     assert out[3][0] is False  # only 0.5 s elapsed since last_us=10s
+
+
+def test_token_bucket_fractional_refill_accrues_full_token(spark, tmp_path):
+    """Review r6: ten 1-second refills at 0.1 tokens/s sum to
+    0.9999999999999999 in binary floating point — the admission epsilon
+    must treat that as the full token it nominally is (an exact >= 1.0
+    comparison silently rejected exact-rate traffic)."""
+    sec = 1_000_000
+    rows = [(3, 1, 0)] + [(3, i, (i - 1) * sec) for i in range(2, 12)]
+    out = _run_bucket(
+        spark, [rows], tmp_path, "tb_frac", capacity=1.0, refill_per_s=0.1
+    )
+    assert out[1][0] is True  # burst drains the single token
+    assert all(out[i][0] is False for i in range(2, 11))  # still accruing
+    assert out[11][0] is True  # 10 x 0.1 nominally = 1.0 -> admit
+
+
+def test_gap_sessions_late_event_lowers_session_start(spark, tmp_path):
+    """Review r6: a cross-batch LATE event (within the watermark) that
+    precedes the open session's first event must lower t_start_us — the
+    batch sessionize twin reports the true earliest timestamp, and the
+    merge previously only max'd the end."""
+    import time as _time
+
+    from convex_batch_processor_spark.streaming.stateful import gap_sessions_per_key
+
+    minute = 60_000_000
+    t0 = 1_700_000_000_000_000
+
+    def file_rows(path, *rows):
+        spark.createDataFrame(
+            list(rows), "user_id long, ts_us long, value double"
+        ).coalesce(1).write.parquet(path)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: session opens at +20m (watermark after batch: +10m)
+    file_rows(str(src / "f1"), (1, t0 + 20 * minute, 1.0))
+    # batch 2: LATE event at +19m — within the 10m watermark, same session
+    file_rows(str(src / "f2"), (1, t0 + 19 * minute, 2.0))
+    # batch 3: far-future sentinel closes the session via timeout
+    file_rows(str(src / "f3"), (99, t0 + 1000 * minute, 0.5))
+    now = _time.time()
+    for d, age in (("f1", 120), ("f2", 60), ("f3", 0)):
+        for fn in os.listdir(src / d):
+            if fn.endswith(".parquet"):
+                os.utime(src / d / fn, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        gap_sessions_per_key(stream, gap_ms=30 * 60_000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_sess_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [r for r in spark.sql("SELECT * FROM late_sess_out").collect() if r.user_id == 1]
+    assert len(rows) == 1
+    sess = rows[0]
+    assert sess.n_events == 2
+    assert sess.t_start_us == t0 + 19 * minute  # the late event's ts
+    assert sess.t_end_us == t0 + 20 * minute

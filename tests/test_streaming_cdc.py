@@ -142,3 +142,56 @@ def test_cdc_precommit_crash_redo(spark, sf_dir, tmp_path):
     view.foreach_batch(log.filter(F.col("event_id") % 2 == 1), 1)
     assert _state(view) == good
     log.unpersist()
+
+
+def test_cdc_compact_to_empty_state_stays_readable(spark, tmp_path):
+    """Review r6: a compact that drops EVERYTHING (all keys deleted,
+    every tombstone past the horizon) used to either crash the rewrite
+    (partitionBy over zero rows leaves an unreadable dir) or poison the
+    manifest so read() IndexError'd. It must commit an empty-but-
+    schema-bearing version: read() returns zero rows, later epochs
+    apply on top, and vacuum keeps the empty version readable."""
+    schema = "user_id long, ts long, event_id long, op string, event_type string, value double"
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=4
+    )
+    view.foreach_batch(
+        spark.createDataFrame([(1, 5, 1, "U", "signup", 1.0)], schema), 0
+    )
+    view.foreach_batch(
+        spark.createDataFrame([(1, 10, 2, "D", "error", 0.0)], schema), 1
+    )
+    view.compact(2, drop_tombstones_where=F.col("ts") < 100)  # drops the lot
+    assert view.read().count() == 0
+    assert view.read(with_tombstones=True).count() == 0
+    assert view.read().columns == ["user_id", "ts", "event_id", "op", "event_type", "value"]
+    # vacuum must keep the empty version's (schema-bearing) dir readable
+    view.vacuum(keep_versions=1)
+    assert view.read().count() == 0
+    # life goes on: a later epoch rebuilds state on the empty parent
+    view.foreach_batch(
+        spark.createDataFrame([(2, 20, 3, "U", "login", 2.0)], schema), 3
+    )
+    assert _state(view) == {2: ("login", 2.0, 20)}
+
+
+def test_cdc_vacuum_shared_with_matview(spark, tmp_path):
+    """The shared VersionedBucketStore gives CdcStateView the vacuum that
+    previously existed only on IncrementalAggView — version dirs no kept
+    manifest references are reclaimed, state is unchanged."""
+    import os as _os
+
+    schema = "user_id long, ts long, event_id long, op string, event_type string, value double"
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=2
+    )
+    for e in range(4):  # same key every epoch -> every version superseded
+        view.foreach_batch(
+            spark.createDataFrame([(1, e, e, "U", f"s{e}", float(e))], schema), e
+        )
+    before = _state(view)
+    removed = view.vacuum(keep_versions=1)
+    assert removed and all(v < 3 for v in removed)
+    assert _state(view) == before
+    live_dirs = {d for d in _os.listdir(tmp_path / "cdc" / "data") if d.startswith("v=")}
+    assert live_dirs == {"v=3"}

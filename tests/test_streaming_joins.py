@@ -142,3 +142,26 @@ def test_left_outer_interval_join_emits_unmatched_after_watermark(spark, tmp_pat
     got = {(r.user_id, r.err_id, r.click_id) for r in rows}
     assert (1, 1, 2) in got          # matched pair
     assert (2, 3, None) in got       # unmatched error emitted with null click
+
+
+def test_interval_join_outer_rows_keep_their_key(spark):
+    """Review r6: under right/full outer, a right-only row has l.key
+    NULL — the old drop(r.key) emitted it with NO key at all, so the
+    consumer couldn't tell which key went unmatched. The coalesced key
+    column must survive on both null-extended sides. (Batch mode: the
+    builder is watermark-transparent, same plan as streaming.)"""
+    from convex_batch_processor_spark.streaming.joins import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "err")], "k int, l_ts string, l_what string"
+    ).withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(2, "2024-01-01 10:05:00", "click")], "k int, r_ts string, r_what string"
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    out = interval_join(left, right, "k", "l_ts", "r_ts", how="full_outer")
+    rows = {r.k: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # both keys present, neither NULL
+    assert rows[1].l_what == "err" and rows[1].r_what is None
+    assert rows[2].r_what == "click" and rows[2].l_what is None
+    assert out.columns == ["k", "l_ts", "l_what", "r_ts", "r_what"]

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from . import fsutil
+
 TABLES = (
     "region",
     "nation",
@@ -91,7 +93,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     (through load_table so session confs + timestamp normalization apply)."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        if os.path.exists(table_path(sf_dir, name)):
+        # fsutil.exists, not os.path.exists: sf_dir may be an object-store
+        # URI (s3a://, gs://, hdfs://) where os-level probes are always
+        # False and this would silently load zero tables
+        if fsutil.exists(spark, table_path(sf_dir, name)):
             out[name] = load_table(spark, sf_dir, name)
     return out
 

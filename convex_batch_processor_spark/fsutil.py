@@ -110,4 +110,10 @@ def write_text(spark: SparkSession, path: str, text: str,
         stream.close()
     if fs.exists(jp):
         fs.delete(jp, False)
-    fs.rename(tmp, jp)
+    # Hadoop rename reports failure by RETURNING false (e.g. the target
+    # was recreated by a concurrent writer inside the delete-rename
+    # window, or the tmp file was swept) — returning normally here would
+    # report a committed write that never landed
+    if not fs.rename(tmp, jp):
+        raise IOError(f"write_text commit failed: rename {path}.tmp -> {path} "
+                      "returned false (concurrent writer or swept tmp file)")

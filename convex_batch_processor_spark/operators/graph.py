@@ -64,7 +64,6 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     for _ in range(max_iter):
         neigh_min = (
@@ -72,19 +71,24 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        new_labels = (
+        # fixpoint = ZERO labels changed this round — an exact, type-
+        # agnostic test over the already-checkpointed frame. (The earlier
+        # sum('comp') checksum broke for every non-small-numeric id type:
+        # ANSI CAST_INVALID_INPUT on string ids, long overflow on
+        # hash-range ids, and NULL==NULL false convergence with ANSI off.)
+        stepped = (
             labels.join(neigh_min, labels.node == neigh_min.a, "left")
             .select(
                 "node",
+                F.col("comp").alias("_prev"),
                 F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias("comp"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(F.sum("comp")).first()[0]
-        labels = new_labels
-        if new_sum == prev_sum:  # labels only shrink: equal sum <=> fixpoint
+        changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
             return labels.select("node", F.col("comp").alias("component_id"))
-        prev_sum = new_sum
 
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "

@@ -38,22 +38,25 @@ def interval_join_bucketed(
     Returns left columns + right columns (right ts column must be named
     differently from the left's). Exactly-once pair semantics: the right
     row's single bucket is matched by one of the left row's two exploded
-    buckets. The exact interval filter compares integer epoch microseconds
-    (``unix_micros``) — no float rounding at the boundary, so a pair at
-    exactly ``left_ts`` or ``left_ts + Δ`` is classified identically to an
-    integer-arithmetic oracle. The bucket key keeps the cheaper
-    seconds-floor cast (a coarser bucket is still correct: it only decides
-    which equi-join partition a candidate lands in).
+    buckets. Both the bucket key AND the exact interval filter work in
+    integer epoch microseconds (``unix_micros``): the bucket width then
+    EQUALS the window width exactly, so a matching right row is always in
+    bucket lb or lb+1 — the earlier seconds-floor bucket key divided a
+    floored timestamp by a possibly-fractional delta and could land a
+    true match TWO buckets past the left row (delta_s=2.5, left 2.6 s,
+    right 5.05 s), silently dropping the pair. No float rounding at the
+    boundary either: a pair at exactly ``left_ts`` or ``left_ts + Δ`` is
+    classified identically to an integer-arithmetic oracle.
     """
-    lb = F.floor(F.col(left_ts).cast("long") / F.lit(delta_s))
-    rb = F.floor(F.col(right_ts).cast("long") / F.lit(delta_s))
+    # round, don't truncate: a fractional delta_s (the int annotation is
+    # not enforced) must widen the window to its true microsecond value —
+    # int() would silently shrink 2.5 s to 2 s
+    delta_us = int(round(delta_s * 1_000_000))
+    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(delta_us))
+    rb = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(delta_us))
     lx = left.withColumn("_bin", F.explode(F.array(lb, lb + 1)))
     rx = right.withColumn("_bin", rb)
     lus = F.unix_micros(F.col(left_ts))
     rus = F.unix_micros(F.col(right_ts))
-    # round, don't truncate: a fractional delta_s (the int annotation is
-    # not enforced) must widen the window to its true microsecond value —
-    # int() would silently shrink (2.5s -> 2s) what the bucket key still
-    # covers at the raw width
-    cond = (rus > lus) & (rus <= lus + F.lit(int(round(delta_s * 1_000_000))))
+    cond = (rus > lus) & (rus <= lus + F.lit(delta_us))
     return lx.join(rx, [*key_cols, "_bin"]).filter(cond).drop("_bin")

@@ -32,10 +32,15 @@ def point_lookup(df: DataFrame, **eq: object) -> DataFrame:
     (reference src/component/lib.ts:45-50 and 11 sibling sites).
     Spark: conjunctive equality filter; Catalyst pushes it into the parquet
     scan (check PushedFilters). ``.limit(1)`` is the caller's choice.
+
+    NULL probes use eqNullSafe: the reference's ``q.eq(field, null)``
+    MATCHES null-valued rows (index equality over the stored value),
+    whereas SQL ``=`` would return nothing — ``<=>`` still pushes down
+    as an IsNull filter for a null literal.
     """
     cond = None
     for k, v in eq.items():
-        c = F.col(k) == F.lit(v)
+        c = F.col(k).eqNullSafe(F.lit(v))
         cond = c if cond is None else (cond & c)
     return df.filter(cond) if cond is not None else df
 
@@ -56,13 +61,16 @@ def parse_batch_id(df: DataFrame, id_col: str, base_col: str = "base_id", seq_co
     """P5: parse a ``base::sequence`` composite id into its parts.
 
     Parity: lib.ts:40-42, 185-187 (`batchId.includes("::") ? split("::")[0]`).
-    Pure string expressions — stays inside whole-stage codegen.
+    Pure string expressions — stays inside whole-stage codegen. try_cast,
+    not cast: under ANSI (this repo's default session) a malformed seq
+    segment ("job::retry") must yield seq NULL like the reference's
+    non-fatal JS parse, not abort the whole job with CAST_INVALID_INPUT.
     """
     return df.withColumn(base_col, F.substring_index(F.col(id_col), "::", 1)).withColumn(
         seq_col,
         F.when(
             F.col(id_col).contains("::"),
-            F.element_at(F.split(F.col(id_col), "::"), -1).cast("bigint"),
+            F.element_at(F.split(F.col(id_col), "::"), -1).try_cast("bigint"),
         ).otherwise(F.lit(None).cast("bigint")),
     )
 

@@ -50,11 +50,20 @@ def salted_agg(
             )
         fn_name = expr._jc.toString().lower()  # e.g. "sum(x)" / "count(1)"
         src = F.col(f"_p1_{name}")
-        if fn_name.startswith("min"):
+        # match "min(" not "min": min_by/max_by print as "min_by(x, y)"
+        # and are NOT decomposable (merging per-salt min_by partials with
+        # a plain min returns the wrong row's value) — they must fall
+        # through to the refuse-loudly branch
+        if fn_name.startswith("min("):
             merged.append(F.min(src).alias(name))
-        elif fn_name.startswith("max"):
+        elif fn_name.startswith("max("):
             merged.append(F.max(src).alias(name))
-        elif fn_name.startswith(("sum", "count", "cast(sum", "cast(count")):
+        elif fn_name.startswith(
+            # paren-anchored for the same reason: count_min_sketch( etc.
+            # must not ride the "count" prefix into a sum-merge; count_if
+            # partials ARE decomposable (a sum of indicators re-sums)
+            ("sum(", "count(", "count_if(", "cast(sum", "cast(count")
+        ):
             merged.append(F.sum(src).alias(name))
         else:
             # avg/stddev etc. would merge WRONG — refuse loudly

@@ -118,7 +118,16 @@ def upsert_partitioned(
     Returns the list of affected partition values.
     """
     affected = [r[0] for r in patch.select(partition_col).distinct().collect()]
-    cur = spark.read.parquet(path).filter(F.col(partition_col).isin(affected))
+    # NULL-safe membership: isin() is NULL (never true) for the NULL
+    # partition, so its existing rows would be excluded from `cur` while
+    # dynamic overwrite still rewrites __HIVE_DEFAULT_PARTITION__ with
+    # only the patch rows — silently DELETING every unpatched null-
+    # partition row
+    non_null = [v for v in affected if v is not None]
+    part_in = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    if len(non_null) < len(affected):  # patch touches the NULL partition
+        part_in = part_in | F.col(partition_col).isNull()
+    cur = spark.read.parquet(path).filter(part_in)
     merged = cur.join(
         patch.select(*key_cols).distinct(), key_cols, "left_anti"
     ).unionByName(patch)

@@ -94,3 +94,30 @@ def test_star_self_edges_and_isolated_nodes(spark):
     # self-edge-only node keeps its own label; duplicates are harmless
     edges = [(5, 5), (1, 2), (2, 1), (2, 3)]
     assert _spark_star(spark, edges) == {1: 1, 2: 1, 3: 1, 5: 5}
+
+
+def test_connected_components_string_and_hashrange_ids(spark):
+    """Review r6 (confirmed crash): the old sum('comp') fixpoint
+    checksum threw ANSI CAST_INVALID_INPUT on string node ids and long
+    overflow on hash-range ids (and falsely converged with ANSI off);
+    the changed-label count is exact for any orderable id type."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")], "src string, dst string"
+    )
+    got = {
+        r.node: r.component_id
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+    big = 2**62  # xxhash64-range ids: sum over a few overflows long
+    edges2 = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (big + 5, big + 6)],
+        "src long, dst long",
+    )
+    got2 = {
+        r.node: r.component_id for r in connected_components(edges2).collect()
+    }
+    assert got2 == {
+        big: big, big + 1: big, big + 2: big, big + 5: big + 5, big + 6: big + 5,
+    }

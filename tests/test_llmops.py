@@ -424,3 +424,20 @@ def test_unicode_and_mojibake_probes_null_text(spark):
     rows = {r.doc_id: r for r in probed}
     assert rows[1].np.nfc_delta is None and rows[1].rl is None
     assert rows[2].np.nfc_delta is not None and rows[2].rl is not None
+
+
+def test_salted_agg_rejects_min_by(spark, sf_dir):
+    """Review r6 (confirmed wrong result): min_by prints as
+    'min_by(x, y)' and rode the bare 'min' prefix into a plain-min
+    merge, silently returning the wrong row's value — it is not
+    decomposable and must be refused loudly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from convex_batch_processor_spark.operators.skew import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100)
+    with _pytest.raises(ValueError, match="decomposable"):
+        salted_agg(
+            li, ["l_returnflag"], {"xm": F2.min_by("l_quantity", "l_extendedprice")}
+        ).collect()

@@ -276,3 +276,33 @@ def test_exact_substr_scrub_accounting_property(spark, texts):
                 assert r["n_removed"] == 0
         if r["n_removed"] == r["n_tokens"]:
             assert r["clean_md5"] == empty_md5
+
+
+def test_parse_batch_id_malformed_seq_yields_null(spark):
+    """Review r6 (confirmed ANSI crash): a non-numeric seq segment
+    ('job::retry') must parse to seq NULL like the reference's non-fatal
+    JS parse, not abort the job with CAST_INVALID_INPUT."""
+    df = spark.createDataFrame(
+        [("job::7",), ("job::retry",), ("plain",), ("a::b::12",)], "batch_id string"
+    )
+    rows = {
+        r.batch_id: (r.base_id, r.seq)
+        for r in parse_batch_id(df, "batch_id").collect()
+    }
+    assert rows["job::7"] == ("job", 7)
+    assert rows["job::retry"] == ("job", None)
+    assert rows["plain"] == ("plain", None)
+    assert rows["a::b::12"] == ("a", 12)  # base = before FIRST '::', seq = after LAST
+
+
+def test_point_lookup_null_probe_matches_null_rows(spark):
+    """Review r6: the reference's q.eq(field, null) MATCHES null-valued
+    rows; SQL '=' returns nothing — point_lookup must use null-safe
+    equality."""
+    from convex_batch_processor_spark.operators.relational import point_lookup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, None)], "id long, parent string"
+    )
+    assert {r.id for r in point_lookup(df, parent=None).collect()} == {1, 3}
+    assert {r.id for r in point_lookup(df, parent="x").collect()} == {2}

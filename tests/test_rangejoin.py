@@ -84,3 +84,22 @@ def test_interval_join_spans_bucket_boundary(spark):
     out2 = interval_join_bucketed(left2, right2, ["k"], "lts", "rts", 60)
     got = sorted(r.rid for r in out2.collect())
     assert got == [30, 31]  # :60.000000 < lts+60 = :60.000001 -> in; :60.000001 == upper -> in
+
+
+def test_interval_join_bucketed_fractional_delta(spark):
+    """Review r6 (confirmed drop): the old seconds-floored bucket key
+    divided by a fractional delta could land a true match TWO buckets
+    past the left row — micro-second buckets whose width equals the
+    window width guarantee lb/lb+1 coverage."""
+    from convex_batch_processor_spark.operators.rangejoin import interval_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, 2_600_000)], "k int, l_us long"
+    ).withColumn("l_ts", F.timestamp_micros("l_us")).drop("l_us")
+    right = spark.createDataFrame(
+        [(1, 5_050_000), (1, 5_200_000)], "k int, r_us long"
+    ).withColumn("r_ts", F.timestamp_micros("r_us")).drop("r_us")
+    out = interval_join_bucketed(left, right, ["k"], "l_ts", "r_ts", delta_s=2.5)
+    got = sorted(r.r_ts.microsecond + r.r_ts.second * 1_000_000 for r in out.collect())
+    # window is (2.6 s, 5.1 s]: 5.05 s matches, 5.2 s does not
+    assert got == [5_050_000]

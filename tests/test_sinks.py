@@ -215,3 +215,21 @@ def test_write_zordered_preserves_rows_and_bounds_both_dims(spark, sf_dir, tmp_p
     mean_dd = sum(r.dd_span for r in per_file) / len(per_file)
     assert mean_ck <= ck_full * 0.6, (mean_ck, ck_full)
     assert mean_dd <= dd_full * 0.6, (mean_dd, dd_full)
+
+
+def test_upsert_partitioned_null_partition_keeps_unpatched_rows(spark, tmp_path):
+    """Review r6 (confirmed data loss): isin(affected) is NULL — never
+    true — for the NULL partition, so its existing rows were excluded
+    from the merge while dynamic overwrite still rewrote
+    __HIVE_DEFAULT_PARTITION__ with only the patch rows."""
+    from convex_batch_processor_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", None), (2, "b", None), (3, "c", "d1")],
+        "k long, v string, dt string",
+    ).write.partitionBy("dt").parquet(path)
+    patch = spark.createDataFrame([(1, "A", None)], "k long, v string, dt string")
+    upsert_partitioned(spark, path, patch, key_cols=["k"], partition_col="dt")
+    got = {(r.k, r.v, r.dt) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A", None), (2, "b", None), (3, "c", "d1")}

@@ -108,7 +108,11 @@ def kmeans_fit(
     # iterations rescan — n_iter+1 reads of one cached columnar block
     # instead of n_iter+1 parquet scans + vector re-decodes. MEMORY_AND_DISK
     # default, so at 100 TB partitions that don't fit spill instead of OOM.
-    data = embeddings.select(id_col, vec_col).persist()
+    # NULL vectors (failed encoder, tombstoned row — the input class
+    # ivf_assign and the decoders guard) can neither seed nor move a
+    # centroid: drop them from the fit instead of TypeError-ing on the
+    # driver when one lands among the k lowest ids
+    data = embeddings.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).persist()
     try:
         # init: k lowest-id vectors — a TakeOrdered of k rows, not a global sort
         init = data.orderBy(F.col(id_col).asc()).limit(k).collect()
@@ -157,13 +161,21 @@ def kmeans_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int | None = None,
+    keep_vec: bool = False,
 ) -> DataFrame:
-    """Fit + final assignment: (id, cluster_id, dist2 rounded to 6 dp)."""
+    """Fit + final assignment: (id, cluster_id, dist2 rounded to 6 dp).
+    ``keep_vec`` carries the vector through (``_l2_assign`` has it for
+    free), so callers that need vectors per cluster — semantic_dedup_
+    kmeans's within-cluster pair stage — don't pay a corpus-scale
+    re-join on the id (the ivf_assign keep_vec pattern)."""
     centroids = kmeans_fit(
         embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_dp=round_dp
     )
     out = _l2_assign(embeddings, centroids, id_col, vec_col)
-    return out.select(F.col(id_col), "cluster_id", F.round("dist2", 6).alias("dist2"))
+    vec = [F.col(vec_col)] if keep_vec else []
+    return out.select(
+        F.col(id_col), *vec, "cluster_id", F.round("dist2", 6).alias("dist2")
+    )
 
 
 def semantic_dedup_kmeans(
@@ -193,11 +205,12 @@ def semantic_dedup_kmeans(
     from ..operators.graph import connected_components
     from .similarity import cosine_col
 
-    assign = kmeans_clusters(
-        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col, round_dp=round_dp
-    ).select(F.col(id_col).alias("_id"), "cluster_id")
-    clustered = embeddings.select(F.col(id_col), F.col(vec_col)).join(
-        assign, F.col(id_col) == F.col("_id")
+    # keep_vec: the assignment already carries each vector — re-joining
+    # the embeddings table on the id just to recover them would shuffle
+    # the whole vector corpus once more for nothing
+    clustered = kmeans_clusters(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        round_dp=round_dp, keep_vec=True,
     ).select(id_col, vec_col, "cluster_id")
     a = clustered.select(
         F.col("cluster_id"), F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va")
@@ -267,7 +280,10 @@ def pca_power_top_component(
     import math
 
     spark = embeddings.sparkSession
-    data = embeddings.select(id_col, vec_col).persist()
+    # same NULL-vector guard as kmeans_fit: an absent embedding can't
+    # contribute to the mean or the component, and the lowest-id row
+    # being NULL must not TypeError the driver
+    data = embeddings.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).persist()
     try:
         first = data.orderBy(F.col(id_col).asc()).limit(1).collect()
         if not first:

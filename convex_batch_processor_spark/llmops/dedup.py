@@ -369,23 +369,15 @@ def minhash_group_signatures(
     return sh.groupBy(*group_cols).agg(*aggs).select(*group_cols, *post)
 
 
-def minhash_md5_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 16,
-    rows_per_band: int = 4,
-) -> tuple[DataFrame, DataFrame]:
-    """The banded CANDIDATE stage of the md5 MinHash pipeline, exposed
-    separately so callers can audit the raw candidate set (the LSH
-    recall/precision evaluation in queries/llm50) instead of only the
-    verified pairs. Returns (candidate pairs, persisted shingle frame) —
-    reuse the latter for verification to avoid recomputing shingles."""
-    sh_raw = with_shingles(df, text_col, id_col).persist()
-    shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
-    shingled = shingled.withColumns(minhash_md5_digests(num_perm=num_perm))
-    aggs, post = _minhash_md5_mins(num_perm)
-    sigs = shingled.groupBy(id_col).agg(*aggs).select(id_col, *post)
+def _md5_band_pairs(
+    sigs: DataFrame, num_perm: int, rows_per_band: int, id_col: str
+) -> DataFrame:
+    """Banded LSH candidate pairs from an (id, h0..h{p-1}) signature
+    frame: concat each band's rows into a bucket key, self-join on
+    (band_idx, band_key) with the id_a < id_b tie-break, distinct. The
+    ONE copy of the band-key contract every md5-family pipeline shares —
+    the oracles pin this exact candidate set, so it must never fork
+    between the verified and estimated variants."""
     n_bands = num_perm // rows_per_band
     bands = sigs.select(
         F.col(id_col),
@@ -403,7 +395,7 @@ def minhash_md5_candidates(
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    cands = (
+    return (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -415,7 +407,26 @@ def minhash_md5_candidates(
         )
         .distinct()
     )
-    return cands, sh_raw
+
+
+def minhash_md5_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """The banded CANDIDATE stage of the md5 MinHash pipeline, exposed
+    separately so callers can audit the raw candidate set (the LSH
+    recall/precision evaluation in queries/llm50) instead of only the
+    verified pairs. Returns (candidate pairs, persisted shingle frame) —
+    reuse the latter for verification to avoid recomputing shingles."""
+    sh_raw = with_shingles(df, text_col, id_col).persist()
+    shingled = sh_raw.select(F.col(id_col), F.explode("sh").alias("shingle"))
+    shingled = shingled.withColumns(minhash_md5_digests(num_perm=num_perm))
+    aggs, post = _minhash_md5_mins(num_perm)
+    sigs = shingled.groupBy(id_col).agg(*aggs).select(id_col, *post)
+    return _md5_band_pairs(sigs, num_perm, rows_per_band, id_col), sh_raw
 
 
 def minhash_md5_neardup(
@@ -670,35 +681,7 @@ def minhash_md5_estimate_neardup(
     shingled = shingled.withColumns(minhash_md5_digests(num_perm=num_perm))
     aggs, post = _minhash_md5_mins(num_perm)
     sigs = shingled.groupBy(id_col).agg(*aggs).select(id_col, *post).persist()
-    n_bands = num_perm // rows_per_band
-    bands = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[f"h{b * rows_per_band + r}" for r in range(rows_per_band)],
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
-    ba = bands.alias("a")
-    bb = bands.alias("b")
-    cands = (
-        ba.join(
-            bb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
+    cands = _md5_band_pairs(sigs, num_perm, rows_per_band, id_col)
     sig_arr = F.array(*[f"h{p}" for p in range(num_perm)])
     a = sigs.select(F.col(id_col).alias("id_a"), sig_arr.alias("sig_a"))
     b = sigs.select(F.col(id_col).alias("id_b"), sig_arr.alias("sig_b"))

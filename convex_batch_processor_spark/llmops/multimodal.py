@@ -650,6 +650,7 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                 raise ValueError("not a PNG signature")
             pos, idat = 8, b""
             w = h = bd = ct = None
+            interlace = 0
             while pos + 8 <= len(b):
                 ln = int.from_bytes(b[pos : pos + 4], "big")
                 typ = b[pos + 4 : pos + 8]
@@ -657,12 +658,20 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                 pos += 12 + ln
                 if typ == b"IHDR":
                     w, h, bd, ct = struct.unpack(">IIBB", data[:10])
+                    # byte 12 is the interlace flag: an Adam7 stream has a
+                    # completely different scanline layout, and reading it
+                    # sequentially would compute stats over scrambled
+                    # pixels WITHOUT erroring — check it like ct/bd
+                    interlace = data[12] if len(data) >= 13 else 0
                 elif typ == b"IDAT":
                     idat += data
                 elif typ == b"IEND":
                     break
-            if ct != 0 or bd != 8:
-                raise ValueError(f"unsupported PNG (color_type={ct}, bit_depth={bd})")
+            if ct != 0 or bd != 8 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (color_type={ct}, bit_depth={bd}, "
+                    f"interlace={interlace})"
+                )
             raw = zlib.decompress(idat)
             stride = w + 1
             prev = np.zeros(w, dtype=np.uint8)

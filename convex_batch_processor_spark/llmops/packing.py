@@ -100,7 +100,12 @@ def pack_greedy(
         pdf["bin_id"] = bins
         return pdf[[grp, idc, "n_tokens", "bin_id"]]
 
-    schema = f"{grp} string, {idc} long, n_tokens int, bin_id long"
+    # derive the key column types from the input — hardcoding string/long
+    # here failed Arrow serialization for any caller whose group or id
+    # column has another type (pack_chunks is type-agnostic the same way)
+    grp_t = sized.schema[grp].dataType.simpleString()
+    id_t = sized.schema[idc].dataType.simpleString()
+    schema = f"{grp} {grp_t}, {idc} {id_t}, n_tokens int, bin_id long"
     return sized.groupBy(grp).applyInPandas(pack, schema=schema)
 
 

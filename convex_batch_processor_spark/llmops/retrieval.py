@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import shingles_from_tokens, tokens_col
+from .dedup import exploded_shingles, shingles_from_tokens, tokens_col
 
 
 def bm25_topk(
@@ -119,9 +119,12 @@ def ngram_contamination(
     selective; no pairwise doc×doc comparison exists anywhere.
     """
     def grams(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.explode(shingles_from_tokens(tokens_col(text_col), n)).alias("gram"),
+        # exploded_shingles, NOT an inline tokens_col() expression:
+        # shingles_from_tokens over an unmaterialized split re-executes
+        # the split per gram slot — O(tokens^2) per doc, measured 6.5x
+        # (dedup.py's documented perf contract)
+        return exploded_shingles(df, text_col, id_col, n, out="gram").withColumnRenamed(
+            id_col, out
         )
 
     return (

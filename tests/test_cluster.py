@@ -162,3 +162,31 @@ def test_pca_power_matches_numpy_direction(spark, sf_dir, emb_np):
     np.testing.assert_allclose(mu, mat.mean(axis=0), atol=5e-7)
     assert abs(np.linalg.norm(v) - 1.0) < 1e-4
     assert v[0] >= 0  # deterministic sign convention
+
+
+def test_kmeans_and_pca_skip_null_embeddings(spark, sf_dir):
+    """Review r6 (confirmed TypeError): a NULL embedding among the k
+    lowest ids killed kmeans_fit on the driver, and a NULL lowest-id row
+    killed pca_power_top_component — absent vectors (failed encoder,
+    tombstoned row) must simply not participate in the fit."""
+    from pyspark.sql import functions as F
+
+    from convex_batch_processor_spark.llmops.cluster import pca_power_top_component
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nulled = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    cents = kmeans_fit(nulled, k=4, n_iter=2, round_dp=6)
+    assert cents.count() == 4
+    base = {r.dim for r in pca_power_top_component(emb, n_iter=2).collect()}
+    got = {r.dim for r in pca_power_top_component(nulled, n_iter=2).collect()}
+    assert got == base  # same dimensionality, no crash
+
+
+def test_kmeans_clusters_keep_vec_carries_vectors(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_clusters(emb, k=4, n_iter=1, round_dp=6, keep_vec=True)
+    assert out.columns == ["vec_id", "embedding", "cluster_id", "dist2"]
+    assert out.filter("embedding IS NULL").count() == 0

@@ -532,3 +532,33 @@ def test_payload_byte_features_null_and_empty_parity(spark, tmp_path):
         for r in con.execute(QUERIES["payload_byte_stats"].oracle).fetchall()
     }
     assert got == want
+
+
+def test_png_decoder_rejects_interlaced(spark):
+    """Review r6: an Adam7-interlaced stream has a different scanline
+    layout — decoding it sequentially computed stats over scrambled
+    pixels with no error. The IHDR interlace flag must be checked like
+    color_type/bit_depth ('other variants raise, never corrupt')."""
+    import struct
+    import zlib
+
+    from convex_batch_processor_spark.llmops.multimodal import decode_png_features
+
+    def chunk(typ, data):
+        return (
+            len(data).to_bytes(4, "big") + typ + data
+            + zlib.crc32(typ + data).to_bytes(4, "big")
+        )
+
+    w = h = 8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1)  # interlace=1
+    raw = b"".join(b"\x00" + bytes(range(i, i + w)) for i in range(h))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="interlace"):
+        decode_png_features(df).collect()

@@ -283,3 +283,21 @@ def test_ivf_search_recall_vs_bruteforce(spark, sf_dir):
     part = {(r.q_vec_id, r.vec_id) for r in S.ivf_search(emb, queries, k=5, nprobe=5).collect()}
     recall = len(exact & part) / len(exact)
     assert recall >= 0.6, f"IVF recall collapsed: {recall}"
+
+
+def test_pack_greedy_nonstring_group_key(spark, sf_dir):
+    """Review r6: the applyInPandas result schema hardcoded the group
+    column as string and the id as long — a bigint group key failed
+    Arrow serialization. Key types now come from the input schema."""
+    from pyspark.sql import functions as F2
+
+    from convex_batch_processor_spark.llmops.packing import pack_greedy
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("src_num", F2.crc32("source").cast("bigint"))
+        .limit(200)
+    )
+    out = pack_greedy(docs, capacity=256, group_col="src_num")
+    assert dict(out.dtypes)["src_num"] == "bigint"
+    assert out.count() == 200

@@ -123,39 +123,26 @@ HEADLINE = [
 
 
 def main() -> None:
+    from tests.benchlib import SCAN_CONF, time_query, warm_up
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     names = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    names = names.split(",") if names else HEADLINE
+    names = [n.strip() for n in names.split(",") if n.strip()] if names else HEADLINE
+    # validate BEFORE the expensive warmup/calibration — a typo'd name
+    # must not surface as a KeyError after a minute of spent work
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        sys.exit(f"unknown query name(s): {unknown}")
     if os.environ.get("SPARK_GRAFT_BENCH_REVERSE"):
         # ordering-sensitivity probe: same work, reversed execution order —
         # if per-query timings shift materially, the suite has JIT/cache
         # ordering effects, not per-query regressions
         names = list(reversed(names))
 
-    spark = get_spark(
-        app_name="cbps-bench",
-        # the sf0.1 tables are single ~2-10 MB files; split at row-group
-        # granularity so the scan parallelizes across local cores (at real
-        # scale files are >128 MB and the default split size is right)
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "0",
-        },
-    )
-    # JVM/codegen warmup on a trivial plan so query 1 isn't charged for it
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # Python/Arrow worker warmup: spawning the 32 pandas_udf workers (each
-    # importing pandas/numpy) costs ~10 s once per session; pay it here so
-    # the first Python-UDF query measures steady-state, not interpreter
-    # start — one task per core so every worker slot actually spawns
-    from pyspark.sql.functions import col, pandas_udf  # noqa: PLC0415
-
-    _warm = pandas_udf(lambda s: s * 1.0, "double")
-    spark.range(0, 3_200, numPartitions=32).select(
-        _warm(col("id").cast("double"))
-    ).write.mode("overwrite").format("noop").save()
+    spark = get_spark(app_name="cbps-bench", extra_conf=SCAN_CONF)
+    warm_up(spark)  # JVM codegen + one pandas-UDF task per core (benchlib)
 
     # Host-speed calibration: a fixed-work probe (pure JVM codegen sum —
     # no IO, no Python workers, constant plan) timed AFTER warmup, median
@@ -175,22 +162,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
     for name in names:
-        fn = QUERIES[name].fn
-        samples: list[float] = []
-        for _ in range(runs):  # median-of-N: robust to JVM/GC jitter, unlike
-            # best-of (still optimistic) or mean (one GC pause skews it)
-            start = time.monotonic()
-            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.monotonic() - start)
-            # drop intra-query persists (minhash shingles, LSH signatures)
-            # after EVERY run: each call persists fresh DataFrames, and
-            # letting three runs' caches coexist measures GC pressure,
-            # not the query
-            spark.catalog.clearCache()
-        samples.sort()
-        mid = len(samples) // 2
-        med = samples[mid] if len(samples) % 2 else (samples[mid - 1] + samples[mid]) / 2
-        timings[name] = round(med, 3)
+        timings[name] = round(time_query(spark, QUERIES[name].fn, sf_dir, runs), 3)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -32,20 +32,40 @@ def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
-    """Columns actually read from the scan (column pruning check)."""
+    """TOP-LEVEL columns actually read from the scan (column pruning
+    check). Splits the ReadSchema struct at angle-bracket depth 0 only —
+    a naive comma split would emit a nested struct/map's inner field
+    names as phantom top-level columns."""
     plan = formatted_plan(df)
     cols: list[str] = []
     for line in plan.splitlines():
-        if "ReadSchema" in line:
-            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
-            cols += [c.split(":")[0].strip() for c in inner.split(",") if ":" in c]
+        if "ReadSchema" not in line:
+            continue
+        inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+        depth, field = 0, ""
+        for ch in inner + ",":
+            if ch == "," and depth == 0:
+                if ":" in field:
+                    cols.append(field.split(":", 1)[0].strip())
+                field = ""
+                continue
+            depth += ch in "<("
+            depth -= ch in ">)"
+            field += ch
     return cols
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
+    """Number of SHUFFLE exchanges in the physical plan. Excludes
+    BroadcastExchange (no data shuffle — the whole point of a broadcast)
+    and reused exchanges; a bare 'Exchange' substring match would count
+    every broadcast join as a shuffle."""
     plan = physical_plan(df)
-    return sum(1 for line in plan.splitlines() if "Exchange" in line and "Reused" not in line)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Reused" not in line and "BroadcastExchange" not in line
+    )
 
 
 def uses_broadcast_join(df: DataFrame) -> bool:

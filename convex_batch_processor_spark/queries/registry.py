@@ -95,6 +95,12 @@ def prioritize(names: list[str]) -> None:
     missing = [n for n in names if n not in QUERIES]
     if missing:
         raise KeyError(f"prioritize: unknown queries {missing}")
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    if dupes:
+        # a repeated name would silently collapse in the dict build,
+        # shrinking the driver-verified first-50 window by one slot —
+        # the exact silent-slot-burn this function exists to prevent
+        raise ValueError(f"prioritize: duplicate queries {dupes}")
     front = {n: QUERIES[n] for n in names}
     rest = {n: s for n, s in QUERIES.items() if n not in front}
     QUERIES.clear()

@@ -18,6 +18,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 
@@ -31,12 +32,30 @@ def get_spark(
     """Build (or fetch) the engine's SparkSession.
 
     ``SPARK_GRAFT_CPUS`` controls local parallelism (default: all cores).
+    Accepts ``*`` (all cores) as well as an integer.
     """
+    # Pin the PROCESS timezone, not just the session's:
+    # spark.sql.session.timeZone governs SQL semantics, but PySpark
+    # renders collected TimestampType values in the OS timezone
+    # (TimestampType.fromInternal), so results that must hash identically
+    # across hosts — the driver's correctness gate — need the process tz
+    # pinned too. Must happen before the JVM starts; best-effort on
+    # platforms without tzset.
+    os.environ["TZ"] = "Etc/UTC"
+    if hasattr(time, "tzset"):
+        time.tzset()
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus is not None and cpus != "*" and not (cpus.isdecimal() and int(cpus) > 0):
+        raise ValueError(
+            f"SPARK_GRAFT_CPUS={cpus!r}: expected a positive integer or '*'"
+        )
     if master is None:
         master = f"local[{cpus}]" if cpus else "local[*]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+        # '*' is valid in the master string but not as a partition count
+        shuffle_partitions = (
+            int(cpus) if cpus and cpus != "*" else (os.cpu_count() or 8)
+        )
 
     builder = (
         SparkSession.builder.master(master)

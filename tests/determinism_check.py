@@ -69,11 +69,16 @@ def check_partition_invariance(spark, sf_dir: str, fn):
             f"{len(alien_rows)}"
         )
     if a != b:
-        only_base = next(iter(set(a) - set(b)), None)
-        only_alien = next(iter(set(b) - set(a)), None)
+        # name a row whose COUNT differs, not just set membership — with
+        # identical key sets but shifted multiplicities the old set-diff
+        # probes both came back None and the diagnostic named nothing
+        diff = next(
+            (k, a.get(k, 0), b.get(k, 0)) for k in (a.keys() | b.keys())
+            if a.get(k, 0) != b.get(k, 0)
+        )
         return False, (
-            "value multiset changed with partitioning: "
-            f"base-only row {only_base!r:.300}; alien-only row {only_alien!r:.300}"
+            "value multiset changed with partitioning: row "
+            f"{diff[0]!r:.300} occurs base={diff[1]}x alien={diff[2]}x"
         )
     return True, f"invariant: {len(base_rows)} rows"
 

@@ -108,10 +108,20 @@ def compare(spark, sf_dir: str, name: str, fn, oracle: str | None):
             f"oracle emits HUGEINT column(s) {huge}: wrap in CAST(... AS BIGINT) "
             "(DuckDB SUM(int) returns HUGEINT -> float64 in pandas -> hash drift)"
         )
+    def _compatible(s_cat: str, d_cat: str) -> bool:
+        if s_cat == d_cat:
+            return True
+        # A DuckDB DECIMAL materializes as float64 at the driver's pandas
+        # layer, so it hashes like a Spark double — but NOT like a Spark
+        # int (int64 `1` vs float64 `1.0` is a guaranteed hash fail).
+        # The old blanket decimal waiver let exactly that int-vs-decimal
+        # gap certify locally and fail at the driver.
+        return d_cat == "decimal" and s_cat == "float"
+
     cat_diff = {
         c: (stypes[c], dtypes[c])
         for c in scols
-        if stypes[c] != dtypes[c] and "decimal" not in (stypes[c], dtypes[c])
+        if not _compatible(stypes[c], dtypes[c])
     }
     if cat_diff:
         return False, f"type category differs (spark, duckdb): {cat_diff}"

@@ -30,7 +30,6 @@ import json
 import math
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -66,12 +65,6 @@ SUPERLINEAR_LIMIT = 1.35
 RUNS = 3
 
 
-def _median(xs: list[float]) -> float:
-    xs = sorted(xs)
-    mid = len(xs) // 2
-    return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
-
-
 def main() -> None:
     from convex_batch_processor_spark.queries import QUERIES
     from convex_batch_processor_spark.session import get_spark
@@ -81,36 +74,18 @@ def main() -> None:
     if unknown:
         sys.exit(f"unknown query name(s): {unknown}")
 
-    spark = get_spark(
-        app_name="scale-check",
-        # same scan-split override as bench.py: the small-SF files are a
-        # few MB, so split at row-group granularity or the sweep measures
-        # single-task scans at every scale
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "2m",
-            "spark.sql.files.openCostInBytes": "0",
-        },
-    )
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from pyspark.sql.functions import col, pandas_udf
+    # shared measurement protocol (session scan conf, warmup, timed noop
+    # loop, median) — bench.py and this sweep must measure identically or
+    # their numbers stop being comparable
+    from tests.benchlib import SCAN_CONF, time_query, warm_up
 
-    _warm = pandas_udf(lambda s: s * 1.0, "double")
-    spark.range(0, 3_200, numPartitions=32).select(
-        _warm(col("id").cast("double"))
-    ).write.mode("overwrite").format("noop").save()
+    spark = get_spark(app_name="scale-check", extra_conf=SCAN_CONF)
+    warm_up(spark)
 
     failures = []
     for name in names:
         fn = QUERIES[name].fn
-        med = []
-        for sf_dir, _sf in SF_DIRS:
-            samples = []
-            for _ in range(RUNS):
-                t0 = time.monotonic()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                samples.append(time.monotonic() - t0)
-                spark.catalog.clearCache()
-            med.append(_median(samples))
+        med = [time_query(spark, fn, sf_dir, RUNS) for sf_dir, _sf in SF_DIRS]
         alphas = [
             round(math.log10(med[i + 1] / med[i]), 3) for i in range(len(med) - 1)
         ]

@@ -248,7 +248,12 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT label, COUNT(*) AS n,
            round(SUM(CAST(embedding[1] AS DOUBLE)), 4) AS sum_dim0,
-           round(CAST(MAX(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS DOUBLE), 6) AS max_sq_norm
+           -- CASE guard: DuckDB's list_dot_product ERRORS on a NULL list
+           -- (Spark's fold just yields NULL, which MAX skips — same result)
+           round(CAST(MAX(CASE WHEN embedding IS NULL THEN NULL
+                               ELSE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                     CAST(embedding AS DOUBLE[])) END)
+                      AS DOUBLE), 6) AS max_sq_norm
     FROM embeddings GROUP BY label
     """,
 )

@@ -48,7 +48,10 @@ def _with_injected_pii(docs: DataFrame) -> DataFrame:
     return docs.withColumn(
         "text",
         F.concat(
-            F.col("text"),
+            # NULL text concats to NULL, nulling the injected payload and
+            # silently dropping the doc from the scan while the oracle
+            # (pure doc_id arithmetic) still counts it — inject onto ''
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(did % 3 == 0, email).otherwise(F.lit("")),
             F.when(did % 5 == 0, phone).otherwise(F.lit("")),
             F.when(did % 7 == 0, ipv4).otherwise(F.lit("")),
@@ -141,7 +144,7 @@ def url_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_url = docs.withColumn(
         "text",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),  # NULL text must not null the URL
             F.lit(" https://"),
             F.element_at(domain_arr, (F.col("doc_id") % 4 + 1).cast("int")),
             F.lit("/"),

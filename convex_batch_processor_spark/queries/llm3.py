@@ -189,7 +189,9 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bucket, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM (
-        SELECT n_chars, ntile(8) OVER (ORDER BY n_chars, doc_id) AS bucket
+        -- NULLS FIRST: Spark ranks NULL lengths first (ascending default),
+        -- DuckDB's default is NULLS LAST — pin the shared convention
+        SELECT n_chars, ntile(8) OVER (ORDER BY n_chars NULLS FIRST, doc_id) AS bucket
         FROM documents
     ) GROUP BY bucket
     """,

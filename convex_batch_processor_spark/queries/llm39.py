@@ -115,7 +115,10 @@ def robots_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "html_extract_text",
     oracle="""
     SELECT doc_id,
-           'doc ' || CAST(doc_id AS VARCHAR) AS title,
+           -- a NULL doc produces no HTML at all (concat propagates NULL),
+           -- so the extracted title is NULL too, not 'doc N'
+           CASE WHEN text IS NULL THEN NULL
+                ELSE 'doc ' || CAST(doc_id AS VARCHAR) END AS title,
            CAST(length(text) AS BIGINT) AS body_chars,
            md5(text) AS body_md5
     FROM documents

@@ -43,7 +43,10 @@ _NORM_PAYLOADS = {1: " e\u0301", 2: " \ufb01", 3: " \u00bd", 4: " \uff21"}
 
 def _with_norm_payload(docs: DataFrame) -> DataFrame:
     did = F.col("doc_id")
-    expr = F.col("text")
+    # inject onto '' for NULL text: concat would null the payload and
+    # drop the doc from the probe while the oracle (doc_id arithmetic)
+    # still counts it
+    expr = F.coalesce(F.col("text"), F.lit(""))
     for m, pay in _NORM_PAYLOADS.items():
         expr = F.concat(expr, F.when(did % 5 == m, F.lit(pay)).otherwise(F.lit("")))
     return docs.withColumn("text", expr)

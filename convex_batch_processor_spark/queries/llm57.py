@@ -44,9 +44,11 @@ _D6_SQL = """round(sqrt(list_dot_product(
 @register(
     "lof_embedding_outliers",
     oracle=f"""
-    WITH pairs AS MATERIALIZED (
+    WITH live AS (  -- NULL embeddings (failed encoder) carry no distance
+        SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    pairs AS MATERIALIZED (
         SELECT a.vec_id AS ia, b.vec_id AS ib, {_D6_SQL} AS d6
-        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+        FROM live a JOIN live b ON b.vec_id <> a.vec_id),
     rk AS MATERIALIZED (
         SELECT ia, ib, d6,
                row_number() OVER (PARTITION BY ia ORDER BY d6 ASC, ib ASC) AS rn
@@ -91,7 +93,9 @@ def lof_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; at 100 TB the kNN edges come from the bucketed LSH / IVF
     path (similarity.py) and everything downstream of `nb` is unchanged
     — per-key windows and k-bounded joins."""
-    emb = _t(spark, sf_dir, "embeddings")
+    # NULL embeddings carry no distance — excluded on BOTH sides (the
+    # kmeans_fit convention; a NULL d6 would also scramble the rank window)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
     diff2 = F.aggregate(

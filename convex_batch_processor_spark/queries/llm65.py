@@ -68,7 +68,9 @@ def homoglyph_spoof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     injected = docs.withColumn(
         "text",
         F.concat(
-            F.col("text"),
+            # inject onto '' for NULL text — concat would null the payload
+            # and drop the doc while the oracle still counts it
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(did % 7 == 0, F.lit(_SPOOF)).otherwise(F.lit("")),
             F.when(did % 7 == 1, F.lit(_GREEK)).otherwise(F.lit("")),
         ),
@@ -89,9 +91,22 @@ def homoglyph_spoof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (latin & cyr).cast("long").alias("spoof"),
         (greek & ~latin & ~cyr).cast("long").alias("clean_nonlatin"),
     )
-    per_doc = flags.groupBy("doc_id", "source").agg(
+    per_tok = flags.groupBy("doc_id", "source").agg(
         F.sum("spoof").alias("spoof_tokens"),
         F.max("clean_nonlatin").alias("has_clean_nonlatin"),
+    )
+    # anchor on the docs table: a token-LESS doc (empty text, no payload
+    # class) emits no explode rows and would silently vanish from n_docs
+    # while the oracle's COUNT(*) still counts it
+    per_doc = (
+        injected.select("doc_id", "source")
+        .join(per_tok, ["doc_id", "source"], "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("spoof_tokens", F.lit(0)).alias("spoof_tokens"),
+            F.coalesce("has_clean_nonlatin", F.lit(0)).alias("has_clean_nonlatin"),
+        )
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -41,9 +41,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @register(
     "dbscan_embedding_clusters",
     oracle=f"""
-    WITH RECURSIVE nb AS MATERIALIZED (
+    WITH RECURSIVE live AS (
+        -- NULL embeddings have no neighborhood (DuckDB's list_dot_product
+        -- ERRORS on NULL; Spark's NULL distance fails the eps filter) —
+        -- they fall through the final LEFT JOINs and label 'noise'
+        SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL),
+    nb AS MATERIALIZED (
         SELECT a.vec_id AS ia, b.vec_id AS ib
-        FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        FROM live a JOIN live b ON b.vec_id <> a.vec_id
         WHERE {_D6_SQL} <= {_EPS!r}),
     deg AS (SELECT ia AS v, CAST(COUNT(*) AS BIGINT) AS n FROM nb GROUP BY 1),
     cores AS MATERIALIZED (SELECT v FROM deg WHERE n >= {_MINPTS}),

@@ -182,7 +182,13 @@ def plsh_pair_ctes(
             for i, p in enumerate(planes)
         )
         band_exprs.append(
-            f"SELECT vec_id, {band} AS band, ({bits_expr}) AS bucket FROM embeddings"
+            # NOT NULL: DuckDB's list_dot_product ERRORS on a NULL list;
+            # a NULL vector forms no signature, generates no candidates,
+            # and falls through the consumers' LEFT JOINs as a singleton —
+            # the Spark twin reaches the same pairs because its NULL
+            # cosine fails the rerank threshold
+            f"SELECT vec_id, {band} AS band, ({bits_expr}) AS bucket "
+            f"FROM embeddings WHERE embedding IS NOT NULL"
         )
     sig = " UNION ALL ".join(band_exprs)
     cos = (

@@ -196,6 +196,22 @@ _DOC_QUERIES = [
     "waterfill_allocation",
     "greedy_set_cover",  # empty and single-token docs in the universe build
     "retrieval_eval_ndcg",  # query terms absent from the corpus entirely
+    # round-6 additions: NULL-text coverage (doc 7) — the class the
+    # payload_byte_stats NULL divergence hid in
+    "payload_byte_stats",  # NULL payload -> NULL features, kept row
+    "multimodal_payload_stats",
+    "token_pack_greedy",  # NULL text packs as 0 tokens
+    "lang_confusion_matrix",
+    "mojibake_repair_stats",
+    "homoglyph_spoof_stats",  # also covers token-less docs in the census
+    "minhash_estimate_neardup",
+    # NOT semantic_dedup_keep / cosine_lsh_portable_neardup: their
+    # hyperplane-LSH is pinned to the production 64-dim embedding space
+    # (literal plane vectors on both engines), so the 4-dim fixture is
+    # structurally incompatible — NULL-embedding handling for that
+    # family is pinned by the psig NOT NULL filter (sqlfrags.py) and the
+    # NULL-cosine rerank, and the kmeans/LOF/DBSCAN entries above cover
+    # the NULL-vector class end-to-end.
 ]
 
 _EMB_QUERIES = [
@@ -227,7 +243,8 @@ def adv_text_dir(tmp_path_factory):
                 (3, 'a b c d e f g', 'de', 'book', 13),       -- exact duplicate text
                 (4, 'x  y   z', 'en', 'web', 8),              -- runs of spaces
                 (5, 'the the the the the the the the', 'en', 'web', 31),
-                (6, '', 'de', 'book', 0)  -- SECOND empty doc (empty-pair path)
+                (6, '', 'de', 'book', 0),  -- SECOND empty doc (empty-pair path)
+                (7, NULL, 'en', 'web', NULL)  -- NULL text (failed fetch/tombstone)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """
@@ -240,7 +257,8 @@ def adv_text_dir(tmp_path_factory):
                 (1, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
                 (2, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 2),  -- duplicate vector
                 (3, CAST([0.5, 0.5, 0.0, 0.0] AS FLOAT[]), 2),
-                (4, CAST([-1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 3)
+                (4, CAST([-1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 3),
+                (5, CAST(NULL AS FLOAT[]), 3)  -- NULL embedding (failed encoder)
             ) t(vec_id, embedding, label)
         ) TO '{d}/embeddings.parquet' (FORMAT PARQUET)
         """

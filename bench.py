@@ -165,6 +165,11 @@ def main() -> None:
         timings[name] = round(time_query(spark, QUERIES[name].fn, sf_dir, runs), 3)
 
     total = round(sum(timings.values()), 3)
+    # The driver captures only a 2000-char stdout TAIL: round 6's full
+    # per-query line grew past that window and parsed as null (VERDICT r6
+    # #1). Emit the full per-query map first (compact separators, for
+    # humans and regex recovery), then a short FINAL summary line that
+    # always fits any tail window no matter how large the suite grows.
     print(
         json.dumps(
             {
@@ -174,7 +179,21 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
-            }
+            },
+            separators=(",", ":"),
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "calibration_sec": calibration,
+                "n_queries": len(timings),
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -98,45 +98,44 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-6 rotation (NOTES.md "Round-6 rotation plan"): the driver verifies
-# the FIRST 50 registry entries; round 5 went 50/50 green, so this window
-# is spent on (1) the three re-queues whose standing verdicts predate their
-# current oracle/name — minhash_estimate_neardup + semantic_dedup_keep
-# gained DuckDB oracles in round 5 AFTER their last check (standing
-# verdicts: err no_oracle), payload_byte_stats was renamed in round 5 from
-# multimodal_decode_features so its r4-green verdict is under the old
-# name — and (2) 47 never-verified entries in registration order
-# (llm29..llm49 material). The remaining 35 (soundex_blocking_stats ..
-# cusum_changepoint) queue for round 7, after which every registered query
-# has a driver verdict. List machine-validated end of round 5 AND re-checked
-# at the start of round 6: 50 unique registered oracle-backed names, only
-# the two documented re-queues carry a prior verdict.
+# Round-7 rotation (NOTES.md "Round-7 rotation plan"): the driver verifies
+# the FIRST 50 registry entries; round 6 went 50/50 green, so this window
+# finishes full-registry verification: (1) the two IVF STALE-GREEN
+# re-queues — ivf_search_topk (verdict r4) and ivf_centroid_assign
+# (verdict r3) both flow through ivf_assign, rewritten map-side in r5 and
+# guarded in r6, so their verdicts predate the code; (2) ALL 35
+# never-verified backlog entries in registration order; (3) 13 freshness
+# fillers — the oldest r1-verified oracle-backed entries, code unchanged
+# since r1. After this window lands, every registered query has a driver
+# verdict and the 279 freeze lifts under NOTES §"Post-backlog freeze
+# policy". List machine-validated end of round 6 ON ROUND-6 HEAD
+# (50 unique registered oracle-backed names, 50/50 locally hash-green and
+# partition-invariant at sf0.01) and re-checked at the start of round 7.
 prioritize([
-    # re-queues (oracle landed / name changed after last driver check)
-    "minhash_estimate_neardup", "semantic_dedup_keep", "payload_byte_stats",
-    # llm29..llm33
-    "mmr_diverse_topk", "tfidf_cosine_pairs", "sorted_neighborhood_pairs",
-    "journey_triples_topk", "rrf_fusion_topk", "welch_ttest_priorities",
-    "gini_by_segment", "join_size_estimate_cms", "best_split_information_gain",
-    "exact_substr_scrub", "feature_hash_stats", "pareto_front_parts",
-    "consistent_hash_rebalance", "histogram_quantile_accuracy",
-    "linear_attribution_credit", "kmeans_silhouette",
-    # llm37..llm40 (codec / web-curation predictive-oracle packs)
-    "png_decode_features", "warc_extract_stats", "robots_filter_stats",
-    "html_extract_text", "url_canonicalize_stats", "web_curation_pipeline",
-    # llm41..llm42
-    "functional_dependency_check", "hll_accuracy_profile",
-    "auc_quantity_returnflag", "logloss_quantity_model",
-    # llm43..llm46
-    "skipgram_pairs_topk", "negative_sampling_table",
-    "frequent_word_subsample", "ols_price_normal_eq",
-    "calibration_bins", "calibration_ece_brier", "dp_noisy_counts_by_type",
-    "randomized_response_rate", "k_anonymity_audit",
-    "unicode_normalize_stats", "mojibake_repair_stats", "char_entropy_quality",
-    # llm47..llm49
-    "gif_decode_features", "bfs_hop_distance", "target_encode_brand",
-    "zlib_ratio_classes", "peak_concurrency_by_user", "padding_waste_buckets",
-    "partition_skew_audit", "neardup_eval_metrics", "jaccard_pair_histogram",
+    # STALE-GREEN re-queues (ivf_assign rewritten r5, guarded r6)
+    "ivf_search_topk", "ivf_centroid_assign",
+    # the 35 never-verified backlog entries, registration order
+    "soundex_blocking_stats", "cuped_variance_reduction",
+    "quantile_normalize_values", "purged_time_folds",
+    "bradley_terry_strengths", "seasonal_naive_mase", "did_estimator",
+    "jaro_winkler_linkage", "fellegi_sunter_weights",
+    "exposure_pattern_census", "shapley_channel_attribution",
+    "asof_interpolate_price", "langid_confusion_matrix",
+    "lof_embedding_outliers", "conformal_interval_coverage",
+    "waterfill_allocation", "greedy_set_cover",
+    "markov_removal_attribution", "voptimal_cost_curve",
+    "equiwidth_vs_voptimal", "retrieval_eval_ndcg", "join_order_advisor",
+    "salting_advisor", "readability_scores", "ttr_lexical_diversity",
+    "cidr_zone_lookup", "homoglyph_spoof_stats", "containment_dup_pairs",
+    "dbscan_embedding_clusters", "dbscan_label_ari", "clustering_purity",
+    "clustering_nmi_vmeasure", "ks_wasserstein_drift",
+    "daily_autocorrelation", "cusum_changepoint",
+    # 13 freshness fillers (r1 verdicts, code unchanged since r1)
+    "window_rank_lag_running", "window_moving_avg", "cube_pricing",
+    "rollup_year_priority", "pivot_status_qty", "asof_join_latest_order",
+    "s11_delete_anti_join", "s10_state_upsert", "tumbling_window_counts",
+    "sliding_window_counts", "f6_null_coalesce_guards",
+    "window_distribution", "window_range_frame",
 ])
 
 

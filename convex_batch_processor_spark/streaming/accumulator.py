@@ -339,6 +339,23 @@ class BatchAccumulator:
         admitted: set[str] = set().union(*by_epoch.values()) if by_epoch else set()
         return {n for n in existing - admitted if n.endswith(".parquet")}
 
+    @staticmethod
+    def _tombstoned(existing: set[str]) -> set[int]:
+        """Sequences whose batch document was deleted (lib.ts:300-337
+        deletes the batch doc itself, so the batch disappears from
+        getAllBatchesForBaseId). The epoch number lives immutably in the
+        checkpoint source log, so deletion is recorded as a
+        ``_deleted_{seq}`` marker file in staging; list_batches omits
+        marked sequences and delete_batch reports them not-found."""
+        out: set[int] = set()
+        for n in existing:
+            if n.startswith("_deleted_"):
+                try:
+                    out.add(int(n[len("_deleted_"):]))
+                except ValueError:
+                    pass
+        return out
+
     def list_batches(self) -> list[dict]:
         """getAllBatchesForBaseId (lib.ts:246-277) over the epoch model:
         ``sequence`` ≡ foreachBatch ``epoch_id`` (D6), ``batch_id`` is the
@@ -388,10 +405,19 @@ class BatchAccumulator:
                 for r in rows
             }
 
+        # The reference's batch doc ALWAYS carries createdAt (schema.ts) —
+        # an empty accumulating batch (no staged files, no history row)
+        # must still report a concrete timestamp, not None: fall back to
+        # the newest staging-dir mtime, else now (batch doc creation time)
+        dir_fallback = (
+            dt.datetime.fromtimestamp(max(statuses.values()))
+            if statuses else dt.datetime.now()
+        )
+
         def entry(seq: int, names: set[str], status: str) -> dict:
             live = names & existing
             times = [statuses[n] for n in live]
-            fallback = hist_at.get(seq)
+            fallback = hist_at.get(seq) or dir_fallback
             return {
                 "batch_id": f"{self.batch_id}::{seq}",
                 "base_batch_id": self.batch_id,
@@ -402,9 +428,11 @@ class BatchAccumulator:
                 "last_updated_at": dt.datetime.fromtimestamp(max(times)) if times else fallback,
             }
 
+        deleted = self._tombstoned(existing)
         out = [
             entry(seq, names, "completed" if seq in committed else "flushing")
             for seq, names in sorted(by_epoch.items())
+            if seq not in deleted  # deleted batch docs vanish (lib.ts:300-337)
         ]
         next_seq = max(by_epoch) + 1 if by_epoch else 0
         out.append(entry(next_seq, self._pending_names(by_epoch, existing), "accumulating"))
@@ -419,21 +447,34 @@ class BatchAccumulator:
             return {"deleted": False, "reason": "Batch not found"}
         by_epoch = self._source_epoch_files()
         committed = self._committed_epochs()
+        existing = set(fsutil.listdir(self.spark, self.staging_dir))
         next_seq = max(by_epoch) + 1 if by_epoch else 0
         if sequence not in by_epoch and sequence != next_seq:
+            return {"deleted": False, "reason": "Batch not found"}
+        if sequence in self._tombstoned(existing):
+            # batch doc already deleted — the reference's second delete
+            # hits a missing document (lib.ts:304-306)
             return {"deleted": False, "reason": "Batch not found"}
         if sequence in by_epoch and sequence not in committed:
             # admitted but no commit: a flush is in flight (or failed and
             # pending its at-least-once retry) — deleting its files would
             # corrupt the replay (lib.ts:312-314)
             return {"deleted": False, "reason": "Cannot delete batch while flushing"}
-        existing = set(fsutil.listdir(self.spark, self.staging_dir))
         if sequence == next_seq:
             if self._count_staged(self._pending_names(by_epoch, existing)) > 0:
                 return {"deleted": False, "reason": "Cannot delete batch with pending items"}
             return {"deleted": True}  # empty accumulating batch (lib.ts:323-325)
         for name in by_epoch.get(sequence, set()) & existing:
             fsutil.delete(self.spark, os.path.join(self.staging_dir, name))
+        # tombstone AFTER the item deletes: the batch doc disappears from
+        # getAllBatchesForBaseId (lib.ts deletes the doc itself); flush
+        # history survives as the audit trail
+        fsutil.write_text(
+            self.spark,
+            os.path.join(self.staging_dir, f"_deleted_{sequence}"),
+            "",
+            overwrite=True,
+        )
         return {"deleted": True}
 
     def status(self) -> dict:

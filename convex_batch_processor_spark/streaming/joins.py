@@ -52,6 +52,12 @@ def interval_join(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {upper}"))
     )
+    joined = l.join(r, cond, how)
+    # Semi/anti joins emit ONLY left-side columns — the coalesce/select
+    # projection below references r-side columns that don't exist in
+    # their output and would raise AnalysisException
+    if how in ("left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"):
+        return joined
     # ONE surviving key column via coalesce, not drop(r.key): under
     # right/full outer, a right-only row has l.key NULL — dropping r.key
     # would emit it with no key at all, so the consumer couldn't tell
@@ -59,4 +65,4 @@ def interval_join(
     key_out = F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)
     l_cols = [F.col(f"l.{c}") for c in left.columns if c != key]
     r_cols = [F.col(f"r.{c}") for c in right.columns if c != key]
-    return l.join(r, cond, how).select(key_out, *l_cols, *r_cols)
+    return joined.select(key_out, *l_cols, *r_cols)

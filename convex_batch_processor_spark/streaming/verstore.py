@@ -88,12 +88,21 @@ class VersionedBucketStore:
         an empty frame is written PLAIN instead — same columns, zero
         rows, schema-bearing — keeping a fully-compacted-away state
         readable (e.g. a CDC compact after every key was deleted and all
-        tombstones passed the drop horizon)."""
-        writer = df.repartition(1, "bucket").write.mode("overwrite")
-        if df.isEmpty():
-            writer.parquet(self._version_dir(epoch_id))
-        else:
-            writer.partitionBy("bucket").parquet(self._version_dir(epoch_id))
+        tombstones passed the drop horizon).
+
+        ``df`` is the epoch's full merge (prev-version scan + delta union
+        + collapse/aggregate) — persist it around the emptiness probe so
+        the merge is computed ONCE, not once for ``isEmpty`` and again
+        for the write."""
+        df = df.persist()
+        try:
+            writer = df.repartition(1, "bucket").write.mode("overwrite")
+            if df.isEmpty():
+                writer.parquet(self._version_dir(epoch_id))
+            else:
+                writer.partitionBy("bucket").parquet(self._version_dir(epoch_id))
+        finally:
+            df.unpersist()
 
     def _written_buckets(self, epoch_id: int) -> list[int]:
         """Distinct buckets of an already-written version dir (one

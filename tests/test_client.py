@@ -199,18 +199,48 @@ def test_get_all_batches_and_delete_batch_lifecycle(spark, tmp_path):
         (1, "accumulating", 1),
     ]
 
-    # deleting the completed batch removes its staged items (batchItems
-    # deletion) but keeps audit history and the accumulating batch
+    # deleting the completed batch removes its staged items AND its batch
+    # doc — the sequence disappears from getAllBatchesForBaseId exactly as
+    # the reference's deleteBatch deletes the document (lib.ts:300-337);
+    # audit history and the accumulating batch survive
     assert bp.delete_batch("events::0") == {"deleted": True}
     batches = bp.get_all_batches_for_base_id("events")
     assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
-        (0, "completed", 0),
         (1, "accumulating", 1),
     ]
+    # timestamps stay concrete for every listed batch (schema.ts: the
+    # batch doc always carries createdAt)
+    assert all(b["created_at"] is not None for b in batches)
     assert bp.get_flush_history("events").count() >= 1
+
+    # a second delete of the tombstoned sequence: the doc is gone
+    assert bp.delete_batch("events::0") == {"deleted": False, "reason": "Batch not found"}
 
     # out-of-range sequence: not found
     assert bp.delete_batch("events::7") == {"deleted": False, "reason": "Batch not found"}
+
+
+def test_empty_accumulating_batch_reports_concrete_timestamps(spark, tmp_path):
+    """An empty accumulating batch (no staged files, no flush-history
+    row for its sequence) must still carry concrete created_at /
+    last_updated_at — the reference's batch doc always has createdAt
+    (schema.ts); consumers sorting or formatting timestamps would crash
+    on None."""
+    reg = HandleRegistry()
+    reg.add("noopFlush", lambda df, ep: None)
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    acc = bp.accumulator("ev", EVENT_SCHEMA, "noopFlush")
+    bp.add_items("ev", [{"eventName": "a", "timestamp": 1}])
+    assert bp.flush("ev") is True
+    acc.vacuum_staging()  # flushed batchItems deleted (lib.ts:622-634)
+    batches = bp.get_all_batches_for_base_id("ev")
+    assert [(b["sequence"], b["status"]) for b in batches] == [
+        (0, "completed"),
+        (1, "accumulating"),
+    ]
+    for b in batches:
+        assert b["created_at"] is not None, b
+        assert b["last_updated_at"] is not None, b
 
 
 def test_delete_batch_refuses_while_flush_pending_retry(spark, tmp_path):

@@ -165,3 +165,28 @@ def test_interval_join_outer_rows_keep_their_key(spark):
     assert rows[1].l_what == "err" and rows[1].r_what is None
     assert rows[2].r_what == "click" and rows[2].l_what is None
     assert out.columns == ["k", "l_ts", "l_what", "r_ts", "r_what"]
+
+
+def test_interval_join_semi_and_anti_emit_left_side_only(spark):
+    """ADVICE r7: semi/anti joins emit ONLY left-side columns — the
+    coalesce/select projection referenced r-side columns that don't
+    exist in their output and raised AnalysisException. The builder must
+    return the bare join for these types (batch mode: the builder is
+    watermark-transparent, same plan as streaming)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "err"),
+         (2, "2024-01-01 11:00:00", "err")],
+        "k int, l_ts string, l_what string",
+    ).withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", "click")],
+        "k int, r_ts string, r_what string",
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    semi = interval_join(left, right, "k", "l_ts", "r_ts", how="left_semi")
+    assert semi.columns == ["k", "l_ts", "l_what"]
+    assert [r.k for r in semi.collect()] == [1]
+
+    anti = interval_join(left, right, "k", "l_ts", "r_ts", how="left_anti")
+    assert anti.columns == ["k", "l_ts", "l_what"]
+    assert [r.k for r in anti.collect()] == [2]

@@ -1,0 +1,307 @@
+"""Stale-green guard — machine-derive the next rotation's re-queue list.
+
+A driver verdict pins a query's RESULT at the git state the driver ran
+against. If code the query's implementation actually reaches changes
+afterwards, the verdict no longer covers HEAD — the query is STALE-GREEN
+and should be re-verified (VERDICT r6 #5; the round-7 ``ivf_assign``
+situation, where a shared helper was rewritten in r5/r6 after its
+callers' r3/r4 verdicts, was caught by a hand audit — this script makes
+that audit mechanical).
+
+Method — SYMBOL-level reachability, not file-level (a new query appended
+to a shared pack file must not flag its 40 neighbours):
+  1. name -> latest verdict round, from CORRECTNESS_r*.json;
+  2. round -> verified git state: the driver records a round's verdicts
+     against that round's FINAL head = the first parent of the "round N"
+     commit that ADDED CORRECTNESS_r{N}.json;
+  3. name -> reachable symbols: starting from the registered function,
+     walk every referenced top-level def/class/constant in its module
+     and follow package-internal imports into other modules' symbols
+     (static ``ast`` analysis — no execution; over-approximates on name
+     shadowing, never under-approximates on direct references);
+  4. a symbol counts as CHANGED iff its docstring-stripped AST dump
+     differs between the verified state and the working tree — comment
+     and docstring edits never flag; any code change does (even if the
+     local oracle still passes: "locally green" != "driver-verified").
+
+Known under-approximation: dynamic dispatch (getattr, registry lookups,
+strings naming functions) is invisible to the walk — code reached only
+that way needs a hand re-queue, as before.
+
+Output is PRIORITIZED for rotation building: oldest verdict first, then
+name. Spare window slots each round should be filled from the top —
+over rounds this cycles every stale verdict through re-verification.
+
+Usage:
+    python tests/stale_green_check.py                # prioritized names
+    python tests/stale_green_check.py --explain      # + changed symbols
+    python tests/stale_green_check.py --limit 48     # top-N for a window
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import json
+import os
+import subprocess
+import sys
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG = "convex_batch_processor_spark"
+_PKG_DIR = os.path.join(_REPO, _PKG)
+_WORKTREE = "WORKTREE"  # sentinel commit name for the working tree
+
+
+# --- git plumbing ---------------------------------------------------------
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=_REPO, check=True,
+        capture_output=True, text=True,
+    ).stdout
+
+
+def verified_states() -> dict[int, str]:
+    """Round number -> commit hash of the code state the driver verified
+    (first parent of the commit that added that round's CORRECTNESS
+    file)."""
+    out: dict[int, str] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        line = _git("log", "--diff-filter=A", "--format=%H %P", "--",
+                    os.path.basename(path)).strip()
+        if not line:
+            continue
+        parts = line.splitlines()[0].split()
+        if len(parts) >= 2:  # parts[1] = first parent
+            out[rnd] = parts[1]
+    return out
+
+
+def latest_verdicts() -> dict[str, int]:
+    """Query name -> latest round with a driver verdict under that name."""
+    seen: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        with open(path) as f:
+            for name in json.load(f):
+                seen[name] = max(seen.get(name, 0), rnd)
+    return seen
+
+
+# --- module layout -----------------------------------------------------------
+
+def _module_files() -> dict[str, str]:
+    """Dotted module name -> repo-relative file path, package-internal."""
+    out: dict[str, str] = {}
+    for path in glob.glob(os.path.join(_PKG_DIR, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, _REPO).replace(os.sep, "/")
+        mod = rel[:-len(".py")].replace("/", ".")
+        if mod.endswith(".__init__"):
+            mod = mod[:-len(".__init__")]
+        out[mod] = rel
+    return out
+
+
+_MODULES = _module_files()
+
+
+# --- per-file structure (defs + imports), per git state ----------------------
+
+def _strip_docstrings(tree: ast.AST) -> ast.AST:
+    for node in ast.walk(tree):
+        body = getattr(node, "body", None)
+        if (
+            isinstance(node, (ast.Module, ast.FunctionDef,
+                              ast.AsyncFunctionDef, ast.ClassDef))
+            and body
+            and isinstance(body[0], ast.Expr)
+            and isinstance(body[0].value, ast.Constant)
+            and isinstance(body[0].value.value, str)
+        ):
+            body.pop(0)
+            if not body:
+                body.append(ast.Pass())
+    return tree
+
+
+class _FileInfo:
+    """Top-level structure of one file at one git state."""
+
+    def __init__(self, source: str, module: str):
+        tree = _strip_docstrings(ast.parse(source))
+        self.defs: dict[str, ast.AST] = {}
+        # alias -> dotted module (module imports) / (module, symbol)
+        self.mod_imports: dict[str, str] = {}
+        self.sym_imports: dict[str, tuple[str, str]] = {}
+        pkg_parts = module.split(".")[:-1] if not _MODULES.get(
+            module, "").endswith("__init__.py") else module.split(".")
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                self.defs[node.name] = node
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    for n in ast.walk(t):
+                        if isinstance(n, ast.Name):
+                            self.defs[n.id] = node
+            elif isinstance(node, ast.AnnAssign) and isinstance(
+                    node.target, ast.Name):
+                self.defs[node.target.id] = node
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    if a.name.startswith(_PKG):
+                        self.mod_imports[a.asname or a.name.split(".")[0]] = a.name
+            elif isinstance(node, ast.ImportFrom):
+                if node.level:
+                    base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                    stem = ".".join(base + ([node.module] if node.module else []))
+                else:
+                    stem = node.module or ""
+                if not stem.startswith(_PKG):
+                    continue
+                for a in node.names:
+                    alias = a.asname or a.name
+                    if f"{stem}.{a.name}" in _MODULES:  # submodule import
+                        self.mod_imports[alias] = f"{stem}.{a.name}"
+                    else:
+                        self.sym_imports[alias] = (stem, a.name)
+
+
+_INFO_CACHE: dict[tuple[str, str], _FileInfo | None] = {}
+
+
+def _file_info(commit: str, module: str) -> _FileInfo | None:
+    key = (commit, module)
+    if key in _INFO_CACHE:
+        return _INFO_CACHE[key]
+    path = _MODULES.get(module)
+    info: _FileInfo | None = None
+    if path is not None:
+        try:
+            if commit == _WORKTREE:
+                with open(os.path.join(_REPO, path)) as f:
+                    src = f.read()
+            else:
+                src = _git("show", f"{commit}:{path}")
+            info = _FileInfo(src, module)
+        except (subprocess.CalledProcessError, OSError, SyntaxError):
+            info = None
+    _INFO_CACHE[key] = info
+    return info
+
+
+# --- symbol reachability (computed on the working tree) ----------------------
+
+def reachable_symbols(module: str, symbol: str) -> set[tuple[str, str]]:
+    """All (module, top-level symbol) pairs reachable from
+    ``module.symbol`` via names used in reachable defs and
+    package-internal imports."""
+    seen: set[tuple[str, str]] = set()
+    todo = [(module, symbol)]
+    while todo:
+        mod, sym = todo.pop()
+        if (mod, sym) in seen:
+            continue
+        info = _file_info(_WORKTREE, mod)
+        if info is None:
+            continue
+        node = info.defs.get(sym)
+        if node is None:
+            # symbol imported-and-re-exported or missing: follow imports
+            if sym in info.sym_imports:
+                seen.add((mod, sym))
+                todo.append(info.sym_imports[sym])
+            continue
+        seen.add((mod, sym))
+        used: set[str] = set()
+        attr_roots: dict[str, set[str]] = {}
+        for n in ast.walk(node):
+            if isinstance(n, ast.Name):
+                used.add(n.id)
+            elif isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+                attr_roots.setdefault(n.value.id, set()).add(n.attr)
+        for u in used:
+            if u != sym and u in info.defs:
+                todo.append((mod, u))
+            elif u in info.sym_imports:
+                todo.append(info.sym_imports[u])
+            elif u in info.mod_imports:
+                target_mod = info.mod_imports[u]
+                for attr in attr_roots.get(u, ()):
+                    todo.append((target_mod, attr))
+    return seen
+
+
+# --- fingerprints -------------------------------------------------------------
+
+def _symbol_dump(commit: str, mod: str, sym: str) -> str | None:
+    info = _file_info(commit, mod)
+    if info is None:
+        return None
+    node = info.defs.get(sym)
+    if node is None:
+        # pure re-export: fingerprint the import target's dump instead
+        if sym in info.sym_imports:
+            tmod, tsym = info.sym_imports[sym]
+            return _symbol_dump(commit, tmod, tsym)
+        return None
+    return ast.dump(node, include_attributes=False)
+
+
+# --- the guard ------------------------------------------------------------------
+
+def stale_green() -> list[dict]:
+    """Prioritized stale-green records ``{name, round, changed}`` where
+    ``changed`` lists 'module.symbol' strings whose code differs between
+    the verdict state and the working tree. Oldest verdict first."""
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from convex_batch_processor_spark.queries import QUERIES
+
+    states = verified_states()
+    verdicts = latest_verdicts()
+    reach_cache: dict[tuple[str, str], set[tuple[str, str]]] = {}
+    out: list[dict] = []
+    for name, spec in QUERIES.items():
+        rnd = verdicts.get(name)
+        if rnd is None or rnd not in states:
+            continue  # never verified — backlog, not stale
+        start = (spec.fn.__module__, spec.fn.__name__)
+        if start not in reach_cache:
+            reach_cache[start] = reachable_symbols(*start)
+        base = states[rnd]
+        changed = sorted(
+            f"{mod}.{sym}"
+            for mod, sym in reach_cache[start]
+            if _symbol_dump(base, mod, sym) != _symbol_dump(_WORKTREE, mod, sym)
+        )
+        if changed:
+            out.append({"name": name, "round": rnd, "changed": changed})
+    out.sort(key=lambda r: (r["round"], r["name"]))
+    return out
+
+
+def main() -> None:
+    explain = "--explain" in sys.argv
+    limit = None
+    if "--limit" in sys.argv:
+        limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    stale = stale_green()
+    if not stale:
+        print("no stale-green queries — every verdict covers HEAD")
+        return
+    shown = stale if limit is None else stale[:limit]
+    print(f"{len(stale)} stale-green queries"
+          f"{f' (top {limit})' if limit else ''}, oldest verdicts first:")
+    for r in shown:
+        if explain:
+            short = [c.replace(_PKG + ".", "") for c in r["changed"]]
+            print(f"  {r['name']} (r{r['round']}): " + ", ".join(short))
+        else:
+            print(f"  {r['name']} (r{r['round']})")
+
+
+if __name__ == "__main__":
+    main()

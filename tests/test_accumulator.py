@@ -239,7 +239,11 @@ def test_epoch_bookkeeping_survives_source_log_compaction(spark, tmp_path):
     ]
     assert acc.status()["staged_item_count"] == 0  # nothing pending
     assert acc.delete_batch(2) == {"deleted": True}
-    assert [b["item_count"] for b in acc.list_batches()][:5] == [1, 1, 0, 1, 1]
+    # the deleted sequence vanishes from the listing (tombstoned batch
+    # doc, lib.ts:300-337) — compaction bookkeeping keeps the rest intact
+    assert [(b["sequence"], b["item_count"]) for b in acc.list_batches()] == [
+        (0, 1), (1, 1), (3, 1), (4, 1), (5, 0),
+    ]
     # vacuum reclaims every remaining committed file, compacted epochs included
     doomed = acc.vacuum_staging()
     assert len(doomed) == 4

@@ -205,13 +205,10 @@ _DOC_QUERIES = [
     "mojibake_repair_stats",
     "homoglyph_spoof_stats",  # also covers token-less docs in the census
     "minhash_estimate_neardup",
-    # NOT semantic_dedup_keep / cosine_lsh_portable_neardup: their
-    # hyperplane-LSH is pinned to the production 64-dim embedding space
-    # (literal plane vectors on both engines), so the 4-dim fixture is
-    # structurally incompatible — NULL-embedding handling for that
-    # family is pinned by the psig NOT NULL filter (sqlfrags.py) and the
-    # NULL-cosine rerank, and the kmeans/LOF/DBSCAN entries above cover
-    # the NULL-vector class end-to-end.
+    # semantic_dedup_keep / cosine_lsh_portable_neardup are pinned to
+    # the production 64-dim embedding space (literal plane vectors on
+    # both engines) and so run on the DEDICATED 64-dim fixture below
+    # (adv_emb64_dir), not this 4-dim one.
 ]
 
 _EMB_QUERIES = [
@@ -277,4 +274,57 @@ def test_boundary_parity_documents(spark, adv_text_dir, name):
 def test_boundary_parity_embeddings(spark, adv_text_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_text_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+# 64-dim-pinned queries (VERDICT r6 #6): the hyperplane-LSH pair bakes
+# 64-dim plane literals into both engines, and the IVF oracles unnest
+# range(1,65) — structurally incompatible with the 4-dim fixture above,
+# so they get their own 64-dim corpus with the same NULL/degenerate
+# coverage that caught 9 divergences elsewhere.
+_EMB64_QUERIES = [
+    "semantic_dedup_keep",           # NULL vec -> singleton component
+    "cosine_lsh_portable_neardup",   # NULL vec forms no signature
+    "ivf_search_topk",               # NULL/zero vectors in probe + rerank
+    "ivf_centroid_assign",           # NULL vec ignored by centroid means
+]
+
+
+@pytest.fixture(scope="module")
+def adv_emb64_dir(tmp_path_factory):
+    """64-dim embeddings with a NULL vector (failed encoder), a ZERO
+    vector (0-norm cosine), an exact duplicate pair, an anti-parallel
+    vector, and a bridge vector linking two near-dup pairs into one
+    transitive component."""
+    d = tmp_path_factory.mktemp("adv_emb64_sf")
+
+    def vec(**at: float) -> str:
+        v = [0.0] * 64
+        for k, x in at.items():
+            v[int(k[1:])] = x
+        return "CAST([" + ", ".join(repr(x) for x in v) + "] AS FLOAT[])"
+
+    rows = [
+        f"(0, {vec(d0=1.0)}, 1)",                  # e0 — IVF query vec
+        f"(1, {vec(d0=1.0)}, 1)",                  # exact duplicate of 0
+        f"(2, {vec(d0=0.9, d1=0.436)}, 1)",        # cos ~0.9 with e0
+        f"(3, {vec(d1=1.0)}, 2)",                  # orthogonal to e0
+        f"(4, {vec(d0=0.7071, d1=0.7071)}, 2)",    # bridge: ~0.707 to both
+        "(5, CAST(NULL AS FLOAT[]), 3)",           # NULL embedding
+        f"(6, {vec()}, 3)",                        # zero vector (0 norm)
+        f"(7, {vec(d0=-1.0)}, 3)",                 # anti-parallel to e0
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {', '.join(rows)}) "
+        f"t(vec_id, embedding, label)) "
+        f"TO '{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EMB64_QUERIES)
+def test_boundary_parity_embeddings_64dim(spark, adv_emb64_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_emb64_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"

@@ -1,0 +1,78 @@
+"""Mechanics of the stale-green guard (tests/stale_green_check.py).
+
+The guard's OUTPUT changes every round as verdicts land, so these tests
+pin the machinery — reachability, docstring-insensitivity, git-state
+resolution — not the live stale list. One anchored regression: the
+round-7 hand-audited case (ivf queries reaching the rewritten
+``ivf_assign``) must be visible to the reachability walk.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stale_green_check import (  # noqa: E402
+    _PKG,
+    _FileInfo,
+    latest_verdicts,
+    reachable_symbols,
+    stale_green,
+    verified_states,
+)
+
+
+def test_reachability_crosses_files_via_imports():
+    """The ivf_assign situation: a query module's registered function
+    must reach the shared helper it imports from llmops.similarity —
+    otherwise a helper rewrite is invisible and the guard is useless."""
+    from convex_batch_processor_spark.queries import QUERIES
+
+    spec = QUERIES["ivf_search_topk"]
+    reach = reachable_symbols(spec.fn.__module__, spec.fn.__name__)
+    mods = {f"{m}.{s}" for m, s in reach}
+    assert f"{_PKG}.llmops.similarity.ivf_assign" in mods, sorted(mods)
+    # and the walk starts at the function itself
+    assert (spec.fn.__module__, spec.fn.__name__) in reach
+
+
+def test_fingerprints_ignore_docstrings_and_comments():
+    """Two sources whose only difference is comments/docstrings must
+    fingerprint identically; a code change must not."""
+    import ast
+
+    a = _FileInfo("def f(x):\n    '''old doc'''\n    return x + 1\n", "m")
+    b = _FileInfo("# new comment\ndef f(x):\n    '''NEW doc'''\n    return x + 1\n", "m")
+    c = _FileInfo("def f(x):\n    return x + 2\n", "m")
+    dump = lambda i: ast.dump(i.defs["f"], include_attributes=False)  # noqa: E731
+    assert dump(a) == dump(b)
+    assert dump(a) != dump(c)
+
+
+def test_verified_states_resolve_to_parent_commits():
+    """Every CORRECTNESS round maps to a 40-char commit hash — the
+    first parent of the commit that added the file (the code state the
+    driver actually ran)."""
+    states = verified_states()
+    assert set(states) >= {1, 2, 3, 4, 5, 6}
+    assert all(len(h) == 40 for h in states.values()), states
+
+
+def test_latest_verdict_wins():
+    """A name re-checked in a later round carries the later round."""
+    verdicts = latest_verdicts()
+    # minhash_estimate_neardup: rows-only in r3, hash-green in r6
+    assert verdicts["minhash_estimate_neardup"] == 6
+
+
+def test_stale_records_are_registered_and_explained():
+    """Every stale record names a registered query and at least one
+    changed symbol — the rotation builder consumes this list verbatim."""
+    from convex_batch_processor_spark.queries import QUERIES
+
+    for rec in stale_green():
+        assert rec["name"] in QUERIES, rec
+        assert rec["changed"], rec
+        assert rec["round"] >= 1

@@ -341,17 +341,35 @@ class BatchAccumulator:
 
     @staticmethod
     def _tombstoned(existing: set[str]) -> set[int]:
-        """Sequences whose batch document was deleted (lib.ts:300-337
-        deletes the batch doc itself, so the batch disappears from
-        getAllBatchesForBaseId). The epoch number lives immutably in the
-        checkpoint source log, so deletion is recorded as a
-        ``_deleted_{seq}`` marker file in staging; list_batches omits
-        marked sequences and delete_batch reports them not-found."""
+        """Sequences whose COMMITTED batch document was deleted
+        (lib.ts:300-337 deletes the batch doc itself, so the batch
+        disappears from getAllBatchesForBaseId). The epoch number lives
+        immutably in the checkpoint source log, so deletion is recorded
+        as a ``_deleted_{seq}`` marker file in staging; list_batches
+        omits marked sequences and delete_batch reports them not-found."""
         out: set[int] = set()
         for n in existing:
-            if n.startswith("_deleted_"):
+            if n.startswith("_deleted_") and not n.startswith("_deleted_acc_"):
                 try:
                     out.add(int(n[len("_deleted_"):]))
+                except ValueError:
+                    pass
+        return out
+
+    @staticmethod
+    def _acc_tombstoned(existing: set[str]) -> set[int]:
+        """Sequences whose EMPTY ACCUMULATING batch doc was deleted
+        (``_deleted_acc_{seq}`` markers). Unlike committed tombstones
+        these are conditional: they only suppress the accumulating entry
+        while it stays empty — the reference recreates the batch doc
+        when items arrive again, so staged files or an admitted epoch
+        under the same sequence void the marker (it is simply ignored
+        for any sequence other than the CURRENT empty next_seq)."""
+        out: set[int] = set()
+        for n in existing:
+            if n.startswith("_deleted_acc_"):
+                try:
+                    out.add(int(n[len("_deleted_acc_"):]))
                 except ValueError:
                     pass
         return out
@@ -435,7 +453,11 @@ class BatchAccumulator:
             if seq not in deleted  # deleted batch docs vanish (lib.ts:300-337)
         ]
         next_seq = max(by_epoch) + 1 if by_epoch else 0
-        out.append(entry(next_seq, self._pending_names(by_epoch, existing), "accumulating"))
+        pending = self._pending_names(by_epoch, existing)
+        # a deleted EMPTY accumulating batch stays hidden until items
+        # arrive again (the reference recreates the doc on the next add)
+        if pending or next_seq not in self._acc_tombstoned(existing):
+            out.append(entry(next_seq, pending, "accumulating"))
         return out
 
     def delete_batch(self, sequence: int) -> dict:
@@ -463,7 +485,20 @@ class BatchAccumulator:
         if sequence == next_seq:
             if self._count_staged(self._pending_names(by_epoch, existing)) > 0:
                 return {"deleted": False, "reason": "Cannot delete batch with pending items"}
-            return {"deleted": True}  # empty accumulating batch (lib.ts:323-325)
+            if sequence in self._acc_tombstoned(existing):
+                # already deleted and still empty — the doc is gone until
+                # items arrive and recreate it (lib.ts:304-306)
+                return {"deleted": False, "reason": "Batch not found"}
+            # empty accumulating batch (lib.ts:323-325): mark the doc
+            # deleted; staged items or a flush under this sequence void
+            # the marker (the reference recreates the doc on re-add)
+            fsutil.write_text(
+                self.spark,
+                os.path.join(self.staging_dir, f"_deleted_acc_{sequence}"),
+                "",
+                overwrite=True,
+            )
+            return {"deleted": True}
         for name in by_epoch.get(sequence, set()) & existing:
             fsutil.delete(self.spark, os.path.join(self.staging_dir, name))
         # tombstone AFTER the item deletes: the batch doc disappears from

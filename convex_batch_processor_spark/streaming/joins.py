@@ -55,8 +55,9 @@ def interval_join(
     joined = l.join(r, cond, how)
     # Semi/anti joins emit ONLY left-side columns — the coalesce/select
     # projection below references r-side columns that don't exist in
-    # their output and would raise AnalysisException
-    if how in ("left_semi", "semi", "leftsemi", "left_anti", "anti", "leftanti"):
+    # their output and would raise AnalysisException. Spark's join-type
+    # parsing is case-insensitive and underscore-insensitive; match it.
+    if how.lower().replace("_", "") in ("leftsemi", "semi", "leftanti", "anti"):
         return joined
     # ONE surviving key column via coalesce, not drop(r.key): under
     # right/full outer, a right-only row has l.key NULL — dropping r.key

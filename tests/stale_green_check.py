@@ -36,6 +36,10 @@ Usage:
     python tests/stale_green_check.py                # prioritized names
     python tests/stale_green_check.py --explain      # + changed symbols
     python tests/stale_green_check.py --limit 48     # top-N for a window
+    python tests/stale_green_check.py --next-window  # propose the next
+        50-slot rotation: assumes the CURRENT first-50 window gets fresh
+        verdicts on this round's final head, fills slots with the oldest
+        stale names, then pads with the oldest-verdict fresh names
 """
 
 from __future__ import annotations
@@ -127,7 +131,14 @@ def _strip_docstrings(tree: ast.AST) -> ast.AST:
 
 
 class _FileInfo:
-    """Top-level structure of one file at one git state."""
+    """Top-level structure of one file at one git state.
+
+    Imports are collected from the WHOLE tree (function-local imports are
+    a common in-repo pattern for lazy llmops loading) and attached at
+    module scope — an over-approximation that can only widen a query's
+    reach, never hide a dependency. Assign targets record only plain
+    names: an attribute target like ``fn.__doc__ = ...`` must not
+    clobber the FunctionDef entry for ``fn``."""
 
     def __init__(self, source: str, module: str):
         tree = _strip_docstrings(ast.parse(source))
@@ -135,6 +146,8 @@ class _FileInfo:
         # alias -> dotted module (module imports) / (module, symbol)
         self.mod_imports: dict[str, str] = {}
         self.sym_imports: dict[str, tuple[str, str]] = {}
+        # root name -> full dotted modules bound via plain `import a.b.c`
+        self.dotted_imports: dict[str, set[str]] = {}
         pkg_parts = module.split(".")[:-1] if not _MODULES.get(
             module, "").endswith("__init__.py") else module.split(".")
         for node in tree.body:
@@ -143,16 +156,25 @@ class _FileInfo:
                 self.defs[node.name] = node
             elif isinstance(node, ast.Assign):
                 for t in node.targets:
-                    for n in ast.walk(t):
-                        if isinstance(n, ast.Name):
-                            self.defs[n.id] = node
+                    if isinstance(t, ast.Name):
+                        self.defs[t.id] = node
+                    elif isinstance(t, (ast.Tuple, ast.List)):
+                        for el in t.elts:
+                            if isinstance(el, ast.Name):
+                                self.defs[el.id] = node
             elif isinstance(node, ast.AnnAssign) and isinstance(
                     node.target, ast.Name):
                 self.defs[node.target.id] = node
-            elif isinstance(node, ast.Import):
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
                 for a in node.names:
-                    if a.name.startswith(_PKG):
-                        self.mod_imports[a.asname or a.name.split(".")[0]] = a.name
+                    if not a.name.startswith(_PKG):
+                        continue
+                    if a.asname:
+                        self.mod_imports[a.asname] = a.name
+                    else:  # binds the root; usage is the full dotted chain
+                        self.dotted_imports.setdefault(
+                            a.name.split(".")[0], set()).add(a.name)
             elif isinstance(node, ast.ImportFrom):
                 if node.level:
                     base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
@@ -216,12 +238,21 @@ def reachable_symbols(module: str, symbol: str) -> set[tuple[str, str]]:
             continue
         seen.add((mod, sym))
         used: set[str] = set()
-        attr_roots: dict[str, set[str]] = {}
+        # root name -> attribute chains hung off it, e.g. a.b.c() on
+        # Name 'a' records ('b', 'c') — needed for both `import pkg.x`
+        # (full dotted usage) and plain module aliases
+        chains: dict[str, set[tuple[str, ...]]] = {}
         for n in ast.walk(node):
             if isinstance(n, ast.Name):
                 used.add(n.id)
-            elif isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
-                attr_roots.setdefault(n.value.id, set()).add(n.attr)
+            elif isinstance(n, ast.Attribute):
+                parts: list[str] = []
+                cur: ast.AST = n
+                while isinstance(cur, ast.Attribute):
+                    parts.append(cur.attr)
+                    cur = cur.value
+                if isinstance(cur, ast.Name):
+                    chains.setdefault(cur.id, set()).add(tuple(reversed(parts)))
         for u in used:
             if u != sym and u in info.defs:
                 todo.append((mod, u))
@@ -229,8 +260,19 @@ def reachable_symbols(module: str, symbol: str) -> set[tuple[str, str]]:
                 todo.append(info.sym_imports[u])
             elif u in info.mod_imports:
                 target_mod = info.mod_imports[u]
-                for attr in attr_roots.get(u, ()):
-                    todo.append((target_mod, attr))
+                for chain in chains.get(u, ()):
+                    if chain:
+                        todo.append((target_mod, chain[0]))
+            if u in info.dotted_imports:
+                # plain `import a.b.c`: usage looks like a.b.c.sym — match
+                # the longest imported module prefix, next attr = symbol
+                for chain in chains.get(u, ()):
+                    full = (u, *chain)
+                    for dotted in info.dotted_imports[u]:
+                        dparts = tuple(dotted.split("."))
+                        if (len(full) > len(dparts)
+                                and full[: len(dparts)] == dparts):
+                            todo.append((dotted, full[len(dparts)]))
     return seen
 
 
@@ -283,11 +325,46 @@ def stale_green() -> list[dict]:
     return out
 
 
+def next_window(size: int = 50) -> list[str]:
+    """Propose the next round's rotation list: the current first-``size``
+    window is assumed freshly verified (the driver records its verdicts
+    against this round's final head), remaining slots go to the oldest
+    stale-green names, then — if capacity remains — to the
+    oldest-verdict fresh names as freshness refreshes. Only oracle-backed
+    names are proposed (a rows-only slot records no hash verdict)."""
+    if _REPO not in sys.path:
+        sys.path.insert(0, _REPO)
+    from convex_batch_processor_spark.queries import QUERIES
+
+    current = set(list(QUERIES)[:size])
+    verdicts = latest_verdicts()
+    out: list[str] = []
+    for rec in stale_green():
+        n = rec["name"]
+        if n not in current and QUERIES[n].oracle:
+            out.append(n)
+        if len(out) == size:
+            return out
+    stale_names = set(out)
+    fresh = sorted(
+        (n for n in QUERIES
+         if n not in current and n not in stale_names
+         and n in verdicts and QUERIES[n].oracle),
+        key=lambda n: (verdicts[n], n),
+    )
+    out.extend(fresh[: size - len(out)])
+    return out
+
+
 def main() -> None:
     explain = "--explain" in sys.argv
     limit = None
     if "--limit" in sys.argv:
         limit = int(sys.argv[sys.argv.index("--limit") + 1])
+    if "--next-window" in sys.argv:
+        for n in next_window():
+            print(n)
+        return
     stale = stale_green()
     if not stale:
         print("no stale-green queries — every verdict covers HEAD")

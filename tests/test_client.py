@@ -220,6 +220,44 @@ def test_get_all_batches_and_delete_batch_lifecycle(spark, tmp_path):
     assert bp.delete_batch("events::7") == {"deleted": False, "reason": "Batch not found"}
 
 
+def test_delete_empty_accumulating_batch_hides_until_items_return(spark, tmp_path):
+    """Review r7: deleting the EMPTY accumulating batch must behave like
+    the reference's doc delete — the batch disappears from the listing,
+    a second delete reports not-found — and the doc is recreated when
+    items arrive again (lib.ts:304-306, 323-325)."""
+    reg = HandleRegistry()
+    reg.add("noopFlush", lambda df, ep: None)
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.accumulator("ev", EVENT_SCHEMA, "noopFlush")
+    bp.add_items("ev", [{"eventName": "a", "timestamp": 1}])
+    assert bp.flush("ev") is True
+
+    # delete the empty accumulating batch (sequence 1)
+    assert bp.delete_batch("ev::1") == {"deleted": True}
+    assert [(b["sequence"], b["status"]) for b in bp.get_all_batches_for_base_id("ev")] == [
+        (0, "completed"),
+    ]
+    # second delete: the doc is gone
+    assert bp.delete_batch("ev::1") == {"deleted": False, "reason": "Batch not found"}
+
+    # items arriving recreate the accumulating doc under the same sequence
+    bp.add_items("ev", [{"eventName": "b", "timestamp": 2}])
+    batches = bp.get_all_batches_for_base_id("ev")
+    assert [(b["sequence"], b["status"], b["item_count"]) for b in batches] == [
+        (0, "completed", 1),
+        (1, "accumulating", 1),
+    ]
+    # and the recreated batch flushes into a visible completed epoch —
+    # the stale accumulating marker must not hide it
+    assert bp.flush("ev") is True
+    batches = bp.get_all_batches_for_base_id("ev")
+    assert [(b["sequence"], b["status"]) for b in batches] == [
+        (0, "completed"),
+        (1, "completed"),
+        (2, "accumulating"),
+    ]
+
+
 def test_empty_accumulating_batch_reports_concrete_timestamps(spark, tmp_path):
     """An empty accumulating batch (no staged files, no flush-history
     row for its sequence) must still carry concrete created_at /

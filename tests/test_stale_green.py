@@ -38,6 +38,31 @@ def test_reachability_crosses_files_via_imports():
     assert (spec.fn.__module__, spec.fn.__name__) in reach
 
 
+def test_reachability_follows_function_local_imports():
+    """Review r7 finding: lazy in-function imports (a common in-repo
+    pattern for llmops loading) must be visible — grouped_map_zscore
+    imports group_zscore INSIDE the function body."""
+    from convex_batch_processor_spark.queries import QUERIES
+
+    spec = QUERIES["grouped_map_zscore"]
+    reach = reachable_symbols(spec.fn.__module__, spec.fn.__name__)
+    mods = {f"{m}.{s}" for m, s in reach}
+    assert f"{_PKG}.llmops.groupedmap.group_zscore" in mods, sorted(mods)
+
+
+def test_attribute_assign_does_not_clobber_function_defs():
+    """Review r7 finding: ``fn.__doc__ = ...`` at module level must not
+    replace fn's FunctionDef entry — cosine_lsh_portable_neardup does
+    exactly this and must still reach its llmops pipeline."""
+    from convex_batch_processor_spark.queries import QUERIES
+
+    spec = QUERIES["cosine_lsh_portable_neardup"]
+    reach = reachable_symbols(spec.fn.__module__, spec.fn.__name__)
+    mods = {f"{m}.{s}" for m, s in reach}
+    assert f"{_PKG}.llmops.similarity.cosine_neardup_pairs_portable" in mods, (
+        sorted(mods))
+
+
 def test_fingerprints_ignore_docstrings_and_comments():
     """Two sources whose only difference is comments/docstrings must
     fingerprint identically; a code change must not."""

@@ -190,3 +190,9 @@ def test_interval_join_semi_and_anti_emit_left_side_only(spark):
     anti = interval_join(left, right, "k", "l_ts", "r_ts", how="left_anti")
     assert anti.columns == ["k", "l_ts", "l_what"]
     assert [r.k for r in anti.collect()] == [2]
+
+    # Spark's join-type parsing is case/underscore-insensitive — the
+    # guard must match it, not just the lowercase spellings
+    upper = interval_join(left, right, "k", "l_ts", "r_ts", how="LEFT_SEMI")
+    assert upper.columns == ["k", "l_ts", "l_what"]
+    assert [r.k for r in upper.collect()] == [1]

@@ -153,14 +153,22 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_functions_pack",
+    # the COALESCE-under-NULL-guard mirrors Spark's array_join: an EMPTY
+    # list joins to '' (DuckDB's array_to_string returns NULL for it —
+    # found by the crafted star fixture's empty-text docs) while a NULL
+    # list stays NULL on both engines
     oracle="""
     WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
                FROM documents WHERE doc_id < 30)
     SELECT doc_id,
            len(toks) AS n_toks,
            list_contains(toks, 'the') AS has_the,
-           array_to_string(list_sort(list_slice(toks, 1, 5)), ',') AS first5_sorted,
-           array_to_string(list_slice(toks, 1, 3), '-') AS head3,
+           CASE WHEN toks IS NULL THEN NULL ELSE
+               COALESCE(array_to_string(list_sort(list_slice(toks, 1, 5)), ','), '')
+           END AS first5_sorted,
+           CASE WHEN toks IS NULL THEN NULL ELSE
+               COALESCE(array_to_string(list_slice(toks, 1, 3), '-'), '')
+           END AS head3,
            list_distinct(list_slice(toks, 1, 10)) IS NOT NULL AS distinct_ok,
            len(list_distinct(toks)) AS n_unique
     FROM t

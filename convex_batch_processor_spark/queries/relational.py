@@ -578,11 +578,19 @@ def scalar_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_props",
+    # json_valid + TRY_CAST mirror Spark's from_json semantics on
+    # degenerate inputs: malformed JSON and untyped field values yield
+    # NULL (DuckDB's bare json_extract_string ERRORS on malformed JSON —
+    # found by the crafted star fixture's 'not json' row)
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(SUM(CASE WHEN json_valid(props) THEN
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+               AS BIGINT) AS sum_k,
+           CAST(MAX(CASE WHEN json_valid(props) THEN
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+               AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
 )

@@ -328,3 +328,162 @@ def test_boundary_parity_embeddings_64dim(spark, adv_emb64_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_emb64_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# Round-7 extension: a full crafted STAR corpus so the relational/TPC-H
+# core gets the same adversarial treatment the events/documents packs
+# have. Boundary cases: customers with no orders (anti-join), an order
+# with no lineitems, zero quantities/prices, a 100% discount, negative
+# and zero account balances, duplicate (price, date) top-k ties, a
+# never-ordered part, a supplier that ships nothing, same-day duplicate
+# orders, year-boundary dates, NULL and MALFORMED JSON props, NULL
+# event values, empty/NULL/duplicate document texts. First probe found
+# two real oracle divergences (DuckDB array_to_string([]) -> NULL vs
+# Spark '' ; DuckDB json_extract ERRORS on malformed JSON vs Spark
+# NULL), both fixed in the oracles. The name list is the machine-derived
+# round-8 window (NOTES) — the queries about to be re-verified.
+_STAR_QUERIES = [
+    "a3_next_sequence", "agg_having", "array_functions_pack",
+    "collect_list_agg", "distinct_agg", "exact_percentiles",
+    "f4_backoff_schedule", "grouping_sets_pricing", "j1_per_key_agg_join",
+    "j2_anti_not_exists", "j2_semi_exists", "json_extract_props",
+    "o2_topk_orders", "p1_projection_view", "p4_status_guard_branch",
+    "p5_batch_id_roundtrip", "q10_returned_items",
+    "q18_large_volume_customer", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "s1_point_lookup", "s2_snapshot_range_scan",
+    "s3_key_collect", "scalar_datetime_math", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all",
+    "topk_per_group", "u1_union_views", "u2_explode_tokens",
+    "w1_retention_doomed", "w2_latest_per_key", "correlated_avg_filter",
+    "date_arithmetic", "dedup_keep_best", "neardup_components",
+    "q11_important_part_value", "q12_shipping_delay_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q20_excess_shippers",
+    "q21_waiting_supplier", "q22_dormant_customer_balance",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_star_dir(tmp_path_factory):
+    """Crafted TPC-H-shaped star with the production schema (doubles,
+    not the DECIMALs DuckDB infers from bare literals — a DECIMAL
+    l_extendedprice silently changes quantile_cont's result type)."""
+    d = tmp_path_factory.mktemp("adv_star_sf")
+    con = duckdb.connect()
+
+    def copy(table: str, sql: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{d}/{table}.parquet' (FORMAT PARQUET)")
+
+    copy("region", "SELECT * FROM (VALUES (0,'AMERICA'),(1,'ASIA')) "
+                   "t(r_regionkey, r_name)")
+    copy("nation", "SELECT * FROM (VALUES (0,'BRAZIL',0),(1,'CANADA',0),"
+                   "(2,'JAPAN',1),(3,'INDIA',1)) "
+                   "t(n_nationkey, n_name, n_regionkey)")
+    copy("customer", """
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM (VALUES
+            (CAST(1 AS BIGINT),'Customer#000000001',0, 100.50,'BUILDING'),
+            (2,'Customer#000000002',1, -50.25,'AUTOMOBILE'),
+            (3,'Customer#000000003',2, 0.00,'BUILDING'),
+            (4,'Customer#000000004',3, 999.99,'MACHINERY'),
+            (5,'Customer#000000005',0, 100.50,'BUILDING'),
+            (6,'Customer#000000006',2, 10.10,'HOUSEHOLD')
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    copy("supplier", """
+        SELECT s_suppkey, s_name, s_nationkey,
+               CAST(s_acctbal AS DOUBLE) AS s_acctbal
+        FROM (VALUES
+            (CAST(1 AS BIGINT),'Supplier#000000001',0,500.00),
+            (2,'Supplier#000000002',1,-10.00),
+            (3,'Supplier#000000003',2,0.00),
+            (4,'Supplier#000000004',3,500.00)
+        ) t(s_suppkey, s_name, s_nationkey, s_acctbal)""")
+    copy("part", """
+        SELECT p_partkey, p_name, p_brand, p_type, p_size,
+               CAST(p_retailprice AS DOUBLE) AS p_retailprice
+        FROM (VALUES
+            (CAST(1 AS BIGINT),'green metal box','Brand#12','SMALL PLATED COPPER',5,100.00),
+            (2,'red shiny case','Brand#23','MEDIUM BRUSHED STEEL',15,0.00),
+            (3,'promo steel thing','Brand#12','PROMO ANODIZED TIN',25,55.55),
+            (4,'blue thing','Brand#34','LARGE POLISHED NICKEL',50,1000.00),
+            (5,'green metal box','Brand#12','SMALL PLATED COPPER',5,100.00)
+        ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)""")
+    copy("orders", """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM (VALUES
+            (CAST(1 AS BIGINT),CAST(1 AS BIGINT),'O',100.00,TIMESTAMP '2024-01-01 00:00:00','1-URGENT'),
+            (2,1,'F',200.00,TIMESTAMP '2024-01-01 00:00:00','5-LOW'),
+            (3,2,'O',0.00,TIMESTAMP '2024-02-15 00:00:00','3-MEDIUM'),
+            (4,2,'P',300.75,TIMESTAMP '2024-03-01 00:00:00','2-HIGH'),
+            (5,6,'F',150.00,TIMESTAMP '2024-03-01 00:00:00','1-URGENT'),
+            (6,6,'O',150.00,TIMESTAMP '2024-03-01 00:00:00','1-URGENT'),
+            (7,1,'F',50.00,TIMESTAMP '2023-12-31 00:00:00','4-NOT SPECIFIED'),
+            (8,5,'O',9999.99,TIMESTAMP '2024-06-30 00:00:00','1-URGENT')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    copy("lineitem", """
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+               CAST(l_quantity AS DOUBLE) AS l_quantity,
+               CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+               CAST(l_discount AS DOUBLE) AS l_discount,
+               CAST(l_tax AS DOUBLE) AS l_tax,
+               l_returnflag, l_linestatus, l_shipdate
+        FROM (VALUES
+            (CAST(1 AS BIGINT),CAST(1 AS BIGINT),CAST(1 AS BIGINT),1,17.0,100.00,0.00,0.00,'N','O',TIMESTAMP '2024-01-05 00:00:00'),
+            (1,3,2,2, 0.0, 55.55,0.05,0.08,'N','O',TIMESTAMP '2024-01-06 00:00:00'),
+            (2,2,2,1, 36.0, 0.00,1.00,0.00,'R','F',TIMESTAMP '2024-01-10 00:00:00'),
+            (2,1,1,2, 5.0, 20.00,0.10,0.02,'A','F',TIMESTAMP '2024-01-10 00:00:00'),
+            (3,3,3,1, 50.0, 500.00,0.02,0.04,'N','O',TIMESTAMP '2024-02-20 00:00:00'),
+            (4,1,1,1, 2.0, 10.00,0.07,0.00,'N','O',TIMESTAMP '2024-03-05 00:00:00'),
+            (5,3,3,1, 30.0, 333.33,0.05,0.05,'R','F',TIMESTAMP '2024-03-02 00:00:00'),
+            (6,2,2,1, 30.0, 333.33,0.05,0.05,'R','F',TIMESTAMP '2024-03-02 00:00:00'),
+            (7,1,1,1, 1.0, 1.99,0.00,0.00,'A','F',TIMESTAMP '2023-12-31 00:00:00')
+        ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag,
+            l_linestatus, l_shipdate)""")
+    copy("events", """
+        SELECT event_id, ts, user_id, event_type,
+               CAST(value AS DOUBLE) AS value, props
+        FROM (VALUES
+            (CAST(1 AS BIGINT), TIMESTAMP '2024-01-05 00:00:00', CAST(7 AS BIGINT), 'view',     10.00, '{"k": 1}'),
+            (2, TIMESTAMP '2024-01-05 06:00:00', 7, 'click',    20.25, '{"k": 2}'),
+            (3, TIMESTAMP '2024-01-05 06:00:00', 7, 'purchase', 30.50, '{"k": 3}'),
+            (4, TIMESTAMP '2024-01-06 00:00:00', 7, 'purchase', NULL,  '{"k": 4}'),
+            (5, TIMESTAMP '2024-01-05 10:00:00', 8, 'view',     1.00,  '{"k": 5}'),
+            (6, TIMESTAMP '2024-01-05 10:30:00', 8, 'purchase', 2.00,  '{"k": 6}'),
+            (7, TIMESTAMP '2024-02-20 00:00:00', 8, 'purchase', 3.00,  '{"k": 7}'),
+            (8, TIMESTAMP '2024-02-20 00:00:00', 8, 'purchase', 4.00,  '{"k": 8}'),
+            (9, TIMESTAMP '2024-01-07 12:00:00', 9, 'signup',   NULL,  NULL),
+            (10, TIMESTAMP '2024-01-08 12:00:00', 9, 'error',   5.75,  'not json'),
+            (11, TIMESTAMP '2024-01-08 12:05:00', 9, 'view',    1.25,  '{"k": 11, "nested": {"x": 2}}')
+        ) t(event_id, ts, user_id, event_type, value, props)""")
+    copy("documents", """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), '', 'en', 'web', CAST(0 AS BIGINT)),
+            (1, 'one', 'en', 'web', 3),
+            (2, 'a b c d e f g', 'en', 'web', 13),
+            (3, 'a b c d e f g', 'de', 'book', 13),
+            (4, 'x  y   z', 'en', 'web', 8),
+            (5, 'the the the the the the the the', 'en', 'web', 31),
+            (6, '', 'de', 'book', 0),
+            (7, NULL, 'en', 'web', NULL)
+        ) t(doc_id, text, lang, source, n_chars)""")
+    copy("embeddings", """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+            (1, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+            (2, CAST(NULL AS FLOAT[]), 2)
+        ) t(vec_id, embedding, label)""")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _STAR_QUERIES)
+def test_boundary_parity_star(spark, adv_star_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_star_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

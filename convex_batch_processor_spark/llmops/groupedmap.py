@@ -41,16 +41,23 @@ def group_zscore(
     def normalize(pdf):
         import math
 
-        iv = (pdf[value_col] * 100).round().astype("int64")
+        # NULL values arrive as NaN in the Arrow batch; nullable Float64
+        # turns them back into <NA> so they (a) don't crash the int64
+        # cast and (b) round-trip to SQL NULL, matching the oracle where
+        # SUM skips NULLs but COUNT(*) counts the rows and a NULL value's
+        # z-score is NULL
+        vals = pdf[value_col].astype("Float64")
+        good = vals.dropna().astype("float64")
+        iv = (good * 100).round().astype("int64")
         n = len(pdf)
         s = int(iv.sum())
         s2 = int((iv * iv).sum())
         mean = s / (100.0 * n)
         var = (s2 / 10000.0 - (n * mean) * mean) / (n - 1.0) if n > 1 else 0.0
         if var > 0:
-            z = ((pdf[value_col] - mean) / math.sqrt(var)).round(6)
+            z = ((vals - mean) / math.sqrt(var)).round(6)
         else:
-            z = pdf[value_col] * 0.0
-        return pdf[[key_col, id_col, value_col]].assign(zscore=z)
+            z = vals * 0.0
+        return pdf[[key_col, id_col]].assign(**{value_col: vals, "zscore": z})
 
     return df.select(key_col, id_col, value_col).groupBy(key_col).applyInPandas(normalize, schema)

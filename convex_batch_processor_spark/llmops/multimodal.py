@@ -754,7 +754,16 @@ def attach_warc_payload(
             out = {"doc_id": [], "payload": [], "meta": []}
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 did = int(doc_id)
-                body = ("" if text is None else str(text)).encode("utf-8")
+                if text is None or text is pd.NA or (
+                        isinstance(text, float) and pd.isna(text)):
+                    # NULL text (failed fetch / tombstone) -> NULL payload,
+                    # kept row — the package-wide convention; silently
+                    # packing an EMPTY archive would fabricate content
+                    out["doc_id"].append(did)
+                    out["payload"].append(None)
+                    out["meta"].append(None)
+                    continue
+                body = str(text).encode("utf-8")
                 info = record("warcinfo", did * 2, b"software: cbps-spark\r\n")
                 resp = record("response", did * 2 + 1, body)
                 warc = gzip.compress(info, 6) + gzip.compress(resp, 6)

@@ -18,9 +18,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 @register(
     "warc_extract_stats",
+    # every predicted column is NULL-guarded: a NULL text packs to a NULL
+    # payload (kept row), so the decoder's features are NULL — the bare
+    # constant 2 fabricated records for NULL docs (star-fixture find)
     oracle="""
     SELECT doc_id,
-           CAST(2 AS INTEGER) AS n_records,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(2 AS INTEGER) END AS n_records,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS response_bytes,
            md5(text) AS body_md5
     FROM documents

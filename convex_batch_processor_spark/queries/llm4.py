@@ -418,8 +418,16 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(q), "event_type")
         .groupBy("event_type", "p01", "p99")
         .agg(
-            F.sum((F.col("value") < F.col("p01")).cast("long")).alias("n_low"),
-            F.sum((F.col("value") > F.col("p99")).cast("long")).alias("n_high"),
+            # when/otherwise(0), not a bare boolean cast: a NULL value is
+            # never clamped, so it must count 0 — the bare cast yields
+            # NULL and an all-NULL group would sum to NULL instead of 0
+            # (the oracle's CASE ... ELSE 0 already says 0)
+            F.sum(
+                F.when(F.col("value") < F.col("p01"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_low"),
+            F.sum(
+                F.when(F.col("value") > F.col("p99"), F.lit(1)).otherwise(F.lit(0))
+            ).cast("long").alias("n_high"),
             F.count(F.lit(1)).alias("n"),
         )
     )

@@ -96,8 +96,8 @@ def auc_quantity_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hist
     )
     SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
-           round(CAST(-SUM(p * CAST(lnp AS DECIMAL(18,9))
-                           + (c - p) * CAST(lnq AS DECIMAL(18,9))) AS DOUBLE)
+           round(CAST(-SUM(p * CAST(lnp AS DECIMAL(12,9))
+                           + (c - p) * CAST(lnq AS DECIMAL(12,9))) AS DOUBLE)
                  / SUM(c), 9) AS logloss
     FROM terms
     """,
@@ -117,12 +117,17 @@ def logloss_quantity_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c"),
         F.sum((F.col("l_returnflag") == "R").cast("long")).alias("p"),
     )
+    # decimal(12,9), NOT (18,9): a long count is decimal(20,0), and
+    # 20+18+1 = 39 > 38 forces Spark's precision-loss mode, which rounds
+    # every product to scale 8 (star-fixture find — a 1e-8 drift the
+    # 9-dp final round can expose); 20+12+1 = 33 keeps products exact,
+    # and |ln| < 1000 fits (12,9) with room
     lnp = F.round(F.log((F.col("p") + 1.0) / (F.col("c") + 2.0)), 9).cast(
-        "decimal(18,9)"
+        "decimal(12,9)"
     )
     lnq = F.round(
         F.log((F.col("c") - F.col("p") + 1.0) / (F.col("c") + 2.0)), 9
-    ).cast("decimal(18,9)")
+    ).cast("decimal(12,9)")
     terms = hist.select("c", "p", lnp.alias("lnp"), lnq.alias("lnq"))
     return terms.agg(
         F.sum("c").cast("long").alias("n_rows"),

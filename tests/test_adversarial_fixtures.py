@@ -487,3 +487,59 @@ def test_boundary_parity_star(spark, adv_star_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_star_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# Broad sweep: every other oracle-backed query that reads only star
+# tables (embeddings excluded — several oracles pin the production
+# 64-dim space). The first probe of this list found FOUR more real
+# defects: group_zscore CRASHED on NULL values (IntCastingNaNError in
+# the pandas UDF), winsorize summed NULL comparisons to NULL where the
+# oracle says 0, attach_warc_payload silently packed NULL text as an
+# EMPTY archive (now NULL payload -> NULL features), and
+# logloss_quantity_model lost 1e-8 to Spark's decimal precision-loss
+# mode (long x decimal(18,9) needs precision 39 -> products rounded to
+# scale 8; narrowed to decimal(12,9)).
+_STAR_QUERIES_BROAD = [
+    "quantile_normalize_values", "jaro_winkler_linkage",
+    "fellegi_sunter_weights", "langid_confusion_matrix",
+    "voptimal_cost_curve", "equiwidth_vs_voptimal", "join_order_advisor",
+    "cidr_zone_lookup", "window_rank_lag_running", "window_moving_avg",
+    "cube_pricing", "rollup_year_priority", "pivot_status_qty",
+    "s11_delete_anti_join", "s10_state_upsert", "tumbling_window_counts",
+    "sliding_window_counts", "f6_null_coalesce_guards",
+    "window_distribution", "window_range_frame", "funnel_conversion",
+    "retention_cohorts", "value_histogram",
+    "rolling_weekly_active_users", "event_type_transitions",
+    "new_vs_returning_users", "winsorize_event_values",
+    "audio_decode_features", "ccnet_perplexity_buckets",
+    "token_budget_allocation", "cms_heavy_hitters",
+    "hll_distinct_by_lang", "bloom_decontamination_prefilter",
+    "image_decode_features", "video_frame_stats", "mixture_weights_sqrt",
+    "source_cap_sample", "session_window_agg", "sampled_by_lang",
+    "lang_source_profile", "grouped_map_zscore",
+    "stratified_sample_systematic", "training_data_pipeline",
+    "training_mix_report", "training_pipeline_v2", "lm_trigram_quality",
+    "sql_api_revenue_by_nation", "unpivot_doc_metrics",
+    "string_functions", "scalar_subquery_filter", "q6_forecast_revenue",
+    "q2_min_cost_supplier", "q8_market_share",
+    "q4_priority_with_late_lines", "q9_product_type_profit",
+    "sessionize_events", "hll_union_sources", "dq_constraint_report",
+    "pagerank_event_graph", "supplier_triangles", "neyman_allocation",
+    "market_basket_rules", "label_propagation_communities",
+    "vocab_entropy_by_source", "keyset_page_orders",
+    "price_quantity_correlation", "histogram_median_price",
+    "ols_trend_daily_revenue", "rrf_fusion_topk", "gini_by_segment",
+    "join_size_estimate_cms", "best_split_information_gain",
+    "pareto_front_parts", "linear_attribution_credit",
+    "png_decode_features", "warc_extract_stats",
+    "auc_quantity_returnflag", "logloss_quantity_model",
+    "ols_price_normal_eq", "calibration_bins", "calibration_ece_brier",
+    "bfs_hop_distance", "target_encode_brand",
+]
+
+
+@pytest.mark.parametrize("name", _STAR_QUERIES_BROAD)
+def test_boundary_parity_star_broad(spark, adv_star_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_star_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

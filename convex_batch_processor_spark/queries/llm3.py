@@ -426,11 +426,15 @@ def _semdedup_kmeans_oracle(
     WITH RECURSIVE {kmeans_ctes(k, n_iter, dim)},
     assign AS MATERIALIZED ({kmeans_assign(n_iter, dim)}),
     prs AS MATERIALIZED (
+        -- env, not e: a NULL vector's cosine is NULL on both engines and
+        -- can never pass the threshold, so it forms no pairs and stays a
+        -- singleton component (DuckDB's list_dot_product would error on
+        -- the NULL-element list before the comparison could say false)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM assign a
         JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
-        JOIN e ea ON ea.vec_id = a.vec_id
-        JOIN e eb ON eb.vec_id = b.vec_id
+        JOIN env ea ON ea.vec_id = a.vec_id
+        JOIN env eb ON eb.vec_id = b.vec_id
         WHERE {cos} > {threshold}),
     edges AS (
         SELECT id_a AS a, id_b AS b FROM prs
@@ -480,11 +484,18 @@ def _pq_oracle(m: int = 8, k: int = 16, n_iter: int = 3, dim: int = 64) -> str:
         "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
     ]
     for j in range(m):
+        # e{j} keeps ALL rows (a NULL vector encodes to code 0 per
+        # subspace with NULL distance — the guarded d2 tiebreak);
+        # env{j} feeds training, mirroring kmeans_fit's isNotNull filter
         ctes.append(
             f"e{j} AS MATERIALIZED (SELECT vec_id, "
             f"list_slice(v, {j * sub + 1}, {j * sub + sub}) AS v FROM e)"
         )
-        ctes.append(kmeans_chain(k, n_iter, sub, src=f"e{j}", prefix=f"s{j}"))
+        ctes.append(
+            f"env{j} AS MATERIALIZED (SELECT vec_id, v FROM e{j} "
+            f"WHERE v IS NOT NULL)"
+        )
+        ctes.append(kmeans_chain(k, n_iter, sub, src=f"env{j}", prefix=f"s{j}"))
         ctes.append(f"""b{j} AS MATERIALIZED (
         SELECT vec_id, code{j}, d{j} FROM (
             SELECT e.vec_id, c.cluster_id AS code{j}, {d2} AS d{j},

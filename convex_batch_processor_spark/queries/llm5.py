@@ -517,7 +517,11 @@ def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
     # (list_dot_product(w, w) alone uses w twice) — inlining would blow
     # the query tree up 2^n_iter before a single row is scanned.
     ctes = [
-        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        # isNotNull mirrors pca_power_top_component's input filter: a NULL
+        # vector would expand to a list OF NULLs in xc and error
+        # list_dot_product; Spark never feeds it to the iteration either
+        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x "
+        "FROM embeddings WHERE embedding IS NOT NULL)",
         f"""mu AS MATERIALIZED (SELECT list(m ORDER BY i) AS m FROM (
             SELECT i, round(avg(x[i]), 6) AS m
             FROM e, unnest(range(1, {d1})) AS t(i) GROUP BY 1))""",

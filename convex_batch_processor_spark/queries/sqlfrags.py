@@ -10,12 +10,19 @@ lesson — llm5 importing llm2 pushed llm2's 13 queries into the window).
 def kmeans_d2(dim: int = 64) -> str:
     """Squared-L2 distance between a corpus row ``e`` and a centroid row
     ``c`` — list_dot_product of the diff with itself, the proven bit-exact
-    twin of Spark's sequential zip_with/aggregate fold."""
+    twin of Spark's sequential zip_with/aggregate fold.
+
+    NULL-guarded: a NULL vector's list_transform yields a list OF NULLs,
+    which list_dot_product rejects outright — the guard returns NULL
+    instead (CASE is lazy), mirroring Spark's NULL zip_with fold, so
+    assignment CTEs can run over the FULL corpus and a NULL vector falls
+    to the cluster_id tiebreak with a NULL distance (the verified
+    ivf_centroid_assign convention)."""
     d1 = dim + 1
     return (
-        f"list_dot_product("
+        f"CASE WHEN e.v IS NULL THEN NULL ELSE list_dot_product("
         f"list_transform(range(1, {d1}), i -> e.v[i] - c.centroid[i]), "
-        f"list_transform(range(1, {d1}), i -> e.v[i] - c.centroid[i]))"
+        f"list_transform(range(1, {d1}), i -> e.v[i] - c.centroid[i])) END"
     )
 
 
@@ -57,11 +64,16 @@ def kmeans_chain(
 
 
 def kmeans_ctes(k: int = 8, n_iter: int = 4, dim: int = 64) -> str:
-    """``e`` (the cast embeddings table) + the full-dimension kmeans
-    chain — the common single-fit case."""
+    """``e`` (the cast embeddings table, ALL rows) + ``env`` (non-NULL
+    vectors only) + the full-dimension kmeans chain trained over ``env``
+    — Spark's kmeans_fit filters isNotNull before seeding/updating, so
+    the replay must too, while assignment and labeling stay full-corpus
+    (NULL vectors keep their rows with NULL distances)."""
     return (
         "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-        "FROM embeddings)," + kmeans_chain(k, n_iter, dim)
+        "FROM embeddings),"
+        "env AS MATERIALIZED (SELECT vec_id, v FROM e WHERE v IS NOT NULL),"
+        + kmeans_chain(k, n_iter, dim, src="env")
     )
 
 

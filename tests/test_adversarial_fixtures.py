@@ -287,6 +287,16 @@ _EMB64_QUERIES = [
     "cosine_lsh_portable_neardup",   # NULL vec forms no signature
     "ivf_search_topk",               # NULL/zero vectors in probe + rerank
     "ivf_centroid_assign",           # NULL vec ignored by centroid means
+    # round-7 sweep additions: the kmeans-family oracles all errored on
+    # NULL vectors (list_transform of a NULL vector is a list OF NULLs,
+    # which DuckDB's list_dot_product rejects) — fixed by training on
+    # non-NULL rows (mirroring kmeans_fit's isNotNull filter) and
+    # NULL-guarding the assignment distance
+    "kmeans_clusters",               # NULL vec -> tiebreak cluster, NULL dist2
+    "kmeans_silhouette",             # duplicate seeds -> 0/0 sil NULL rows
+    "semantic_dedup_kmeans",         # NULL vec -> singleton component
+    "product_quantize_pq",           # NULL vec -> code 0 x8, NULL recon_err
+    "pca_top_component",             # NULL vec excluded from the iteration
 ]
 
 
@@ -535,6 +545,10 @@ _STAR_QUERIES_BROAD = [
     "auc_quantity_returnflag", "logloss_quantity_model",
     "ols_price_normal_eq", "calibration_bins", "calibration_ece_brier",
     "bfs_hop_distance", "target_encode_brand",
+    # dim-agnostic embedding consumers (the 64-dim-pinned kmeans family
+    # lives in _EMB64_QUERIES instead)
+    "dbscan_label_ari", "clustering_purity", "clustering_nmi_vmeasure",
+    "doc_embedding_join", "hard_negative_mining", "catalog_stats_profile",
 ]
 
 

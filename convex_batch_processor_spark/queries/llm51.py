@@ -135,8 +135,13 @@ def soundex_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(y * y) AS DOUBLE) AS syy
         FROM per_user),
     d AS (
+        -- zero-variance guards (degenerate corpora: identical x for every
+        -- user, or constant y): ANSI Spark throws DIVIDE_BY_ZERO where
+        -- DuckDB silently yields NULL/inf, so both engines guard the same
         SELECT n, nd, sx, sy, sxx, sxy, syy,
-               (sxy - ((sx * sy) / nd)) / (sxx - ((sx * sx) / nd)) AS theta,
+               CASE WHEN (sxx - ((sx * sx) / nd)) <> 0 THEN
+                   (sxy - ((sx * sy) / nd)) / (sxx - ((sx * sx) / nd))
+               END AS theta,
                (syy - ((sy * sy) / nd)) / nd AS var_y
         FROM cm)
     SELECT n AS n_users,
@@ -144,8 +149,10 @@ def soundex_blocking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(var_y, 9) AS var_y,
            round(var_y - ((theta * theta)
                  * ((sxx - ((sx * sx) / nd)) / nd)), 9) AS var_adj,
-           round(1.0 - ((var_y - ((theta * theta)
-                 * ((sxx - ((sx * sx) / nd)) / nd))) / var_y), 9) AS reduction
+           CASE WHEN var_y <> 0 THEN
+               round(1.0 - ((var_y - ((theta * theta)
+                     * ((sxx - ((sx * sx) / nd)) / nd))) / var_y), 9)
+           END AS reduction
     FROM d
     """,
 )
@@ -192,8 +199,13 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(y * y).cast("double").alias("syy"),
     )
     c = F.col
-    theta = (c("sxy") - ((c("sx") * c("sy")) / c("nd"))) / (
-        c("sxx") - ((c("sx") * c("sx")) / c("nd"))
+    # zero-variance guards mirror the oracle's CASE: without them ANSI
+    # Spark throws DIVIDE_BY_ZERO on degenerate corpora (identical
+    # covariate for every user / constant metric)
+    var_x_num = c("sxx") - ((c("sx") * c("sx")) / c("nd"))
+    theta = F.when(
+        var_x_num != 0,
+        (c("sxy") - ((c("sx") * c("sy")) / c("nd"))) / var_x_num,
     )
     var_y = (c("syy") - ((c("sy") * c("sy")) / c("nd"))) / c("nd")
     d = cm.select(
@@ -207,5 +219,8 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c("theta"), 9).alias("theta"),
         F.round(c("var_y"), 9).alias("var_y"),
         F.round(var_adj, 9).alias("var_adj"),
-        F.round(F.lit(1.0) - (var_adj / c("var_y")), 9).alias("reduction"),
+        F.when(
+            c("var_y") != 0,
+            F.round(F.lit(1.0) - (var_adj / c("var_y")), 9),
+        ).alias("reduction"),
     )

@@ -41,8 +41,11 @@ def _knots_sql() -> str:
     "quantile_normalize_values",
     oracle=f"""
     WITH hist AS (
+        -- NULL quantities excluded on BOTH sides: a NULL bucket sorts
+        -- first in Spark's cumulative window and last in DuckDB's,
+        -- shifting EVERY value's percentile by its count
         SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
-        FROM lineitem GROUP BY 1),
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
     cum AS (
         SELECT v, c,
@@ -81,8 +84,12 @@ def quantile_normalize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one histogram shuffle; nothing row-granular is ranked."""
     li = _t(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_quantity").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL quantities excluded to mirror the oracle (engine NULL-ordering
+    # defaults differ, see the oracle comment)
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = hist.withColumn(

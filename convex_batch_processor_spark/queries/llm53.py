@@ -54,11 +54,19 @@ _BT_WINS_SQL = """
 def _bt_iter_sql(prev: str, cur: str) -> str:
     """One MM round: s_i <- W_i / Sum_j n_ij / (s_i + s_j), then
     normalized to mean 1 over the bounded item set; state rounded 6 dp."""
+    # every division is CASE-guarded: all-tie duel pairs (den 0), a pair
+    # of zero-strength items (si+sj 0), or an all-zero round mean (m 0)
+    # would DIVIDE_BY_ZERO under ANSI Spark while DuckDB yields NULL —
+    # both engines now produce the same NULL cascade on degenerate input
     return f"""{cur}_raw AS MATERIALIZED (
         SELECT nm.ia AS item,
-               CAST(MAX(w.wi) AS DOUBLE)
-                   / CAST(SUM(CAST(round(n_ij / (pi.s + pj.s), 9)
-                                   AS DECIMAL(18,9))) AS DOUBLE) AS s
+               CASE WHEN CAST(SUM(CASE WHEN (pi.s + pj.s) <> 0 THEN
+                        CAST(round(n_ij / (pi.s + pj.s), 9)
+                             AS DECIMAL(18,9)) END) AS DOUBLE) <> 0
+               THEN CAST(MAX(w.wi) AS DOUBLE)
+                   / CAST(SUM(CASE WHEN (pi.s + pj.s) <> 0 THEN
+                        CAST(round(n_ij / (pi.s + pj.s), 9)
+                             AS DECIMAL(18,9)) END) AS DOUBLE) END AS s
         FROM nm
         JOIN {prev} pi ON pi.item = nm.ia
         JOIN {prev} pj ON pj.item = nm.ib
@@ -69,7 +77,8 @@ def _bt_iter_sql(prev: str, cur: str) -> str:
                / COUNT(*) AS m
         FROM {cur}_raw),
     {cur} AS MATERIALIZED (
-        SELECT item, round(round(s, 6) / {cur}_norm.m, 6) AS s
+        SELECT item, CASE WHEN {cur}_norm.m <> 0 THEN
+                   round(round(s, 6) / {cur}_norm.m, 6) END AS s
         FROM {cur}_raw CROSS JOIN {cur}_norm)"""
 
 
@@ -133,7 +142,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(pj), "ib")
             .select(
                 "ia",
-                F.round(F.col("n_ij") / (F.col("si") + F.col("sj")), 9)
+                F.when(
+                    (F.col("si") + F.col("sj")) != 0,
+                    F.round(F.col("n_ij") / (F.col("si") + F.col("sj")), 9),
+                )
                 .cast("decimal(18,9)")
                 .alias("c"),
             )
@@ -144,7 +156,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(w), "item")
             .select(
                 "item",
-                F.round(F.col("wi").cast("double") / F.col("den"), 6).alias("s6"),
+                F.when(
+                    F.col("den") != 0,
+                    F.round(F.col("wi").cast("double") / F.col("den"), 6),
+                ).alias("s6"),
             )
         )
         norm = raw.agg(
@@ -154,7 +169,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("m")
         )
         s = raw.crossJoin(F.broadcast(norm)).select(
-            "item", F.round(F.col("s6") / F.col("m"), 6).alias("s")
+            "item",
+            F.when(
+                F.col("m") != 0, F.round(F.col("s6") / F.col("m"), 6)
+            ).alias("s"),
         )
     return s.join(F.broadcast(w), "item").select(
         F.col("item").alias("event_type"),
@@ -189,7 +207,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT m7.event_type, n7, n1,
            round(mae7, 9) AS mae7,
            round(mae1, 9) AS mae1,
-           round(mae7 / mae1, 9) AS mase
+           -- constant daily series (heartbeat metrics) have mae1 = 0:
+           -- MASE is undefined, both engines say NULL instead of ANSI
+           -- Spark crashing with DIVIDE_BY_ZERO
+           CASE WHEN mae1 <> 0 THEN round(mae7 / mae1, 9) END AS mase
     FROM m7 JOIN m1 ON m1.event_type = m7.event_type
     """,
 )
@@ -237,7 +258,10 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n1",
         F.round(F.col("mae7_raw"), 9).alias("mae7"),
         F.round(F.col("mae1_raw"), 9).alias("mae1"),
-        F.round(F.col("mae7_raw") / F.col("mae1_raw"), 9).alias("mase"),
+        F.when(
+            F.col("mae1_raw") != 0,
+            F.round(F.col("mae7_raw") / F.col("mae1_raw"), 9),
+        ).alias("mase"),
     )
 
 

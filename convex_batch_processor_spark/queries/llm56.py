@@ -121,10 +121,20 @@ def asof_interpolate_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order_spec)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    pd_ = F.last(F.col("o_orderdate"), ignorenulls=True).over(wb)
-    pv = F.last(F.col("o_totalprice"), ignorenulls=True).over(wb)
-    nd = F.first(F.col("o_orderdate"), ignorenulls=True).over(wf)
-    nv = F.first(F.col("o_totalprice"), ignorenulls=True).over(wf)
+    # carry each bracket as ONE struct so date and price always come from
+    # the SAME order row — independent last()/first() ignorenulls would
+    # skip a bracketing order's NULL price back to an EARLIER order's
+    # price while keeping the nearer date (review r7: silently wrong
+    # interpolation). The struct is NULL exactly on event rows, so
+    # ignorenulls skips events and lands on the true bracketing order,
+    # NULL price and all (the oracle's rn=1 row).
+    obr = F.when(
+        F.col("is_event") == 0, F.struct("o_orderdate", "o_totalprice")
+    )
+    pb = F.last(obr, ignorenulls=True).over(wb)
+    nb = F.first(obr, ignorenulls=True).over(wf)
+    pd_, pv = pb["o_orderdate"], pb["o_totalprice"]
+    nd, nv = nb["o_orderdate"], nb["o_totalprice"]
     rows = unioned.select(
         "key", "is_event", "event_id", "ts",
         pd_.alias("pd"), pv.alias("pv"), nd.alias("nd"), nv.alias("nv"),

@@ -36,7 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "waterfill_allocation",
     oracle=f"""
     WITH d AS (
-        SELECT source, CAST(SUM(len({_TOK_SQL})) AS BIGINT) AS demand
+        -- coalesce: a source whose docs are all NULL text demands 0
+        -- tokens; a NULL demand would sort first in Spark's window and
+        -- last in DuckDB's, shifting every position
+        SELECT source,
+               CAST(coalesce(SUM(len({_TOK_SQL})), 0) AS BIGINT) AS demand
         FROM documents GROUP BY 1),
     tot AS (
         SELECT CAST(SUM(demand) AS BIGINT) AS total,
@@ -79,10 +83,17 @@ def waterfill_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one token-count aggregation; the solve runs on the bounded
     per-source table (a window over |sources| rows)."""
     docs = _t(spark, sf_dir, "documents")
-    d = docs.select(
-        "source",
-        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("nt"),
-    ).groupBy("source").agg(F.sum("nt").cast("long").alias("demand"))
+    d = (
+        docs.select(
+            "source",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("nt"),
+        )
+        .groupBy("source")
+        # coalesce mirrors the oracle: all-NULL-text sources demand 0
+        .agg(F.coalesce(F.sum("nt"), F.lit(0)).cast("long").alias("demand"))
+    )
     d = d.persist()
     tot = d.agg(
         F.sum("demand").cast("long").alias("total"),

@@ -36,7 +36,11 @@ _REMOVABLE = ["view", "click", "signup", "error"]
 _TR_SQL = f"""
     seq AS (
         SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               -- NULLS FIRST matches Spark's ASC default; DuckDB's
+               -- NULLS LAST would put a NULL-ts event at the journey
+               -- end instead of its start
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts NULLS FIRST, event_id)
                    AS prev
         FROM events),
     tr AS (
@@ -93,8 +97,12 @@ _P_CHAIN = ",\n    ".join(_p_iter_sql(f"p{t - 1}", f"p{t}") for t in range(1, _H
         SELECT v, p AS p_conv FROM p{_HOPS} WHERE s = 'start'),
     base AS (SELECT p_conv AS p_full FROM conv WHERE v = 'none')
     SELECT conv.v AS removed_channel, round(conv.p_conv, 9) AS p_conv,
+           -- p_full = 0 (no journey converts within the hop budget) makes
+           -- the removal effect undefined: NULL on both engines instead of
+           -- an ANSI DIVIDE_BY_ZERO crash on the Spark side
            CASE WHEN conv.v = 'none' THEN 0.0
-                ELSE round(1.0 - (conv.p_conv / base.p_full), 9) END
+                WHEN base.p_full <> 0
+                    THEN round(1.0 - (conv.p_conv / base.p_full), 9) END
                AS removal_effect
     FROM conv CROSS JOIN base
     """,
@@ -198,6 +206,9 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("removed_channel"),
         F.round(F.col("p_conv"), 9).alias("p_conv"),
         F.when(F.col("v") == "none", F.lit(0.0))
-        .otherwise(F.round(F.lit(1.0) - (F.col("p_conv") / F.col("p_full")), 9))
+        .when(
+            F.col("p_full") != 0,
+            F.round(F.lit(1.0) - (F.col("p_conv") / F.col("p_full")), 9),
+        )
         .alias("removal_effect"),
     )

@@ -33,8 +33,11 @@ _B = 6  # bucket budget
 # sentinel row gives segments starting at the first position.
 _PFX_SQL = """
     hist AS (
+        -- NULL quantities carry no value information for a histogram and
+        -- would shift every prefix position differently per engine
+        -- (Spark windows sort NULLS FIRST, DuckDB NULLS LAST)
         SELECT CAST(l_quantity AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
-        FROM lineitem GROUP BY 1),
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
     pos AS (
         SELECT v, c, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS i,
                CAST(SUM(c) OVER (ORDER BY v
@@ -76,8 +79,12 @@ def _dp_tables(spark: SparkSession, sf_dir: str):
     """(hist, seg persisted, mx) — the bounded DP inputs shared by both
     queries."""
     li = load_table(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_quantity").cast("long").alias("v")).agg(
-        F.count(F.lit(1)).alias("c")
+    # NULL quantities excluded on BOTH sides: Spark's NULLS FIRST vs
+    # DuckDB's NULLS LAST would otherwise shift every prefix moment
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_quantity").cast("long").alias("v"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pos = hist.select(
@@ -200,7 +207,13 @@ def voptimal_cost_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ew)
     SELECT round(opt.sse_opt, 6) AS sse_opt,
            round(eqs.sse_equi, 6) AS sse_equi,
-           round(round(eqs.sse_equi, 6) / round(opt.sse_opt, 6), 9) AS ratio
+           -- sse_opt is exactly 0 whenever the domain has <= bucket-budget
+           -- distinct values (every value isolated); ANSI Spark would
+           -- throw DIVIDE_BY_ZERO where DuckDB returns NULL, so both
+           -- sides guard explicitly
+           CASE WHEN round(opt.sse_opt, 6) > 0 THEN
+               round(round(eqs.sse_equi, 6) / round(opt.sse_opt, 6), 9)
+           END AS ratio
     FROM opt CROSS JOIN eqs
     """,
 )
@@ -253,8 +266,9 @@ def equiwidth_vs_voptimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("sse_opt"),
             F.round(F.col("sse_equi"), 6).alias("sse_equi"),
-            F.round(
-                F.round(F.col("sse_equi"), 6) / F.col("sse_opt"), 9
+            F.when(
+                F.col("sse_opt") > 0,
+                F.round(F.round(F.col("sse_equi"), 6) / F.col("sse_opt"), 9),
             ).alias("ratio"),
         )
     )

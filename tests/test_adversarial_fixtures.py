@@ -557,3 +557,100 @@ def test_boundary_parity_star_broad(spark, adv_star_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_star_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# Degenerate-math fixture (round-7 review findings): a corpus crafted to
+# hit every zero-denominator and NULL-ordering path the production data
+# never produces — a single user (CUPED var_x = 0), heartbeat-constant
+# daily series (MASE mae1 = 0), all-tie duels (Bradley-Terry den = 0),
+# zero purchase events (Markov p_full = 0), exactly bucket-budget
+# distinct quantities (V-optimal sse_opt = 0), a NULL-price bracketing
+# order (as-of interpolation), a NULL quantity (histogram NULL-ordering),
+# an all-NULL-text source (waterfill NULL demand), and a NULL-ts event
+# (journey-window NULL placement). Before the round-7 guards, five of
+# these CRASHED Spark outright (ANSI DIVIDE_BY_ZERO) and the rest
+# silently diverged from the oracle.
+_DEGENERATE_QUERIES = [
+    "asof_interpolate_price",
+    "equiwidth_vs_voptimal",
+    "voptimal_cost_curve",
+    "quantile_normalize_values",
+    "cuped_variance_reduction",
+    "seasonal_naive_mase",
+    "bradley_terry_strengths",
+    "markov_removal_attribution",
+    "waterfill_allocation",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_degenerate_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_degenerate_sf")
+    con = duckdb.connect()
+    ev_rows = []
+    eid = 1
+    for day in range(1, 11):
+        for etype in ("view", "click"):
+            ev_rows.append(
+                f"({eid}, TIMESTAMP '2024-01-{day:02d} 12:00:00', 1, "
+                f"'{etype}', 1.00, NULL)"
+            )
+            eid += 1
+    ev_rows.append(f"({eid}, NULL, 1, 'view', 2.50, NULL)")
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CAST(value AS DOUBLE) AS value, props
+              FROM (VALUES {", ".join(ev_rows)})
+              t(event_id, ts, user_id, event_type, value, props))
+        TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (VALUES
+                  (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'O', 100.00,
+                   TIMESTAMP '2024-01-01 00:00:00', '1-URGENT'),
+                  (2, 1, 'O', NULL, TIMESTAMP '2024-01-05 00:00:00', '2-HIGH'),
+                  (3, 1, 'F', 50.00, TIMESTAMP '2024-01-09 00:00:00', '3-MEDIUM'))
+              t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority))
+        TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    li_rows = [
+        f"(CAST({q} AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1, "
+        f"{q}.0, {q * 10}.00, 0.0, 0.0, 'N', 'O', "
+        f"TIMESTAMP '2024-01-0{q} 00:00:00')"
+        for q in range(1, 7)
+    ]
+    li_rows.append(
+        "(7, 1, 1, 1, NULL, 40.00, 0.0, 0.0, 'A', 'F', "
+        "TIMESTAMP '2024-01-10 00:00:00')"
+    )
+    con.execute(f"""
+        COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS l_quantity,
+                     CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                     CAST(l_discount AS DOUBLE) AS l_discount,
+                     CAST(l_tax AS DOUBLE) AS l_tax,
+                     l_returnflag, l_linestatus, l_shipdate
+              FROM (VALUES {", ".join(li_rows)})
+              t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                l_extendedprice, l_discount, l_tax, l_returnflag,
+                l_linestatus, l_shipdate))
+        TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+                  (CAST(0 AS BIGINT), 'alpha beta gamma', 'en', 'web',
+                   CAST(16 AS BIGINT)),
+                  (1, 'delta epsilon', 'en', 'web', 13),
+                  (2, NULL, 'en', 'nulls', NULL),
+                  (3, NULL, 'de', 'nulls', NULL))
+              t(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _DEGENERATE_QUERIES)
+def test_boundary_parity_degenerate(spark, adv_degenerate_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_degenerate_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

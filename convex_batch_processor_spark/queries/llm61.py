@@ -92,12 +92,17 @@ _GAIN_SQL = " + ".join(
         SELECT CAST(SUM(CASE WHEN gain >= {_REL_TAU} THEN 1 ELSE 0 END) AS BIGINT)
                    AS h
         FROM run)
+    -- n_rel = 0 (no relevant doc in the corpus) and idcg = 0 (no graded
+    -- doc at all) leave recall/ndcg undefined: NULL on both engines, not
+    -- an ANSI DIVIDE_BY_ZERO crash on the Spark side
     SELECT gh.n_rel, hits.h AS hits_at_k,
-           round(CAST(hits.h AS DOUBLE) / gh.n_rel, 9) AS recall_at_k,
+           CASE WHEN gh.n_rel <> 0 THEN
+               round(CAST(hits.h AS DOUBLE) / gh.n_rel, 9) END AS recall_at_k,
            mrr.mrr,
            round(dcg.dcg, 9) AS dcg,
            round(idcg.idcg, 9) AS idcg,
-           round(dcg.dcg / idcg.idcg, 9) AS ndcg
+           CASE WHEN idcg.idcg <> 0 THEN
+               round(dcg.dcg / idcg.idcg, 9) END AS ndcg
     FROM gh CROSS JOIN hits CROSS JOIN mrr CROSS JOIN dcg CROSS JOIN idcg
     """,
 )
@@ -169,12 +174,17 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_rel",
             F.col("h").alias("hits_at_k"),
-            F.round(F.col("h").cast("double") / F.col("n_rel"), 9).alias(
-                "recall_at_k"
-            ),
+            # guards mirror the oracle: zero relevant docs / zero ideal
+            # gain leave the metric undefined (NULL), never a crash
+            F.when(
+                F.col("n_rel") != 0,
+                F.round(F.col("h").cast("double") / F.col("n_rel"), 9),
+            ).alias("recall_at_k"),
             "mrr",
             F.round(F.col("dcg"), 9).alias("dcg"),
             F.round(F.col("idcg"), 9).alias("idcg"),
-            F.round(F.col("dcg") / F.col("idcg"), 9).alias("ndcg"),
+            F.when(
+                F.col("idcg") != 0, F.round(F.col("dcg") / F.col("idcg"), 9)
+            ).alias("ndcg"),
         )
     )

@@ -140,7 +140,10 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                round(CAST(g.n * {_PARTS} AS BIGINT) / CAST(tot.total AS DOUBLE), 9)
                    AS partition_share
         FROM g CROSS JOIN tot
-        ORDER BY g.n DESC, g.user_id LIMIT 10)
+        -- explicit NULLS LAST: Spark's ASC default is NULLS FIRST, so a
+        -- NULL-user_id group tying at the cut would be kept by one
+        -- engine and dropped by the other without the pin
+        ORDER BY g.n DESC, g.user_id NULLS LAST LIMIT 10)
     SELECT user_id, n AS n_rows, partition_share,
            CAST(greatest(1, CAST(ceil(partition_share / {_HOT_FACTOR!r}) AS INTEGER))
                 AS INTEGER) AS salt_factor,
@@ -166,7 +169,8 @@ def salting_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         g.crossJoin(F.broadcast(tot))
         .select("user_id", "n", F.round(share, 9).alias("partition_share"))
-        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        # asc_nulls_last pins the tie-break to DuckDB's default ordering
+        .orderBy(F.col("n").desc(), F.col("user_id").asc_nulls_last())
         .limit(10)
     )
     return top.select(

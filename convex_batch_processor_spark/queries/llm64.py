@@ -63,7 +63,11 @@ _ZONE_SQL = """CASE
     "cidr_zone_lookup",
     oracle=f"""
     WITH z AS (
-        SELECT doc_id, {_ZONE_SQL} AS zone FROM documents)
+        -- doc_id IS NOT NULL on BOTH sides: a NULL id synthesizes no IP
+        -- (concat_ws would silently skip the NULL octet and ANSI
+        -- element_at would crash on the short split)
+        SELECT doc_id, {_ZONE_SQL} AS zone FROM documents
+        WHERE doc_id IS NOT NULL)
     SELECT zone,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(MIN(doc_id) AS BIGINT) AS min_doc,
@@ -101,7 +105,9 @@ def cidr_zone_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.element_at(parts, 3).cast("long") * F.lit(1 << 8)
         + F.element_at(parts, 4).cast("long")
     )
-    ips = docs.select("doc_id", ip_int.alias("ip"))
+    ips = docs.filter(F.col("doc_id").isNotNull()).select(
+        "doc_id", ip_int.alias("ip")
+    )
     dim = docs.sparkSession.createDataFrame(
         _cidr_rows(), "zone string, net long, plen int"
     )

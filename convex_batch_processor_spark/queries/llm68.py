@@ -64,13 +64,21 @@ def _asg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
                (SELECT CAST(SUM(b * (b - 1) // 2) AS BIGINT) FROM cm) AS sb,
                (SELECT CAST(n * (n - 1) // 2 AS BIGINT) FROM tot) AS cn2,
                (SELECT n FROM tot) AS n_pts)
+    -- guards: cn2 = 0 (a single clustered point) and a zero ARI
+    -- denominator (perfect agreement on ONE cluster x ONE label makes
+    -- expectation == index) are both undefined -> NULL, never an ANSI
+    -- DIVIDE_BY_ZERO crash on the Spark side
     SELECT n_pts, sij AS pair_agree, sa AS pairs_pred, sb AS pairs_true,
-           round((CAST(sij AS DOUBLE)
+           CASE WHEN cn2 <> 0
+                     AND ((0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)))
+                          - ((CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                             / CAST(cn2 AS DOUBLE))) <> 0
+                THEN round((CAST(sij AS DOUBLE)
                   - ((CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
                      / CAST(cn2 AS DOUBLE)))
                  / ((0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)))
                     - ((CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
-                       / CAST(cn2 AS DOUBLE))), 9) AS ari
+                       / CAST(cn2 AS DOUBLE))), 9) END AS ari
     FROM sums
     """,
 )
@@ -116,18 +124,19 @@ def dbscan_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     exp = (F.col("sa").cast("double") * F.col("sb").cast("double")) / F.col(
         "cn2"
     ).cast("double")
+    denom = (
+        F.lit(0.5) * (F.col("sa").cast("double") + F.col("sb").cast("double"))
+    ) - exp
+    # guards mirror the oracle's CASE: single clustered point (cn2 = 0)
+    # or perfect one-cluster/one-label agreement (denominator 0) -> NULL
     return m.select(
         "n_pts",
         F.col("sij").alias("pair_agree"),
         F.col("sa").alias("pairs_pred"),
         F.col("sb").alias("pairs_true"),
-        F.round(
-            (F.col("sij").cast("double") - exp)
-            / (
-                (F.lit(0.5) * (F.col("sa").cast("double") + F.col("sb").cast("double")))
-                - exp
-            ),
-            9,
+        F.when(
+            (F.col("cn2") != 0) & (denom != 0),
+            F.round((F.col("sij").cast("double") - exp) / denom, 9),
         ).alias("ari"),
     )
 

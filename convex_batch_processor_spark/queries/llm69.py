@@ -65,15 +65,21 @@ def _asg_sql() -> str:
                     * CAST(round(ln(b), 9) AS DECIMAL(12,9))) AS DOUBLE)
                   / CAST(MAX(tot.nn) AS DOUBLE)) AS h
         FROM cm CROSS JOIN tot)
+    -- degenerate-clustering guards: ONE cluster makes h_pred = 0, ONE
+    -- label makes h_true = 0 — every normalization below divides by
+    -- them, NULL instead of an ANSI DIVIDE_BY_ZERO crash on Spark
     SELECT tot.nn AS n_pts,
            round(mi.mi, 9) AS mi,
            round(hp.h, 9) AS h_pred,
            round(ht.h, 9) AS h_true,
-           round(mi.mi / sqrt(hp.h * ht.h), 9) AS nmi,
-           round(mi.mi / ht.h, 9) AS homogeneity,
-           round(mi.mi / hp.h, 9) AS completeness,
-           round((2.0 * ((mi.mi / ht.h) * (mi.mi / hp.h)))
-                 / ((mi.mi / ht.h) + (mi.mi / hp.h)), 9) AS v_measure
+           CASE WHEN (hp.h * ht.h) > 0
+                THEN round(mi.mi / sqrt(hp.h * ht.h), 9) END AS nmi,
+           CASE WHEN ht.h <> 0 THEN round(mi.mi / ht.h, 9) END AS homogeneity,
+           CASE WHEN hp.h <> 0 THEN round(mi.mi / hp.h, 9) END AS completeness,
+           CASE WHEN ht.h <> 0 AND hp.h <> 0
+                     AND ((mi.mi / ht.h) + (mi.mi / hp.h)) <> 0
+                THEN round((2.0 * ((mi.mi / ht.h) * (mi.mi / hp.h)))
+                     / ((mi.mi / ht.h) + (mi.mi / hp.h)), 9) END AS v_measure
     FROM tot CROSS JOIN mi CROSS JOIN hp CROSS JOIN ht
     """,
 )
@@ -153,6 +159,9 @@ def clustering_nmi_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hp))
         .crossJoin(F.broadcast(ht))
     )
+    # degenerate-clustering guards mirror the oracle's CASEs (one
+    # cluster -> h_pred = 0, one label -> h_true = 0): NULL, never an
+    # ANSI DIVIDE_BY_ZERO crash
     hom = F.col("mi") / F.col("h_true")
     com = F.col("mi") / F.col("h_pred")
     return m.select(
@@ -160,10 +169,18 @@ def clustering_nmi_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("mi"), 9).alias("mi"),
         F.round(F.col("h_pred"), 9).alias("h_pred"),
         F.round(F.col("h_true"), 9).alias("h_true"),
-        F.round(F.col("mi") / F.sqrt(F.col("h_pred") * F.col("h_true")), 9).alias(
-            "nmi"
-        ),
-        F.round(hom, 9).alias("homogeneity"),
-        F.round(com, 9).alias("completeness"),
-        F.round((F.lit(2.0) * (hom * com)) / (hom + com), 9).alias("v_measure"),
+        F.when(
+            (F.col("h_pred") * F.col("h_true")) > 0,
+            F.round(
+                F.col("mi") / F.sqrt(F.col("h_pred") * F.col("h_true")), 9
+            ),
+        ).alias("nmi"),
+        F.when(F.col("h_true") != 0, F.round(hom, 9)).alias("homogeneity"),
+        F.when(F.col("h_pred") != 0, F.round(com, 9)).alias("completeness"),
+        F.when(
+            (F.col("h_true") != 0)
+            & (F.col("h_pred") != 0)
+            & ((hom + com) != 0),
+            F.round((F.lit(2.0) * (hom * com)) / (hom + com), 9),
+        ).alias("v_measure"),
     )

@@ -28,9 +28,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "ks_wasserstein_drift",
     oracle="""
     WITH ev AS (
+        -- ts IS NOT NULL on BOTH sides: an event with no timestamp
+        -- belongs to neither period (the bare CASE-ELSE counted it as
+        -- current while Spark's NULL-skipping sums dropped it)
         SELECT value AS v,
                CASE WHEN day(ts) % 2 = 0 THEN 1 ELSE 0 END AS is_ref
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
     h AS (
         SELECT v,
                CAST(SUM(is_ref) AS BIGINT) AS c1,
@@ -50,9 +53,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                lead(v) OVER (ORDER BY v) AS nxt
         FROM h),
     gaps AS (
+        -- one-sided splits (every event on one day parity) leave n1 or
+        -- n2 at 0: the CDF gap is undefined -> NULL on both engines
+        -- instead of an ANSI DIVIDE_BY_ZERO crash on the Spark side
         SELECT v,
-               round(abs((CAST(k1 AS DOUBLE) / n.n1) - (CAST(k2 AS DOUBLE) / n.n2)),
-                     9) AS gap,
+               CASE WHEN n.n1 <> 0 AND n.n2 <> 0 THEN
+                   round(abs((CAST(k1 AS DOUBLE) / n.n1)
+                             - (CAST(k2 AS DOUBLE) / n.n2)), 9) END AS gap,
                CAST(nxt AS DECIMAL(18,2)) - CAST(v AS DECIMAL(18,2)) AS dv
         FROM cum CROSS JOIN n)
     SELECT n.n1 AS n_ref, n.n2 AS n_cur,
@@ -78,7 +85,9 @@ def ks_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one value-histogram aggregation; the cumulative window runs
     on the VALUE GRID (distinct 2-dp values), never row granularity —
     the histogram_rank discipline."""
-    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
     h = ev.groupBy(F.col("value").alias("v")).agg(
         F.sum((F.dayofmonth("ts") % 2 == 0).cast("long")).alias("c1"),
         F.sum((F.dayofmonth("ts") % 2 == 1).cast("long")).alias("c2"),
@@ -95,12 +104,15 @@ def ks_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("v").over(wl).alias("nxt"),
     )
     gaps = cum.crossJoin(F.broadcast(n)).select(
-        F.round(
-            F.abs(
-                (F.col("k1").cast("double") / F.col("n1"))
-                - (F.col("k2").cast("double") / F.col("n2"))
+        F.when(
+            (F.col("n1") != 0) & (F.col("n2") != 0),
+            F.round(
+                F.abs(
+                    (F.col("k1").cast("double") / F.col("n1"))
+                    - (F.col("k2").cast("double") / F.col("n2"))
+                ),
+                9,
             ),
-            9,
         ).alias("gap"),
         (F.col("nxt").cast("decimal(18,2)") - F.col("v").cast("decimal(18,2)")).alias(
             "dv"

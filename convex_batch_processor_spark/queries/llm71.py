@@ -20,12 +20,16 @@ from .registry import register
 
 _MAX_LAG = 7
 
+# ts IS NOT NULL: an event with no timestamp has no day — and a NULL
+# day bucket would sort first in Spark's cumulative window but last in
+# DuckDB's, shifting every CUSUM position (autocorrelation is immune —
+# its lag equi-join never matches NULL — but shares the CTE)
 _DAILY_SQL = """
     daily AS (
         SELECT day(ts) AS d,
                CAST(SUM(CAST(coalesce(value, 0) AS DECIMAL(18,2))) AS DECIMAL(18,2))
                    AS v
-        FROM events GROUP BY 1)
+        FROM events WHERE ts IS NOT NULL GROUP BY 1)
 """
 
 
@@ -34,7 +38,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     return ev.groupBy(F.dayofmonth("ts").alias("d")).agg(
         F.sum(F.coalesce(F.col("value"), F.lit(0)).cast("decimal(18,2)"))
         .cast("decimal(18,2)")
@@ -133,12 +137,16 @@ def daily_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, t,
                round(cv - (t * (st.sv / st.n)), 9) AS s
         FROM cum CROSS JOIN st)
-    SELECT
-        (SELECT d FROM dev ORDER BY abs(s) DESC, d LIMIT 1) AS change_day,
-        (SELECT CAST(t AS INTEGER) FROM dev ORDER BY abs(s) DESC, d LIMIT 1)
-            AS change_pos,
-        round((SELECT MAX(abs(s)) FROM dev), 9) AS max_cusum,
-        (SELECT n FROM st) AS n_days
+    SELECT * FROM (
+        SELECT
+            (SELECT d FROM dev ORDER BY abs(s) DESC, d LIMIT 1) AS change_day,
+            (SELECT CAST(t AS INTEGER) FROM dev ORDER BY abs(s) DESC, d LIMIT 1)
+                AS change_pos,
+            round((SELECT MAX(abs(s)) FROM dev), 9) AS max_cusum,
+            (SELECT n FROM st) AS n_days)
+    -- zero rows on an empty corpus, matching the Spark side's empty
+    -- limit(1) crossJoin (bare scalar subqueries always emit one row)
+    WHERE (SELECT COUNT(*) FROM dev) > 0
     """,
 )
 def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:

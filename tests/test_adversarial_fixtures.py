@@ -580,6 +580,18 @@ _DEGENERATE_QUERIES = [
     "bradley_terry_strengths",
     "markov_removal_attribution",
     "waterfill_allocation",
+    # second review wave (llm61-71): one-cluster/one-label clustering
+    # (ARI denominator 0, entropies 0), a single singly-relevant doc
+    # (n_rel = 0 with a non-empty BM25 run), the NULL-ts event now
+    # filtered identically by both engines, and empty-series parity
+    "dbscan_label_ari",
+    "clustering_purity",
+    "clustering_nmi_vmeasure",
+    "retrieval_eval_ndcg",
+    "ks_wasserstein_drift",
+    "cusum_changepoint",
+    "daily_autocorrelation",
+    "salting_advisor",
 ]
 
 
@@ -643,9 +655,21 @@ def adv_degenerate_dir(tmp_path_factory):
                    CAST(16 AS BIGINT)),
                   (1, 'delta epsilon', 'en', 'web', 13),
                   (2, NULL, 'en', 'nulls', NULL),
-                  (3, NULL, 'de', 'nulls', NULL))
+                  (3, NULL, 'de', 'nulls', NULL),
+                  (4, 'join alpha beta', 'en', 'web', 15))
               t(doc_id, text, lang, source, n_chars))
         TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    # five identical vectors, one label: DBSCAN yields ONE cluster over
+    # ONE label — ARI's denominator and both entropies are exactly 0
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+                  (CAST(0 AS BIGINT), CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+                  (1, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+                  (2, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+                  (3, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+                  (4, CAST([1.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1))
+              t(vec_id, embedding, label))
+        TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
     return str(d)
 
 

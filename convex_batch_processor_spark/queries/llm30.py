@@ -143,7 +143,10 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type,
                lead(event_type, 1) OVER w AS t2,
                lead(event_type, 2) OVER w AS t3
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        -- NULLS FIRST matches Spark's ASC window default (a NULL-ts
+        -- event threads at the journey START on both engines)
+        FROM events WINDOW w AS (PARTITION BY user_id
+                                 ORDER BY ts NULLS FIRST, event_id)
     ),
     j AS (
         SELECT user_id, event_type || ' > ' || t2 || ' > ' || t3 AS journey
@@ -178,7 +181,13 @@ def journey_triples_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("t3").isNotNull())
     j = seq.select(
         "user_id",
-        F.concat_ws(" > ", "event_type", "t2", "t3").alias("journey"),
+        # F.concat, NOT concat_ws: the oracle's || propagates NULL, while
+        # concat_ws silently drops NULL components — a NULL event_type
+        # must yield a NULL journey on both engines, not a 2-step string
+        F.concat(
+            F.col("event_type"), F.lit(" > "), F.col("t2"),
+            F.lit(" > "), F.col("t3"),
+        ).alias("journey"),
     )
     agg = j.groupBy("journey").agg(
         F.countDistinct("user_id").alias("n_users"),

@@ -120,12 +120,22 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            round(s1 / n1 - s2 / n2, 9) AS mean_diff_cents,
-           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+           -- the extra > 0 term: BOTH arms at constant value have zero
+           -- pooled variance — the t statistic is undefined (NULL), not
+           -- an ANSI DIVIDE_BY_ZERO crash on the Spark side
+           CASE WHEN n1 >= 2 AND n2 >= 2
+                     AND (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
+                          + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) > 0 THEN
                round((s1 / n1 - s2 / n2)
                      / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
                             + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 9)
            END AS t_stat,
-           CASE WHEN n1 >= 2 AND n2 >= 2 THEN
+           CASE WHEN n1 >= 2 AND n2 >= 2
+                     AND ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
+                          * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
+                          + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                            * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
+                            / (n2 - 1)) > 0 THEN
                round(((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
                        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
                       * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
@@ -180,18 +190,19 @@ def welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # an arm with < 2 rows has no variance: the test is undefined (NULL),
     # and ANSI Spark would otherwise throw on the n-1 division
     ok = (n1 >= 2) & (n2 >= 2)
+    # zero pooled variance (both arms constant) leaves t/dof undefined —
+    # NULL on both engines, never an ANSI DIVIDE_BY_ZERO crash
+    dof_den = (v1n * v1n) / (n1 - 1) + (v2n * v2n) / (n2 - 1)
     return p.select(
         "n1",
         "n2",
         F.round(diff, 9).alias("mean_diff_cents"),
-        F.when(ok, F.round(diff / F.sqrt(v1n + v2n), 9)).alias("t_stat"),
         F.when(
-            ok,
-            F.round(
-                ((v1n + v2n) * (v1n + v2n))
-                / ((v1n * v1n) / (n1 - 1) + (v2n * v2n) / (n2 - 1)),
-                6,
-            ),
+            ok & ((v1n + v2n) > 0), F.round(diff / F.sqrt(v1n + v2n), 9)
+        ).alias("t_stat"),
+        F.when(
+            ok & (dof_den > 0),
+            F.round(((v1n + v2n) * (v1n + v2n)) / dof_den, 6),
         ).alias("welch_dof"),
     )
 
@@ -200,9 +211,13 @@ def welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gini_by_segment",
     oracle="""
     WITH v AS (
+        -- NULL prices carry no cents (and would split the running sum on
+        -- engine NULL-ordering defaults); all-zero segments have t = 0
+        -- and an undefined Gini -> NULL, guarded below
         SELECT c.c_mktsegment AS seg,
                CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE o.o_totalprice IS NOT NULL
     ),
     hist AS (
         SELECT seg, cents, CAST(COUNT(*) AS BIGINT) AS c
@@ -226,7 +241,9 @@ def welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cum GROUP BY 1
     )
     SELECT seg, n,
-           round((2.0 * s1 - (n + 1.0) * t) / (CAST(n AS DOUBLE) * t), 9) AS gini
+           CASE WHEN t <> 0 THEN
+               round((2.0 * s1 - (n + 1.0) * t)
+                     / (CAST(n AS DOUBLE) * t), 9) END AS gini
     FROM mo
     """,
 )
@@ -246,9 +263,13 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, 5-row output."""
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
-    v = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
-        F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    v = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
     )
     hist = v.groupBy("seg", "cents").agg(F.count(F.lit(1)).alias("c"))
     wh = (
@@ -272,7 +293,8 @@ def gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         "seg",
         "n",
-        F.round((2.0 * s1 - (n + 1.0) * t) / (n.cast("double") * t), 9).alias(
-            "gini"
-        ),
+        F.when(
+            t != 0,
+            F.round((2.0 * s1 - (n + 1.0) * t) / (n.cast("double") * t), 9),
+        ).alias("gini"),
     )

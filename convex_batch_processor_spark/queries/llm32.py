@@ -121,10 +121,12 @@ def _entropy_sql(n: str, p: str) -> str:
     "best_split_information_gain",
     oracle=f"""
     WITH hist AS (
+        -- NULL quantities carry no threshold (and would shift every
+        -- cumulative count on engine NULL-ordering defaults)
         SELECT l_quantity AS split_value,
                CAST(COUNT(*) AS BIGINT) AS c,
                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p
-        FROM lineitem GROUP BY 1),
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1),
     cum AS (
         SELECT split_value,
                CAST(SUM(c) OVER wv AS BIGINT) AS nl,
@@ -158,9 +160,16 @@ def best_split_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan -> (value, count, pos) agg shuffle -> bounded window
     -> map-only gain expression."""
     li = _t(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_quantity").alias("split_value")).agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum((F.col("l_returnflag") == "R").cast("int")).cast("long").alias("p"),
+    # NULL quantities excluded to mirror the oracle (see oracle comment)
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_quantity").alias("split_value"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum((F.col("l_returnflag") == "R").cast("int"))
+            .cast("long")
+            .alias("p"),
+        )
     )
     wv = Window.orderBy("split_value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -110,8 +110,11 @@ def feature_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pareto_front_parts",
     oracle="""
     WITH p AS (
+        -- a NULL price can't be dominated or dominate (and a NULL cents
+        -- group would enter the cumulative-min window first on Spark,
+        -- last on DuckDB — poisoning m_strict on one engine only)
         SELECT p_partkey, CAST(round(p_retailprice * 100) AS BIGINT) AS cents, p_size
-        FROM part
+        FROM part WHERE p_retailprice IS NOT NULL
     ),
     hist AS (
         SELECT cents, MIN(p_size) AS msize FROM p GROUP BY 1
@@ -145,7 +148,7 @@ def pareto_front_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     A part is on the front iff its size equals its price-group minimum
     AND beats the strict-cheaper running minimum."""
     part = _t(spark, sf_dir, "part")
-    p = part.select(
+    p = part.filter(F.col("p_retailprice").isNotNull()).select(
         "p_partkey",
         F.round(F.col("p_retailprice") * 100).cast("long").alias("cents"),
         "p_size",

@@ -114,7 +114,10 @@ _QA_QS = [(50, 0.5), (90, 0.9), (99, 0.99)]
     "histogram_quantile_accuracy",
     oracle=f"""
     WITH v AS (
-        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+        -- NULL prices excluded on BOTH sides (engine NULL-ordering
+        -- defaults differ in the cumulative windows below)
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     b AS (
         SELECT CAST(MIN(cents) AS BIGINT) AS lo, CAST(MAX(cents) AS BIGINT) AS hi,
@@ -122,8 +125,13 @@ _QA_QS = [(50, 0.5), (90, 0.9), (99, 0.99)]
         FROM v
     ),
     binned AS (
-        SELECT LEAST(CAST(floor((v.cents - b.lo) / ((b.hi - b.lo) / {_QA_BINS}.0))
-                          AS BIGINT), {_QA_BINS - 1}) AS bin,
+        -- hi = lo (every order at one price) makes the bin width 0:
+        -- everything lands in bin 0 by definition, and the division
+        -- would crash ANSI Spark
+        SELECT CASE WHEN b.hi = b.lo THEN 0
+                    ELSE LEAST(CAST(floor((v.cents - b.lo)
+                                    / ((b.hi - b.lo) / {_QA_BINS}.0))
+                               AS BIGINT), {_QA_BINS - 1}) END AS bin,
                CAST(COUNT(*) AS BIGINT) AS c
         FROM v, b GROUP BY 1
     ),
@@ -173,7 +181,7 @@ def histogram_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan -> (min, max, n) broadcast -> map-side binning ->
     two bounded-window rollups."""
     orders = _t(spark, sf_dir, "orders")
-    v = orders.select(
+    v = orders.filter(F.col("o_totalprice").isNotNull()).select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
     )
     b = v.agg(
@@ -185,10 +193,18 @@ def histogram_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         v.crossJoin(F.broadcast(b))
         .select(
-            F.least(
-                F.floor((F.col("cents") - F.col("lo")) / width).cast("long"),
-                F.lit(_QA_BINS - 1),
-            ).alias("bin")
+            # hi = lo -> width 0: bin 0 by definition, mirrored in the
+            # oracle's CASE (the division would crash ANSI Spark)
+            F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("cents") - F.col("lo")) / width
+                    ).cast("long"),
+                    F.lit(_QA_BINS - 1),
+                )
+            )
+            .alias("bin")
         )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("c"))

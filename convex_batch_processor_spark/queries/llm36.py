@@ -186,6 +186,11 @@ def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = (
         emb.join(F.broadcast(carr))
         .withColumn("_r", ranked)
+        # a 1-centroid fit (single non-NULL vector) has no second-nearest
+        # centroid: the oracle's rn=2 self-join matches nothing and
+        # returns 0 rows, and ANSI element_at(_r, 2) would crash — the
+        # size filter mirrors the empty result instead
+        .filter(F.size("_r") >= 2)
         .select(own["cluster_id"].alias("cluster_id"), sil.alias("sil"))
     )
     return per_vec.groupBy("cluster_id").agg(

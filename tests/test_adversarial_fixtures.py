@@ -592,6 +592,14 @@ _DEGENERATE_QUERIES = [
     "cusum_changepoint",
     "daily_autocorrelation",
     "salting_advisor",
+    # third review wave (llm29-38): zero-variance t-test arms, an
+    # all-zero-price segment (Gini t = 0), NULL-quantity splits,
+    # NULL-ts journey threading, a NULL-price skyline part
+    "welch_ttest_priorities",
+    "gini_by_segment",
+    "best_split_information_gain",
+    "journey_triples_topk",
+    "pareto_front_parts",
 ]
 
 
@@ -615,6 +623,10 @@ def adv_degenerate_dir(tmp_path_factory):
               FROM (VALUES {", ".join(ev_rows)})
               t(event_id, ts, user_id, event_type, value, props))
         TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    # customers 2/3 have no events, so their orders cannot disturb the
+    # as-of bracket scenario built on customer 1: customer 2 carries the
+    # zero-variance Welch arms (two URGENT at one price, two LOW at
+    # another), customer 3 the all-zero-price Gini segment
     con.execute(f"""
         COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
                      CAST(o_totalprice AS DOUBLE) AS o_totalprice,
@@ -623,10 +635,38 @@ def adv_degenerate_dir(tmp_path_factory):
                   (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'O', 100.00,
                    TIMESTAMP '2024-01-01 00:00:00', '1-URGENT'),
                   (2, 1, 'O', NULL, TIMESTAMP '2024-01-05 00:00:00', '2-HIGH'),
-                  (3, 1, 'F', 50.00, TIMESTAMP '2024-01-09 00:00:00', '3-MEDIUM'))
+                  (3, 1, 'F', 50.00, TIMESTAMP '2024-01-09 00:00:00', '3-MEDIUM'),
+                  (4, 2, 'O', 100.00, TIMESTAMP '2024-02-01 00:00:00', '1-URGENT'),
+                  (5, 2, 'O', 100.00, TIMESTAMP '2024-02-02 00:00:00', '1-URGENT'),
+                  (6, 2, 'F', 200.00, TIMESTAMP '2024-02-03 00:00:00', '5-LOW'),
+                  (7, 2, 'F', 200.00, TIMESTAMP '2024-02-04 00:00:00', '5-LOW'),
+                  (8, 3, 'O', 0.00, TIMESTAMP '2024-02-05 00:00:00', '3-MEDIUM'),
+                  (9, 3, 'O', 0.00, TIMESTAMP '2024-02-06 00:00:00', '3-MEDIUM'))
               t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                 o_orderdate, o_orderpriority))
         TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT c_custkey, c_name, c_nationkey,
+                     CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+              FROM (VALUES
+                  (CAST(1 AS BIGINT), 'Customer#000000001', 0, 10.00, 'BUILDING'),
+                  (2, 'Customer#000000002', 1, 20.00, 'MACHINERY'),
+                  (3, 'Customer#000000003', 1, 0.00, 'ZEROSEG'))
+              t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))
+        TO '{d}/customer.parquet' (FORMAT PARQUET)""")
+    # part 3: NULL retail price with the SMALLEST size — before the
+    # guard, Spark's NULLS-FIRST cumulative min let it dominate every
+    # real part while DuckDB's NULLS-LAST ignored it
+    con.execute(f"""
+        COPY (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                     CAST(p_retailprice AS DOUBLE) AS p_retailprice
+              FROM (VALUES
+                  (CAST(1 AS BIGINT), 'green box', 'Brand#12',
+                   'SMALL PLATED', 10, 50.00),
+                  (2, 'red case', 'Brand#23', 'MEDIUM BRUSHED', 5, 80.00),
+                  (3, 'ghost part', 'Brand#34', 'LARGE POLISHED', 1, NULL))
+              t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice))
+        TO '{d}/part.parquet' (FORMAT PARQUET)""")
     li_rows = [
         f"(CAST({q} AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1, "
         f"{q}.0, {q * 10}.00, 0.0, 0.0, 'N', 'O', "

@@ -120,22 +120,20 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n1, n2,
            round(s1 / n1 - s2 / n2, 9) AS mean_diff_cents,
-           -- the extra > 0 term: BOTH arms at constant value have zero
-           -- pooled variance — the t statistic is undefined (NULL), not
-           -- an ANSI DIVIDE_BY_ZERO crash on the Spark side
+           -- the extra OR term: BOTH arms at constant value have zero
+           -- pooled variance — the statistic is undefined (NULL), not an
+           -- ANSI DIVIDE_BY_ZERO crash. The test uses the DIVISION-FREE
+           -- variance numerators: neither engine short-circuits boolean
+           -- operands, so a condition containing /(n-1) would itself
+           -- divide by zero on a 1-row arm
            CASE WHEN n1 >= 2 AND n2 >= 2
-                     AND (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
-                          + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2) > 0 THEN
+                     AND ((q1 - s1 * s1 / n1) > 0 OR (q2 - s2 * s2 / n2) > 0) THEN
                round((s1 / n1 - s2 / n2)
                      / sqrt(((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
                             + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2), 9)
            END AS t_stat,
            CASE WHEN n1 >= 2 AND n2 >= 2
-                     AND ((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1)
-                          * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1) / (n1 - 1)
-                          + (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
-                            * (((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
-                            / (n2 - 1)) > 0 THEN
+                     AND ((q1 - s1 * s1 / n1) > 0 OR (q2 - s2 * s2 / n2) > 0) THEN
                round(((((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
                        + ((q2 - s2 * s2 / n2) / (n2 - 1)) / n2)
                       * (((q1 - s1 * s1 / n1) / (n1 - 1)) / n1
@@ -189,20 +187,23 @@ def welch_ttest_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = s1 / n1 - s2 / n2
     # an arm with < 2 rows has no variance: the test is undefined (NULL),
     # and ANSI Spark would otherwise throw on the n-1 division
-    ok = (n1 >= 2) & (n2 >= 2)
     # zero pooled variance (both arms constant) leaves t/dof undefined —
-    # NULL on both engines, never an ANSI DIVIDE_BY_ZERO crash
+    # NULL on both engines, never an ANSI DIVIDE_BY_ZERO crash. The guard
+    # tests the DIVISION-FREE variance numerators: when() conditions are
+    # fully evaluated (no short-circuit), so a condition containing
+    # /(n-1) would itself crash on a 1-row arm
+    ok = (
+        (n1 >= 2) & (n2 >= 2)
+        & (((q1 - s1 * s1 / n1) > 0) | ((q2 - s2 * s2 / n2) > 0))
+    )
     dof_den = (v1n * v1n) / (n1 - 1) + (v2n * v2n) / (n2 - 1)
     return p.select(
         "n1",
         "n2",
         F.round(diff, 9).alias("mean_diff_cents"),
+        F.when(ok, F.round(diff / F.sqrt(v1n + v2n), 9)).alias("t_stat"),
         F.when(
-            ok & ((v1n + v2n) > 0), F.round(diff / F.sqrt(v1n + v2n), 9)
-        ).alias("t_stat"),
-        F.when(
-            ok & (dof_den > 0),
-            F.round(((v1n + v2n) * (v1n + v2n)) / dof_den, 6),
+            ok, F.round(((v1n + v2n) * (v1n + v2n)) / dof_den, 6)
         ).alias("welch_dof"),
     )
 

@@ -144,7 +144,10 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrapped = docs.select("doc_id", html.alias("html"))
     title = F.regexp_extract(F.col("html"), r"<title>([^<]*)</title>", 1)
-    body = F.regexp_extract(F.col("html"), r"<p>(.*)</p>", 1)
+    # (?s) so an embedded newline cannot break the match (Java '.'
+    # excludes \n); the oracle predicts from the raw text, so a failed
+    # extraction would report body_chars=0 against length(text)
+    body = F.regexp_extract(F.col("html"), r"(?s)<p>(.*)</p>", 1)
     return wrapped.select(
         "doc_id",
         title.alias("title"),

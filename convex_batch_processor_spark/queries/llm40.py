@@ -128,12 +128,14 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed WEB-SIDE flagship (the crawl twin of the warehouse
     training_pipeline_v2): robots filter -> PII scan -> exact dedup ->
     per-source funnel report (docs in, robots-blocked, duplicate-dropped,
-    PII-flagged survivors, docs out). Every stage is the REAL operator —
-    the robots verdicts follow the llm39 rule set, the PII flag comes
-    from the regex scanner (llmops/pii.py over the llm28 injected
-    payloads), dedup is the min-id digest window (llmops/dedup.py) —
-    while the oracle predicts the whole funnel from doc_id arithmetic
-    plus the dedup closure, never running a regex or a rule.
+    PII-flagged survivors, docs out). The PII flag comes from the REAL
+    regex scanner (llmops/pii.py over the llm28 injected payloads) and
+    dedup is the REAL min-id digest window (llmops/dedup.py); the robots
+    stage, by contrast, applies the llm39 rule set's PRE-REDUCED verdict
+    (doc_id%5 in {1,3}) — the longest-prefix evaluator itself is
+    exercised and hash-verified by robots_filter_stats, not here. The
+    oracle predicts the whole funnel from doc_id arithmetic plus the
+    dedup closure, never running a regex.
 
     Dedup keys on the ORIGINAL text (kept alongside the scrubbed copy):
     the injected PII embeds doc_id, so hashing the injected text would
@@ -171,7 +173,11 @@ def web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_pii_flagged"),
         F.sum((F.col("doc_id") == F.col("keeper")).cast("long")).alias("n_out"),
     )
-    tot = scanned.groupBy("source").agg(
+    # tot only needs source + robots_blocked: aggregating from
+    # `flagged` (pre-PII) instead of `scanned` avoids a SECOND full
+    # PII regex pass over the corpus (scanned is not persisted, so the
+    # tot branch would recompute it)
+    tot = flagged.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_in"),
         F.sum("robots_blocked").cast("long").alias("n_robots_blocked"),
     )

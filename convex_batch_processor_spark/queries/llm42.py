@@ -21,10 +21,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "auc_quantity_returnflag",
     oracle="""
     WITH hist AS (
+        -- NULL quantities excluded on BOTH sides (a NULL score can't be
+        -- ranked, and the engines' NULL-ordering defaults would shift
+        -- every neg_before); single-class corpora (pp or nn = 0) leave
+        -- AUC undefined -> NULL, guarded below
         SELECT l_quantity AS v,
                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p,
                CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n
-        FROM lineitem GROUP BY 1
+        FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1
     ),
     cum AS (
         SELECT v, p, n,
@@ -40,7 +44,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         FROM cum
     )
     SELECT pp AS n_pos, nn AS n_neg,
-           round(CAST(num2 AS DOUBLE) / (2.0 * pp * nn), 9) AS auc
+           CASE WHEN pp > 0 AND nn > 0 THEN
+               round(CAST(num2 AS DOUBLE) / (2.0 * pp * nn), 9) END AS auc
     FROM mo
     """,
 )
@@ -56,9 +61,14 @@ def auc_quantity_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan -> (value, class-count) agg -> histogram window ->
     one moment row; the ranking never touches row granularity."""
     li = _t(spark, sf_dir, "lineitem")
-    hist = li.groupBy(F.col("l_quantity").alias("v")).agg(
-        F.sum((F.col("l_returnflag") == "R").cast("long")).alias("p"),
-        F.sum((F.col("l_returnflag") != "R").cast("long")).alias("n"),
+    # NULL scores excluded to mirror the oracle (see oracle comment)
+    hist = (
+        li.filter(F.col("l_quantity").isNotNull())
+        .groupBy(F.col("l_quantity").alias("v"))
+        .agg(
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("p"),
+            F.sum((F.col("l_returnflag") != "R").cast("long")).alias("n"),
+        )
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
     cum = hist.withColumn(
@@ -74,8 +84,13 @@ def auc_quantity_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mo.select(
         F.col("pp").alias("n_pos"),
         F.col("nn").alias("n_neg"),
-        F.round(
-            F.col("num2").cast("double") / (2.0 * F.col("pp") * F.col("nn")), 9
+        F.when(
+            (F.col("pp") > 0) & (F.col("nn") > 0),
+            F.round(
+                F.col("num2").cast("double")
+                / (2.0 * F.col("pp") * F.col("nn")),
+                9,
+            ),
         ).alias("auc"),
     )
 

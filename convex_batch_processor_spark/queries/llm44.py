@@ -281,9 +281,15 @@ def calibration_ece_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = hist.agg(F.sum("c").cast("long").alias("n"))
     pid = F.col("pi9").cast("decimal(12,9)")
     one = F.lit(1).cast("decimal(2,0)")
+    # (1 - pi) re-narrowed to decimal(12,9): the raw difference is
+    # decimal(13,9), and p(12,0) x (13,9) x (13,9) needs precision 40
+    # > 38, silently rounding every first term to scale 16 under
+    # Spark's precision-loss mode — the narrowed chain peaks at exactly
+    # 38 and stays exact (the logloss decimal lesson)
+    omp = (one - pid).cast("decimal(12,9)")
     brier = pi.agg(
         F.sum(
-            F.col("p").cast("decimal(12,0)") * (one - pid) * (one - pid)
+            F.col("p").cast("decimal(12,0)") * omp * omp
             + (F.col("c") - F.col("p")).cast("decimal(12,0)") * pid * pid
         )
         .cast("double")

@@ -69,7 +69,11 @@ def _laplace6_sql(key_sql: str, b: float) -> str:
     WITH g AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS true_count,
-               CAST(SUM(CAST(least(value, {_CLIP!r}) AS DECIMAL(18,2))) AS DOUBLE)
+               -- coalesce BEFORE the clip: least() skips NULLs on both
+               -- engines, so a missing measurement would be released
+               -- as a MAXIMAL contribution ({_CLIP}) instead of 0
+               CAST(SUM(CAST(least(coalesce(value, 0), {_CLIP!r})
+                             AS DECIMAL(18,2))) AS DOUBLE)
                    AS clipped_sum
         FROM events GROUP BY 1)
     SELECT event_type,
@@ -96,7 +100,12 @@ def dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     g = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("true_count"),
-        F.sum(F.least(F.col("value"), F.lit(_CLIP)).cast("decimal(18,2)"))
+        # coalesce mirrors the oracle: NULL measurements contribute 0,
+        # not the clip ceiling (least() skips NULLs on both engines)
+        F.sum(
+            F.least(F.coalesce(F.col("value"), F.lit(0.0)), F.lit(_CLIP))
+            .cast("decimal(18,2)")
+        )
         .cast("double")
         .alias("clipped_sum"),
     )

@@ -171,10 +171,13 @@ def mojibake_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: regex + vectorized map per row, one source-keyed shuffle."""
     docs = _t(spark, sf_dir, "documents")
+    # inject onto '' for NULL text (the _with_norm_payload rule): bare
+    # concat would null the payload and silently drop a doc_id%6==0 doc
+    # from flagged_docs while the doc_id-arithmetic oracle counts it
     injected = docs.withColumn(
         "text",
         F.concat(
-            F.col("text"),
+            F.coalesce(F.col("text"), F.lit("")),
             F.when(F.col("doc_id") % 6 == 0, F.lit(" caf\u00c3\u00a9")).otherwise(
                 F.lit("")
             ),

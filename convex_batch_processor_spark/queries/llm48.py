@@ -265,7 +265,10 @@ def zlib_ratio_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: len(zlib.compress(t.encode("utf-8"), _ZLEVEL))
         ).astype("int64")
 
-    z = routed.select("cls", F.length(F.col("pay")).cast("long").alias("raw"),
+    # octet_length (bytes), not length (chars): comp counts the UTF-8
+    # byte stream, so raw must too — equal only while the payloads stay
+    # pure ASCII, and "raw_bytes" should measure what its name claims
+    z = routed.select("cls", F.octet_length(F.col("pay")).cast("long").alias("raw"),
                       _deflate_len(F.col("pay")).alias("comp"))
     return z.groupBy("cls").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -92,7 +92,12 @@ _MAX_LEN = _BUCKETS[-1]
     "padding_waste_buckets",
     oracle=f"""
     WITH lens AS (
-        SELECT least(len(list_filter(string_split(text, ' '), x -> x <> '')),
+        -- coalesce BEFORE least: both engines' least() skips NULLs, so
+        -- a NULL-text tombstone would count as a MAXIMAL {_MAX_LEN}-token
+        -- document instead of an all-padding empty one (token_pack_greedy
+        -- pins the same row as 0 tokens)
+        SELECT least(coalesce(len(list_filter(string_split(text, ' '),
+                                              x -> x <> '')), 0),
                      {_MAX_LEN}) AS n
         FROM documents),
     b AS (
@@ -123,8 +128,12 @@ def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per-row map + one bounded-key aggregation; the token count
     never leaves the map side."""
     docs = _t(spark, sf_dir, "documents")
+    # coalesce mirrors the oracle: a NULL text is 0 real tokens
     n = F.least(
-        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))),
+        F.coalesce(
+            F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))),
+            F.lit(0),
+        ),
         F.lit(_MAX_LEN),
     )
     bucket = (

@@ -559,7 +559,7 @@ def ivf_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.user_id, e.event_id, e.value,
            CASE WHEN m.var > 0
                 THEN round((e.value - m.mean) / sqrt(m.var), 6)
-                ELSE 0.0 END AS zscore
+                ELSE e.value * 0.0 END AS zscore
     FROM events e JOIN m USING (user_id)
     """,
 )

@@ -454,9 +454,14 @@ class BatchAccumulator:
         ]
         next_seq = max(by_epoch) + 1 if by_epoch else 0
         pending = self._pending_names(by_epoch, existing)
-        # a deleted EMPTY accumulating batch stays hidden until items
-        # arrive again (the reference recreates the doc on the next add)
-        if pending or next_seq not in self._acc_tombstoned(existing):
+        # a deleted EMPTY accumulating batch stays hidden until ITEMS
+        # arrive again (the reference recreates the doc on the next add).
+        # "Empty" is the same predicate delete_batch uses — zero ROWS, not
+        # zero files: a zero-row staged parquet (add_dataframe of an empty
+        # frame) has no items, so it neither blocks the delete there nor
+        # voids the marker here.
+        pending_rows = sum(counts.get(n, 0) for n in pending)
+        if pending_rows > 0 or next_seq not in self._acc_tombstoned(existing):
             out.append(entry(next_seq, pending, "accumulating"))
         return out
 

@@ -308,8 +308,22 @@ def stale_green() -> list[dict]:
     out: list[dict] = []
     for name, spec in QUERIES.items():
         rnd = verdicts.get(name)
-        if rnd is None or rnd not in states:
+        if rnd is None:
             continue  # never verified — backlog, not stale
+        if rnd not in states:
+            # HAS a verdict but its round's base commit is unresolvable
+            # (root commit for the CORRECTNESS-adding commit, rewritten
+            # history, renamed file): unknown base = unverifiable
+            # coverage. Treat as stale — silently exempting it would
+            # quietly defeat the guard (ADVICE r7).
+            print(
+                f"warning: {name} verified in r{rnd} but that round's "
+                "base commit is unresolvable — treating as stale",
+                file=sys.stderr,
+            )
+            out.append({"name": name, "round": rnd,
+                        "changed": ["<unresolvable verdict base>"]})
+            continue
         start = (spec.fn.__module__, spec.fn.__name__)
         if start not in reach_cache:
             reach_cache[start] = reachable_symbols(*start)

@@ -470,7 +470,20 @@ def adv_star_dir(tmp_path_factory):
             (8, TIMESTAMP '2024-02-20 00:00:00', 8, 'purchase', 4.00,  '{"k": 8}'),
             (9, TIMESTAMP '2024-01-07 12:00:00', 9, 'signup',   NULL,  NULL),
             (10, TIMESTAMP '2024-01-08 12:00:00', 9, 'error',   5.75,  'not json'),
-            (11, TIMESTAMP '2024-01-08 12:05:00', 9, 'view',    1.25,  '{"k": 11, "nested": {"x": 2}}')
+            (11, TIMESTAMP '2024-01-08 12:05:00', 9, 'view',    1.25,  '{"k": 11, "nested": {"x": 2}}'),
+            -- ADVICE r7: zero-variance groups CONTAINING NULLs — the
+            -- class group_zscore's old oracle diverged on (ELSE 0.0 vs
+            -- the pandas NULL-preserving vals * 0.0)
+            (12, TIMESTAMP '2024-01-09 00:00:00', 10, 'view',   0.00,  NULL),
+            (13, TIMESTAMP '2024-01-09 01:00:00', 10, 'click',  NULL,  NULL),
+            -- all-NULL user: oracle var is NULL, pandas var is 0 — both
+            -- must emit NULL z-scores
+            (14, TIMESTAMP '2024-01-09 02:00:00', 11, 'view',   NULL,  NULL),
+            (15, TIMESTAMP '2024-01-09 03:00:00', 11, 'click',  NULL,  NULL),
+            -- constant NEGATIVE group: zero variance, z = value * 0.0
+            -- is -0.0 on BOTH engines (sign-of-zero parity)
+            (16, TIMESTAMP '2024-01-09 04:00:00', 12, 'view',   -3.50, NULL),
+            (17, TIMESTAMP '2024-01-09 05:00:00', 12, 'click',  -3.50, NULL)
         ) t(event_id, ts, user_id, event_type, value, props)""")
     copy("documents", """
         SELECT * FROM (VALUES

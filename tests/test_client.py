@@ -258,6 +258,44 @@ def test_delete_empty_accumulating_batch_hides_until_items_return(spark, tmp_pat
     ]
 
 
+def test_delete_and_list_agree_on_zero_row_staged_files(spark, tmp_path):
+    """ADVICE r7: delete_batch and list_batches must share ONE emptiness
+    predicate (zero ROWS, not zero files). A zero-row staged parquet —
+    add_dataframe of an empty frame — has no items: the empty-accumulating
+    delete succeeds, and the listing must then HIDE the batch (the old
+    file-name-presence check kept showing it while a second delete said
+    not-found)."""
+    reg = HandleRegistry()
+    reg.add("noopFlush", lambda df, ep: None)
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    acc = bp.accumulator("ev", EVENT_SCHEMA, "noopFlush")
+
+    # stage a ZERO-ROW parquet file into the accumulating batch
+    acc.add_dataframe(spark.createDataFrame([], schema=EVENT_SCHEMA))
+    assert [(b["sequence"], b["status"], b["item_count"])
+            for b in bp.get_all_batches_for_base_id("ev")] == [
+        (0, "accumulating", 0),
+    ]
+
+    # zero items -> the empty-accumulating delete path applies
+    assert bp.delete_batch("ev::0") == {"deleted": True}
+    # the deleted batch is GONE from the listing despite the staged file...
+    assert bp.get_all_batches_for_base_id("ev") == []
+    # ...and the second delete agrees with the listing
+    assert bp.delete_batch("ev::0") == {"deleted": False, "reason": "Batch not found"}
+
+    # real items void the marker — same rows-based predicate on both APIs
+    bp.add_items("ev", [{"eventName": "a", "timestamp": 1}])
+    assert [(b["sequence"], b["status"], b["item_count"])
+            for b in bp.get_all_batches_for_base_id("ev")] == [
+        (0, "accumulating", 1),
+    ]
+    assert bp.delete_batch("ev::0") == {
+        "deleted": False,
+        "reason": "Cannot delete batch with pending items",
+    }
+
+
 def test_empty_accumulating_batch_reports_concrete_timestamps(spark, tmp_path):
     """An empty accumulating batch (no staged files, no flush-history
     row for its sequence) must still carry concrete created_at /

@@ -101,3 +101,26 @@ def test_stale_records_are_registered_and_explained():
         assert rec["name"] in QUERIES, rec
         assert rec["changed"], rec
         assert rec["round"] >= 1
+
+
+def test_unresolvable_verdict_base_flags_stale(monkeypatch, capsys):
+    """ADVICE r7: a name WITH a verdict whose round's base commit cannot
+    be resolved (root commit, rewritten history) must be treated as
+    STALE — unknown base = unverifiable coverage — not silently exempted
+    via the 'backlog, not stale' branch."""
+    import stale_green_check as sgc
+
+    from convex_batch_processor_spark.queries import QUERIES
+
+    real_states = verified_states()
+    real_verdicts = latest_verdicts()
+    # pick any REGISTERED verified name and pretend its round's base
+    # commit is unresolvable
+    victim = next(n for n in QUERIES if n in real_verdicts)
+    rnd = real_verdicts[victim]
+    broken = {r: h for r, h in real_states.items() if r != rnd}
+    monkeypatch.setattr(sgc, "verified_states", lambda: broken)
+    recs = {r["name"]: r for r in sgc.stale_green()}
+    assert victim in recs, (victim, rnd)
+    assert recs[victim]["changed"] == ["<unresolvable verdict base>"]
+    assert "unresolvable" in capsys.readouterr().err

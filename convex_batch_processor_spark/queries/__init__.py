@@ -98,44 +98,43 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-7 rotation (NOTES.md "Round-7 rotation plan"): the driver verifies
-# the FIRST 50 registry entries; round 6 went 50/50 green, so this window
-# finishes full-registry verification: (1) the two IVF STALE-GREEN
-# re-queues — ivf_search_topk (verdict r4) and ivf_centroid_assign
-# (verdict r3) both flow through ivf_assign, rewritten map-side in r5 and
-# guarded in r6, so their verdicts predate the code; (2) ALL 35
-# never-verified backlog entries in registration order; (3) 13 freshness
-# fillers — the oldest r1-verified oracle-backed entries, code unchanged
-# since r1. After this window lands, every registered query has a driver
-# verdict and the 279 freeze lifts under NOTES §"Post-backlog freeze
-# policy". List machine-validated end of round 6 ON ROUND-6 HEAD
-# (50 unique registered oracle-backed names, 50/50 locally hash-green and
-# partition-invariant at sf0.01) and re-checked at the start of round 7.
+# Round-8 rotation (NOTES.md "Round-8 rotation plan"): the driver verifies
+# the FIRST 50 registry entries; round 7 went 50/50 green and closed the
+# never-verified backlog, so from here every window retires STALE-GREEN
+# verdicts — names whose reachable code changed after their verdict
+# (machine-derived by `tests/stale_green_check.py --next-window` on
+# round-7 final HEAD, re-run and matched at the round-8 swap). This
+# window is the OLDEST tier: r1/r2 verdicts (relational / analytics /
+# TPC-H packs) that predate the catalog normalize_ts/load_table
+# hardening and the dedup refactors. All 50 are covered by the crafted
+# adversarial star fixture (tests/test_adversarial_fixtures.py
+# _STAR_QUERIES — added round 7 precisely so this tier re-verifies
+# against boundary inputs before the driver re-hashes it). Registry
+# stays frozen at 279 until the stale backlog is under one window
+# (NOTES §"Post-backlog freeze policy").
 prioritize([
-    # STALE-GREEN re-queues (ivf_assign rewritten r5, guarded r6)
-    "ivf_search_topk", "ivf_centroid_assign",
-    # the 35 never-verified backlog entries, registration order
-    "soundex_blocking_stats", "cuped_variance_reduction",
-    "quantile_normalize_values", "purged_time_folds",
-    "bradley_terry_strengths", "seasonal_naive_mase", "did_estimator",
-    "jaro_winkler_linkage", "fellegi_sunter_weights",
-    "exposure_pattern_census", "shapley_channel_attribution",
-    "asof_interpolate_price", "langid_confusion_matrix",
-    "lof_embedding_outliers", "conformal_interval_coverage",
-    "waterfill_allocation", "greedy_set_cover",
-    "markov_removal_attribution", "voptimal_cost_curve",
-    "equiwidth_vs_voptimal", "retrieval_eval_ndcg", "join_order_advisor",
-    "salting_advisor", "readability_scores", "ttr_lexical_diversity",
-    "cidr_zone_lookup", "homoglyph_spoof_stats", "containment_dup_pairs",
-    "dbscan_embedding_clusters", "dbscan_label_ari", "clustering_purity",
-    "clustering_nmi_vmeasure", "ks_wasserstein_drift",
-    "daily_autocorrelation", "cusum_changepoint",
-    # 13 freshness fillers (r1 verdicts, code unchanged since r1)
-    "window_rank_lag_running", "window_moving_avg", "cube_pricing",
-    "rollup_year_priority", "pivot_status_qty", "asof_join_latest_order",
-    "s11_delete_anti_join", "s10_state_upsert", "tumbling_window_counts",
-    "sliding_window_counts", "f6_null_coalesce_guards",
-    "window_distribution", "window_range_frame",
+    # r1-verdict tier (34), oldest first — stale_green_check order
+    "a3_next_sequence", "agg_having", "array_functions_pack",
+    "collect_list_agg", "distinct_agg", "exact_percentiles",
+    "f4_backoff_schedule", "grouping_sets_pricing", "j1_per_key_agg_join",
+    "j2_anti_not_exists", "j2_semi_exists", "json_extract_props",
+    "o2_topk_orders", "p1_projection_view", "p4_status_guard_branch",
+    "p5_batch_id_roundtrip", "q10_returned_items",
+    "q18_large_volume_customer", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "s1_point_lookup", "s2_snapshot_range_scan",
+    "s3_key_collect", "scalar_datetime_math", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all",
+    "topk_per_group", "u1_union_views", "u2_explode_tokens",
+    "w1_retention_doomed", "w2_latest_per_key",
+    # r2-verdict tier (15)
+    "correlated_avg_filter", "date_arithmetic", "dedup_keep_best",
+    "neardup_components", "q11_important_part_value",
+    "q12_shipping_delay_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_excess_shippers", "q21_waiting_supplier",
+    "q22_dormant_customer_balance",
 ])
 
 

@@ -458,29 +458,13 @@ def test_dedup_eval_truth_join_has_no_cartesian(spark, sf_dir):
 def test_current_window_global_windows_are_bounded(spark, sf_dir):
     """Plan gate over the ENTIRE live driver window (the first 50
     registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
-    rotating): no CartesianProduct outside the two allowlisted
-    histogram-squared DP queries (bounded ~|bins|^2 by design), and any
-    unpartitioned WindowExec runs over a bounded aggregate, never a
-    corpus projection. The round-7 window queries that legitimately use
-    a global window are pinned to their exact bounded inputs — value
-    histograms (quantile normalize, KS/Wasserstein, V-optimal grids),
-    the |sources| demand table (waterfill), fused top-k candidate lists
-    (nDCG), the enumerated join-plan cost table, and window_range_frame's
-    o_orderkey<300 slice (pushed to the scan — bounded too) — so a
-    refactor that widens one fails loudly; every other window entry must
-    have NO global window at all."""
-    allowed = {
-        "quantile_normalize_values": {"c", "v"},
-        "waterfill_allocation": {"demand", "source"},
-        "voptimal_cost_curve": {"v"},
-        "equiwidth_vs_voptimal": {"v"},
-        "retrieval_eval_ndcg": {"doc_id", "score"},
-        "join_order_advisor": {"_w0", "cost", "final_rows",
-                               "first_join_rows", "plan"},
-        "ks_wasserstein_drift": {"c1", "c2", "v"},
-        "window_range_frame": {"o_orderkey", "o_totalprice"},
-    }
-    allowed_cartesian = {"voptimal_cost_curve", "equiwidth_vs_voptimal"}
+    rotating): no CartesianProduct, and no unpartitioned WindowExec.
+    The round-8 window (the r1/r2 relational/analytics/TPC-H tier) is
+    entirely clean — measured at the swap: zero global windows and zero
+    cartesians across all 50 plans — so the pins are empty; a refactor
+    that introduces either anywhere in the window fails loudly."""
+    allowed: dict[str, set[str]] = {}
+    allowed_cartesian: set[str] = set()
     names = list(QUERIES)[:50]
     assert len(names) == 50
     for name in names:

@@ -1,15 +1,15 @@
-"""Round-7 driver-window contract (NOTES "Round-7 rotation plan").
+"""Round-8 driver-window contract (NOTES "Round-8 rotation plan").
 
-The driver verifies the FIRST 50 registry entries per round; rounds 1-6
-checked 244 distinct current names (round 6 went 50/50 green), leaving
-exactly 35 registered names with no verdict. Round 7's window = the two
-IVF STALE-GREEN re-queues (ivf_assign was rewritten map-side in r5 and
-guarded in r6 AFTER their r4/r3 verdicts) + ALL 35 never-verified
-backlog entries + 13 freshness fillers (oldest r1 verdicts, code
-unchanged since r1). After this window lands every registered query has
-a driver verdict. These tests pin that state so an accidental import
-reorder or registry growth fails loudly BEFORE the driver runs — no
-Spark session needed.
+The driver verifies the FIRST 50 registry entries per round; round 7
+closed the never-verified backlog (every registered name now carries a
+driver verdict), so round-8+ windows retire STALE-GREEN verdicts —
+names whose reachable code changed after their verdict, machine-derived
+by ``tests/stale_green_check.py --next-window`` on round-7 final HEAD.
+The round-8 window is the OLDEST tier: 35 r1-verdict + 15 r2-verdict
+names from the relational/analytics/TPC-H packs that
+predate the catalog normalize_ts/load_table hardening. These tests pin
+that state so an accidental import reorder or registry growth fails
+loudly BEFORE the driver runs — no Spark session needed.
 """
 
 from __future__ import annotations
@@ -21,62 +21,77 @@ from convex_batch_processor_spark.queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Names in the round-7 window that legitimately carry a pre-round-7
-# verdict: the two IVF stale-green re-queues (implementation changed
-# after their verdicts) and the 13 freshness fillers (r1 verdicts being
-# refreshed by design — code unchanged since r1).
-_REQUEUES = {"ivf_search_topk", "ivf_centroid_assign"}
-_FRESHNESS = {
-    "window_rank_lag_running", "window_moving_avg", "cube_pricing",
-    "rollup_year_priority", "pivot_status_qty", "asof_join_latest_order",
-    "s11_delete_anti_join", "s10_state_upsert", "tumbling_window_counts",
-    "sliding_window_counts", "f6_null_coalesce_guards",
-    "window_distribution", "window_range_frame",
-}
+# The machine-derived round-8 window (stale_green_check --next-window on
+# round-7 final HEAD; re-validated at the swap). Order matters: the
+# driver reads the first 50 registry entries positionally.
+_R8_WINDOW = [
+    # r1-verdict tier (35)
+    "a3_next_sequence", "agg_having", "array_functions_pack",
+    "collect_list_agg", "distinct_agg", "exact_percentiles",
+    "f4_backoff_schedule", "grouping_sets_pricing", "j1_per_key_agg_join",
+    "j2_anti_not_exists", "j2_semi_exists", "json_extract_props",
+    "o2_topk_orders", "p1_projection_view", "p4_status_guard_branch",
+    "p5_batch_id_roundtrip", "q10_returned_items",
+    "q18_large_volume_customer", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q7_volume_shipping", "s1_point_lookup", "s2_snapshot_range_scan",
+    "s3_key_collect", "scalar_datetime_math", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all",
+    "topk_per_group", "u1_union_views", "u2_explode_tokens",
+    "w1_retention_doomed", "w2_latest_per_key",
+    # r2-verdict tier (15)
+    "correlated_avg_filter", "date_arithmetic", "dedup_keep_best",
+    "neardup_components", "q11_important_part_value",
+    "q12_shipping_delay_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_excess_shippers", "q21_waiting_supplier",
+    "q22_dormant_customer_balance",
+]
 
 
-def _verified_before_round7() -> set[str]:
-    seen: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
-        with open(os.path.join(_REPO, f"CORRECTNESS_r{r}.json")) as f:
-            seen |= set(json.load(f))
+def _latest_verdicts() -> dict[str, int]:
+    seen: dict[str, int] = {}
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
+        path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
+        with open(path) as f:
+            for name in json.load(f):
+                seen[name] = max(seen.get(name, 0), int(r))
     return seen
 
 
-def test_registry_frozen_at_279_until_window_lands():
-    """VERDICT r5 #2 / r6 #3: the registry stays frozen at 279 until the
-    round-7 window lands (verification backlog zero); afterwards growth
+def test_registry_frozen_at_279_until_stale_backlog_clears():
+    """VERDICT r7 #4: the registry stays frozen at 279 until the
+    stale-green backlog is under one window (~50); afterwards growth
     follows NOTES "Post-backlog freeze policy" and this pin moves with
     each pre-flighted pack."""
     assert len(QUERIES) == 279, len(QUERIES)
 
 
-def test_round7_window_covers_the_entire_backlog():
-    """The 35 slots between the re-queues and the fillers must be
-    exactly the set of registered names with NO verdict in rounds 1-6 —
-    after round 7, builder-claimed == driver-verified."""
-    names = list(QUERIES)[:50]
-    verified = _verified_before_round7()
-    backlog_in_window = {n for n in names if n not in verified}
-    backlog_in_registry = {n for n in QUERIES if n not in verified}
-    assert backlog_in_window == backlog_in_registry, (
-        backlog_in_registry - backlog_in_window)
-    assert len(backlog_in_window) == 35, len(backlog_in_window)
+def test_round8_window_is_the_machine_derived_rotation():
+    """The first 50 registry entries must equal the stale_green_check
+    --next-window output pinned in NOTES, in order."""
+    assert list(QUERIES)[:50] == _R8_WINDOW
 
 
-def test_round7_window_leads_with_the_ivf_requeues():
-    """The stale-green re-queues head the window so their outdated
-    verdicts are replaced first."""
-    assert list(QUERIES)[:2] == ["ivf_search_topk", "ivf_centroid_assign"]
+def test_round8_window_is_the_oldest_verdict_tier():
+    """Every window name carries an r1/r2 verdict (the oldest stale
+    tier) — the window spends no slot on a fresher verdict while older
+    stale-green names remain."""
+    verdicts = _latest_verdicts()
+    rounds = {n: verdicts[n] for n in _R8_WINDOW}
+    assert all(r in (1, 2) for r in rounds.values()), (
+        {n: r for n, r in rounds.items() if r not in (1, 2)})
+    assert sum(1 for r in rounds.values() if r == 1) == 35, rounds
 
 
-def test_round7_previously_verified_slots_are_only_documented_ones():
-    """Every window slot carrying a prior verdict must be a documented
-    re-queue or freshness filler — no accidental double-spend."""
-    names = list(QUERIES)[:50]
-    already = {n for n in names if n in _verified_before_round7()}
-    assert already == (_REQUEUES | _FRESHNESS), (
-        already ^ (_REQUEUES | _FRESHNESS))
+def test_round8_window_is_fixture_gated():
+    """VERDICT r7 #5: every window name must be covered by the crafted
+    adversarial star fixture BEFORE the driver re-verifies it."""
+    from .test_adversarial_fixtures import _STAR_QUERIES
+
+    missing = [n for n in _R8_WINDOW if n not in _STAR_QUERIES]
+    assert missing == [], missing
 
 
 def test_every_window_entry_is_oracle_backed():

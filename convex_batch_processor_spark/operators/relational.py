@@ -76,8 +76,14 @@ def parse_batch_id(df: DataFrame, id_col: str, base_col: str = "base_id", seq_co
 
 
 def make_batch_id(base: Column, seq: Column) -> Column:
-    """P6: compose ``base::seq`` (lib.ts:62 template concat)."""
-    return F.concat_ws("::", base, seq.cast("string"))
+    """P6: compose ``base::seq`` (lib.ts:62 template concat).
+
+    NULL-PROPAGATING (``concat``, the SQL ``||`` convention): a NULL base
+    or seq yields a NULL id, never a partial one — ``concat_ws`` silently
+    DROPS null parts, so a NULL base would compose the bare seq string
+    and parse back as a different id (ADVICE-class concat_ws/|| split;
+    the reference never sees null here, v.string-validated)."""
+    return F.concat(base, F.lit("::"), seq.cast("string"))
 
 
 # --- §2.3 join patterns -----------------------------------------------------
@@ -116,43 +122,60 @@ def not_exists_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> D
 
 # --- §2.5 windows -----------------------------------------------------------
 
-def latest_per_key(df: DataFrame, key_cols: list[str], order_col: str, desc: bool = True) -> DataFrame:
+def _order_exprs(order_by, desc: bool) -> list[Column]:
+    """Normalize an order spec: bare strings get the ``desc`` direction;
+    Column objects are taken as-is (direction already baked in). Callers
+    should end the list with a UNIQUE column — ``row_number`` over a
+    tied prefix returns an engine/partitioning-dependent row set (the
+    adversarial events fixture crafts equal-ts pairs for exactly this)."""
+    cols = order_by if isinstance(order_by, (list, tuple)) else [order_by]
+    return [
+        (F.col(c).desc() if desc else F.col(c).asc()) if isinstance(c, str) else c
+        for c in cols
+    ]
+
+
+def latest_per_key(df: DataFrame, key_cols: list[str], order_by, desc: bool = True) -> DataFrame:
     """W2: latest row per key (the reference's desc-order ``.first()``,
     lib.ts:55-59, used to allocate the next sequence number).
+
+    ``order_by`` takes one or more columns — pass a unique tiebreak last
+    (see ``_order_exprs``) or ties return an arbitrary row.
 
     Scale: one shuffle on the key; ``row_number`` needs only a per-partition
     sort. For heavily skewed keys, pre-aggregate ``max(order_col)`` and
     semi-join instead — both forms are provided by callers as needed.
     """
-    order = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    w = Window.partitionBy(*key_cols).orderBy(order)
+    w = Window.partitionBy(*key_cols).orderBy(*_order_exprs(order_by, desc))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def retention_doomed(df: DataFrame, key_cols: list[str], order_col: str, keep: int = 1) -> DataFrame:
-    """W1: retention — rank rows per key by ``order_col`` desc and return the
-    rows PAST the newest ``keep`` (the delete set).
+def retention_doomed(df: DataFrame, key_cols: list[str], order_by, keep: int = 1) -> DataFrame:
+    """W1: retention — rank rows per key by ``order_by`` (strings = desc)
+    and return the rows PAST the newest ``keep`` (the delete set). Pass a
+    unique tiebreak column last or ties doom an arbitrary row.
 
     Parity: cleanupOldBatches keeps only the most recent completed batch per
     baseBatchId and deletes the rest (lib.ts:671-692).
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    w = Window.partitionBy(*key_cols).orderBy(*_order_exprs(order_by, desc=True))
     return df.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") > keep).drop("_rank")
 
 
 # --- §2.6 top-k -------------------------------------------------------------
 
-def top_k(df: DataFrame, order_col: str, k: int, desc: bool = True) -> DataFrame:
-    """O2: ``order(desc).take(k)`` (lib.ts:292-294, 913).
+def top_k(df: DataFrame, order_by, k: int, desc: bool = True) -> DataFrame:
+    """O2: ``order(desc).take(k)`` (lib.ts:292-294, 913). Pass a unique
+    tiebreak column last for a deterministic row set.
 
     Spark compiles orderBy+limit to TakeOrderedAndProject: each partition
     keeps a k-row heap, the driver merges — no global sort at any scale.
     """
-    order = F.col(order_col).desc() if desc else F.col(order_col).asc()
-    return df.orderBy(order).limit(k)
+    return df.orderBy(*_order_exprs(order_by, desc)).limit(k)
 
 
-def top_k_per_group(df: DataFrame, key_cols: list[str], order_col: str, k: int) -> DataFrame:
-    """Top-k within each group (window rank ≤ k)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+def top_k_per_group(df: DataFrame, key_cols: list[str], order_by, k: int) -> DataFrame:
+    """Top-k within each group (window rank ≤ k; strings order desc).
+    Pass a unique tiebreak column last for a deterministic row set."""
+    w = Window.partitionBy(*key_cols).orderBy(*_order_exprs(order_by, desc=True))
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")

@@ -97,26 +97,19 @@ def collect_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "grouping_sets_pricing",
-    oracle="""
+_GROUPING_SETS_SQL = """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-    """,
-)
+"""
+
+
+@register("grouping_sets_pricing", oracle=_GROUPING_SETS_SQL)
 def grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (the general form under cube/rollup)."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
-        """
-    )
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
 @register(

@@ -8,7 +8,7 @@ joins are Catalyst-selected (AQE converts to broadcast where profitable).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -170,10 +170,16 @@ def p4_status_guard_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p5_batch_id_roundtrip",
+    # NULL-bid guard: DuckDB's split_part(NULL, ...) returns '' (not
+    # NULL), and CAST('' AS BIGINT) errors — the CASE mirrors Spark's
+    # substring_index/contains NULL-in-NULL-out on the NULL-event_type
+    # fixture row
     oracle="""
-    SELECT split_part(bid, '::', 1) AS base_id,
+    SELECT CASE WHEN bid IS NULL THEN NULL
+                ELSE split_part(bid, '::', 1) END AS base_id,
            COUNT(*) AS n,
-           MAX(CAST(split_part(bid, '::', 2) AS BIGINT)) AS max_seq
+           MAX(CASE WHEN bid IS NULL THEN NULL
+                    ELSE CAST(split_part(bid, '::', 2) AS BIGINT) END) AS max_seq
     FROM (SELECT event_type || '::' || CAST(event_id AS VARCHAR) AS bid FROM events)
     GROUP BY 1
     """,
@@ -365,10 +371,10 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def w1_retention_doomed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1: retention delete-set — rank per key by recency, keep newest 1,
     return the doomed rest (cleanupOldBatches, lib.ts:671-692). The engine's
-    DELETE is an anti-join against this set (S11)."""
+    DELETE is an anti-join against this set (S11). event_id is the unique
+    tiebreak (the adversarial fixture crafts equal-ts pairs)."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1).drop("_rn")
+    return R.retention_doomed(ev, ["user_id"], ["ts", "event_id"], keep=1)
 
 
 @register(
@@ -382,10 +388,10 @@ def w1_retention_doomed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w2_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: latest-row-per-key (the desc .first() at lib.ts:55-59)."""
+    """W2: latest-row-per-key (the desc .first() at lib.ts:55-59);
+    event_id tiebreak for a deterministic row on ts ties."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    return ev.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    return R.latest_per_key(ev, ["user_id"], ["ts", "event_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -405,11 +411,9 @@ def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark compiles this to TakeOrderedAndProject — per-partition k-row heaps
     merged at the driver; no global sort at any scale. o_orderkey tiebreak
     makes the row set deterministic."""
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-        .limit(10)
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    return R.top_k(
+        orders, [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 10
     )
 
 
@@ -425,14 +429,11 @@ def o2_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per group (window rank ≤ k): each customer's 3 biggest orders."""
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    return (
-        _t(spark, sf_dir, "orders")
-        .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= 3)
-        .drop("_rn")
+    """Top-k per group (window rank ≤ k): each customer's 3 biggest orders
+    (o_orderkey asc tiebreak)."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return R.top_k_per_group(
+        orders, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()], 3
     )
 
 
@@ -578,19 +579,31 @@ def scalar_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_props",
-    # json_valid + TRY_CAST mirror Spark's from_json semantics on
-    # degenerate inputs: malformed JSON and untyped field values yield
-    # NULL (DuckDB's bare json_extract_string ERRORS on malformed JSON —
-    # found by the crafted star fixture's 'not json' row)
+    # Mirrors Spark's TYPED from_json('k BIGINT') exactly: the value must
+    # be a JSON integer token (json_type UBIGINT/BIGINT — not a quoted
+    # "7", not 1.9/1.0, which Spark's Jackson long parse rejects to NULL)
+    # and fit in int64 (TRY_CAST: a uint64-range literal overflows to
+    # NULL on both engines). json_valid guards malformed JSON (DuckDB's
+    # bare json_extract ERRORS on the star fixture's 'not json' row).
+    # The earlier bare-TRY_CAST oracle was LOOSER — it accepted quoted
+    # numbers and rounded '1.9' to 2 (found by the r8 line review).
+    # json_extract must stay INSIDE a json_valid-guarded THEN branch
+    # (lazy on both engines' fixture runs) — an AND-conjunction works on
+    # this DuckDB build but r7's no-short-circuit rule says don't rely
+    # on it.
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
            CAST(SUM(CASE WHEN json_valid(props) THEN
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
-               AS BIGINT) AS sum_k,
+               CASE WHEN json_type(json_extract(props, '$.k'))
+                        IN ('UBIGINT', 'BIGINT') THEN
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END END) AS BIGINT) AS sum_k,
            CAST(MAX(CASE WHEN json_valid(props) THEN
-               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END)
-               AS BIGINT) AS max_k
+               CASE WHEN json_type(json_extract(props, '$.k'))
+                        IN ('UBIGINT', 'BIGINT') THEN
+                   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END END) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
 )

@@ -32,31 +32,23 @@ def _revenue_col():
 
 
 
-@register(
-    "correlated_avg_filter",
-    oracle="""
+_CORRELATED_AVG_SQL = """
     SELECT p_partkey, p_type, p_retailprice FROM part p
     WHERE p_retailprice > 1.0 * (
         SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         FROM part p2 WHERE p2.p_type = p.p_type
     )
-    """,
-)
+"""
+
+
+@register("correlated_avg_filter", oracle=_CORRELATED_AVG_SQL)
 def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery: parts priced above their type's
     average. Catalyst decorrelates this into aggregate + join — the same
     plan the hand-written window form would give (free optimization the
     reference's imperative code can't do)."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT p_partkey, p_type, p_retailprice FROM part p
-        WHERE p_retailprice > 1.0 * (
-            SELECT CAST(SUM(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
-            FROM part p2 WHERE p2.p_type = p.p_type
-        )
-        """
-    )
+    return spark.sql(_CORRELATED_AVG_SQL)
 
 
 @register(
@@ -185,10 +177,13 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            (
+            # try_divide: a zero-revenue month (every line 100%-discounted
+            # or zero-priced) must yield NULL like the oracle's `/`, not
+            # an ANSI DIVIDE_BY_ZERO crash (r7 recurring class)
+            F.try_divide(
                 F.lit(100.0)
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double")
-                / F.sum(rev).cast("double")
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).cast("double"),
+                F.sum(rev).cast("double"),
             ).alias("promo_pct")
         )
     )
@@ -224,33 +219,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q15_SQL)
 
 
-@register(
-    "q16_supplier_part_count",
-    oracle="""
+_Q16_SQL = """
     SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
     FROM part JOIN lineitem ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
       AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
     GROUP BY p_brand, p_type, p_size
     ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
-    """,
-)
+"""
+
+
+@register("q16_supplier_part_count", oracle=_Q16_SQL)
 def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct-supplier counts per part group with a
     NOT IN exclusion subquery — Catalyst plans it as a null-aware anti
     join (broadcast: the excluded-supplier list is tiny). lineitem stands
     in for partsupp (the testdata has none)."""
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-        FROM part JOIN lineitem ON p_partkey = l_partkey
-        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 13)
-          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
-        GROUP BY p_brand, p_type, p_size
-        ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
-        """
-    )
+    return spark.sql(_Q16_SQL)
 
 
 _Q17_SQL = """
@@ -317,9 +303,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, supp.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
-            (
-                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)).cast("double")
-                / F.sum(rev).cast("double")
+            # try_divide: a zero-revenue year group yields NULL like the
+            # oracle's `/`, not an ANSI DIVIDE_BY_ZERO crash
+            F.try_divide(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)).cast("double"),
+                F.sum(rev).cast("double"),
             ).alias("mkt_share")
         )
         .orderBy("yr")
@@ -351,7 +339,11 @@ def q4_priority_with_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = orders.join(
         li,
         (orders.o_orderkey == li.l_orderkey)
-        & (li.l_shipdate > F.date_add(F.col("o_orderdate").cast("date"), 60).cast("timestamp")),
+        # interval addition on the FULL timestamp — date_add would
+        # truncate o_orderdate's time-of-day and shift the lateness
+        # threshold to midnight, diverging from the oracle's
+        # `+ INTERVAL 60 DAY` for intra-day orderdates
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))

@@ -1,11 +1,13 @@
 """TPC-H star-join showcases (q3/q5/q10/q18/q7) — the multi-way
 broadcast-chain shapes.
 
-Split from tpch.py only for driver-verification scheduling: these five
-earned green CORRECTNESS rows in round 1, and the driver checks the FIRST
-50 registry entries per round — this module registers LAST so never-checked
-queries get the slots. The local gate (tests/oracle_check.py) still runs
-them every time; nothing else changed.
+Historical split from tpch.py (round 1, when registration order decided
+the driver window). The window is now rebuilt explicitly by
+``prioritize()`` in queries/__init__.py each round — module order no
+longer schedules anything; all five of these queries are, for example,
+deliberately INSIDE the round-8 first-50 window as r1-verdict
+stale-green re-queues. The local gate (tests/oracle_check.py) runs them
+every time regardless.
 """
 
 from __future__ import annotations

@@ -433,7 +433,13 @@ def adv_star_dir(tmp_path_factory):
             (5,6,'F',150.00,TIMESTAMP '2024-03-01 00:00:00','1-URGENT'),
             (6,6,'O',150.00,TIMESTAMP '2024-03-01 00:00:00','1-URGENT'),
             (7,1,'F',50.00,TIMESTAMP '2023-12-31 00:00:00','4-NOT SPECIFIED'),
-            (8,5,'O',9999.99,TIMESTAMP '2024-06-30 00:00:00','1-URGENT')
+            (8,5,'O',9999.99,TIMESTAMP '2024-06-30 00:00:00','1-URGENT'),
+            -- r8 review pins: order 9 (ASIA customer 4) anchors the
+            -- zero-revenue 1996-09 group for q14/q8 try_divide; order 10
+            -- has an INTRA-DAY orderdate inside q4's window so the
+            -- lateness threshold carries time-of-day
+            (9,4,'F',0.00,TIMESTAMP '1996-09-15 00:00:00','3-MEDIUM'),
+            (10,3,'O',100.00,TIMESTAMP '1996-03-01 12:00:00','2-HIGH')
         ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             o_orderdate, o_orderpriority)""")
     copy("lineitem", """
@@ -452,7 +458,16 @@ def adv_star_dir(tmp_path_factory):
             (4,1,1,1, 2.0, 10.00,0.07,0.00,'N','O',TIMESTAMP '2024-03-05 00:00:00'),
             (5,3,3,1, 30.0, 333.33,0.05,0.05,'R','F',TIMESTAMP '2024-03-02 00:00:00'),
             (6,2,2,1, 30.0, 333.33,0.05,0.05,'R','F',TIMESTAMP '2024-03-02 00:00:00'),
-            (7,1,1,1, 1.0, 1.99,0.00,0.00,'A','F',TIMESTAMP '2023-12-31 00:00:00')
+            (7,1,1,1, 1.0, 1.99,0.00,0.00,'A','F',TIMESTAMP '2023-12-31 00:00:00'),
+            -- r8 review pins: line 9 is the ONLY 1996-09 shipment and is
+            -- 100%-discounted -> q14's month revenue is exactly 0 (the
+            -- ANSI DIVIDE_BY_ZERO crash path pre-fix) and q8's 1996 ASIA
+            -- year group is all-zero revenue; line 10 ships 06:00 on the
+            -- 60th day after order 10's 12:00 orderdate — late under the
+            -- old date-truncating threshold, NOT late under the oracle's
+            -- full-timestamp + INTERVAL 60 DAY
+            (9,3,1,1, 10.0, 100.00,1.00,0.00,'N','O',TIMESTAMP '1996-09-20 00:00:00'),
+            (10,1,1,1, 4.0, 50.00,0.00,0.00,'N','O',TIMESTAMP '1996-04-30 06:00:00')
         ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
             l_extendedprice, l_discount, l_tax, l_returnflag,
             l_linestatus, l_shipdate)""")
@@ -483,7 +498,15 @@ def adv_star_dir(tmp_path_factory):
             -- constant NEGATIVE group: zero variance, z = value * 0.0
             -- is -0.0 on BOTH engines (sign-of-zero parity)
             (16, TIMESTAMP '2024-01-09 04:00:00', 12, 'view',   -3.50, NULL),
-            (17, TIMESTAMP '2024-01-09 05:00:00', 12, 'click',  -3.50, NULL)
+            (17, TIMESTAMP '2024-01-09 05:00:00', 12, 'click',  -3.50, NULL),
+            -- r8 review pins: quoted-number and fractional k — Spark's
+            -- typed from_json('k BIGINT') yields NULL for both; the old
+            -- bare-TRY_CAST oracle accepted '7' and rounded 1.9 to 2
+            (18, TIMESTAMP '2024-01-10 00:00:00', 13, 'view',   1.00,  '{"k": "7"}'),
+            (19, TIMESTAMP '2024-01-10 01:00:00', 13, 'click',  2.00,  '{"k": 1.9}'),
+            -- NULL event_type: batch-id composition must propagate NULL
+            -- (concat/|| convention), never compose the bare seq
+            (20, TIMESTAMP '2024-01-10 02:00:00', 13, NULL,     3.00,  '{"k": 5}')
         ) t(event_id, ts, user_id, event_type, value, props)""")
     copy("documents", """
         SELECT * FROM (VALUES

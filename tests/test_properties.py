@@ -41,6 +41,29 @@ def test_batch_id_roundtrip_property(spark, pairs):
         assert r.bid == f"{r.base}::{r.seq_orig}"
 
 
+def test_batch_id_compose_propagates_null(spark):
+    """r8 review pin: make_batch_id is NULL-propagating (|| convention) —
+    a NULL base or seq yields a NULL id, never the bare other part
+    (concat_ws would compose '5' from (NULL, 5) and parse it back as a
+    DIFFERENT id)."""
+    df = spark.createDataFrame(
+        [(None, 5), ("job", None), (None, None), ("job", 7)],
+        "base string, seq_orig long",
+    )
+    rows = parse_batch_id(
+        df.select(
+            "base", "seq_orig",
+            make_batch_id(F.col("base"), F.col("seq_orig")).alias("bid"),
+        ),
+        "bid",
+    ).collect()
+    got = {(r.base, r.seq_orig): (r.bid, r.base_id, r.seq) for r in rows}
+    assert got[(None, 5)] == (None, None, None)
+    assert got[("job", None)] == (None, None, None)
+    assert got[(None, None)] == (None, None, None)
+    assert got[("job", 7)] == ("job::7", "job", 7)
+
+
 def _sessionize_reference(events, gap_ms):
     """Pure-python sessionization oracle: events = [(user, ts_ms, value)]."""
     from collections import defaultdict

@@ -362,9 +362,11 @@ class BatchAccumulator:
         (``_deleted_acc_{seq}`` markers). Unlike committed tombstones
         these are conditional: they only suppress the accumulating entry
         while it stays empty — the reference recreates the batch doc
-        when items arrive again, so staged files or an admitted epoch
-        under the same sequence void the marker (it is simply ignored
-        for any sequence other than the CURRENT empty next_seq)."""
+        when items arrive again, so staged ROWS (zero-row files don't
+        count — same emptiness predicate as delete_batch) or an admitted
+        epoch under the same sequence void the marker (it is simply
+        ignored for any sequence other than the CURRENT empty
+        next_seq)."""
         out: set[int] = set()
         for n in existing:
             if n.startswith("_deleted_acc_"):

@@ -22,8 +22,14 @@ def token_count(text_col: str = "text") -> Column:
 
 
 def token_count_re(text_col: str = "text") -> Column:
-    """BPE-ish token count: alnum runs + single non-space symbols (JVM regexp)."""
-    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0))
+    """BPE-ish token count: alnum runs + single non-space symbols (JVM regexp).
+
+    Whitespace is an EXPLICIT class, not ``\\s``: Java's ``\\s`` includes
+    vertical tab (\\x0B) but RE2's (the DuckDB oracle side) does not — an
+    ASCII \\x0B byte would token-count differently per engine (r8 review)."""
+    return F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+|[^a-z0-9 \t\n\x0b\f\r]"), 0)
+    )
 
 
 def stopword_ratio(text_col: str = "text") -> Column:

@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     "sampled_by_lang",
     oracle="""
     WITH langs AS (
-        SELECT lang, row_number() OVER (ORDER BY lang) - 1 AS idx
+        SELECT lang, row_number() OVER (ORDER BY lang NULLS FIRST) - 1 AS idx
         FROM (SELECT DISTINCT lang FROM documents)
     ),
     thr AS (
@@ -56,7 +56,11 @@ def sampled_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     decided map-side with no coordination. The only window runs over the
     DISTINCT-LANG table (bounded: the language inventory)."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy("lang")
+    # NULLS FIRST pinned EXPLICITLY on both sides: Spark defaults to
+    # nulls-first asc, DuckDB to nulls-last — a NULL lang row would shift
+    # every real stratum's idx on one engine only (the
+    # length_curriculum_buckets class)
+    w = Window.orderBy(F.col("lang").asc_nulls_first())
     thr = (
         docs.select("lang")
         .distinct()
@@ -247,7 +251,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector_stats",
     oracle="""
     SELECT label, COUNT(*) AS n,
-           round(SUM(CAST(embedding[1] AS DOUBLE)), 4) AS sum_dim0,
+           CAST(SUM(CAST(round(CAST(embedding[1] AS DOUBLE), 6)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_dim0,
            -- CASE guard: DuckDB's list_dot_product ERRORS on a NULL list
            -- (Spark's fold just yields NULL, which MAX skips — same result)
            round(CAST(MAX(CASE WHEN embedding IS NULL THEN NULL
@@ -259,11 +264,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector-column aggregates: element access + exact decimal sum of a
-    float component + norm via the array fold (F.aggregate, JVM-side)."""
+    float component + norm via the array fold (F.aggregate, JVM-side).
+
+    sum_dim0 is ORDER-INDEPENDENT: each element is rounded to 6 dp (an
+    exact double→double op both engines agree on, the ivf centroid
+    precedent) then accumulated in DECIMAL(18,6) — a raw double SUM
+    differs across partition orders in the last ulps and can round to
+    different 4-dp values (r8 review finding)."""
     emb = _t(spark, sf_dir, "embeddings")
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4).alias("sum_dim0"),
+        F.sum(
+            F.round(F.element_at("embedding", 1).cast("double"), 6).cast("decimal(18,6)")
+        ).cast("double").alias("sum_dim0"),
         F.round(F.max(S.dot_col(F.col("embedding"), F.col("embedding"))), 6).alias("max_sq_norm"),
     )
 
@@ -275,7 +288,7 @@ def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
-           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]')) AS n_tokens_re,
+           len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens_re,
            CAST(len(list_filter(string_split(text, ' '),
                     x -> x = 'the' OR x = 'a' OR x = 'and' OR x = 'of' OR x = 'to' OR x = 'in')) AS DOUBLE)
              / NULLIF(len(list_filter(string_split(text, ' '), x -> x <> '')), 0) AS stop_ratio,
@@ -841,6 +854,40 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- edit-distance near-dup -------------------------------------------------
+
+
+@register(
+    "edit_distance_neardup",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, text, length(text) AS len,
+               md5(COALESCE(array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' '), '')) AS blk
+        FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
+           CASE WHEN greatest(a.len, b.len) > 0
+                THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                     / greatest(a.len, b.len) ELSE 0.0 END AS rel_dist
+    FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CASE WHEN greatest(a.len, b.len) > 0
+               THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                    / greatest(a.len, b.len) ELSE 0.0 END <= 0.4
+    """,
+)
+def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs with 4-token-prefix blocking — the
+    fuzzy-dedup family shingle methods miss (typo-level edits). Exact
+    char-level DP distance on candidate pairs only; see
+    llmops/dedup.py:edit_distance_neardup for the blocking/scale story
+    (equi-join blocks, Σ|block|² pairs, never corpus²; ASCII corpus makes
+    Spark's char-based and DuckDB's byte-based levenshtein identical)."""
+    from ..llmops.dedup import edit_distance_neardup as _ed
+
+    return _ed(_t(spark, sf_dir, "documents"))
+
+
 # --- rows-only (xxhash / seeded-hyperplane) variants -----------------------
 # Registered LAST within this module: they are rows-only by design (hash
 # families a SQL oracle cannot replay; each has a parity/recall test and an
@@ -878,38 +925,3 @@ def lsh_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane-LSH ANN: probe the query's bucket, exact-rerank
     inside. Tests measure recall vs knn_bruteforce."""
     return S.lsh_ann(_t(spark, sf_dir, "embeddings"), [0, 1, 2], k=5, n_bits=8)
-
-
-
-# --- edit-distance near-dup -------------------------------------------------
-
-
-@register(
-    "edit_distance_neardup",
-    oracle="""
-    WITH base AS MATERIALIZED (
-        SELECT doc_id, text, length(text) AS len,
-               md5(COALESCE(array_to_string(list_slice(
-                   list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' '), '')) AS blk
-        FROM documents)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
-           CASE WHEN greatest(a.len, b.len) > 0
-                THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                     / greatest(a.len, b.len) ELSE 0.0 END AS rel_dist
-    FROM base a JOIN base b ON a.blk = b.blk AND a.doc_id < b.doc_id
-    WHERE CASE WHEN greatest(a.len, b.len) > 0
-               THEN CAST(levenshtein(a.text, b.text) AS DOUBLE)
-                    / greatest(a.len, b.len) ELSE 0.0 END <= 0.4
-    """,
-)
-def edit_distance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Levenshtein near-dup pairs with 4-token-prefix blocking — the
-    fuzzy-dedup family shingle methods miss (typo-level edits). Exact
-    char-level DP distance on candidate pairs only; see
-    llmops/dedup.py:edit_distance_neardup for the blocking/scale story
-    (equi-join blocks, Σ|block|² pairs, never corpus²; ASCII corpus makes
-    Spark's char-based and DuckDB's byte-based levenshtein identical)."""
-    from ..llmops.dedup import edit_distance_neardup as _ed
-
-    return _ed(_t(spark, sf_dir, "documents"))

@@ -111,7 +111,10 @@ def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
            reverse(c_mktsegment) AS rev,
            substr(c_mktsegment, 2, 3) AS mid,
            length(c_name) AS name_len,
-           concat(c_mktsegment, '/', c_name) AS tagged
+           -- concat_ws, NOT concat: Spark's concat_ws skips a NULL arg
+           -- AND its separator while DuckDB's concat keeps the bare '/'
+           -- (r8 review; both columns are nullable in the schema)
+           concat_ws('/', c_mktsegment, c_name) AS tagged
     FROM customer WHERE c_custkey < 100
     """,
 )

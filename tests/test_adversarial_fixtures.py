@@ -241,7 +241,10 @@ def adv_text_dir(tmp_path_factory):
                 (4, 'x  y   z', 'en', 'web', 8),              -- runs of spaces
                 (5, 'the the the the the the the the', 'en', 'web', 31),
                 (6, '', 'de', 'book', 0),  -- SECOND empty doc (empty-pair path)
-                (7, NULL, 'en', 'web', NULL)  -- NULL text (failed fetch/tombstone)
+                (7, NULL, 'en', 'web', NULL),  -- NULL text (failed fetch/tombstone)
+                -- vertical tab (\\x0B): Java \\s includes it, RE2 \\s does
+                -- not — the token regex uses an explicit class (r8 review)
+                (8, 'ab' || chr(11) || 'cd e', 'en', 'web', 10)
             ) t(doc_id, text, lang, source, n_chars)
         ) TO '{d}/documents.parquet' (FORMAT PARQUET)
         """
@@ -400,7 +403,10 @@ def adv_star_dir(tmp_path_factory):
             (3,'Customer#000000003',2, 0.00,'BUILDING'),
             (4,'Customer#000000004',3, 999.99,'MACHINERY'),
             (5,'Customer#000000005',0, 100.50,'BUILDING'),
-            (6,'Customer#000000006',2, 10.10,'HOUSEHOLD')
+            (6,'Customer#000000006',2, 10.10,'HOUSEHOLD'),
+            -- r8 review pin: NULL segment — concat_ws/concat NULL
+            -- handling must match across engines (string_functions)
+            (7,'Customer#000000007',1, 50.00, NULL)
         ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
     copy("supplier", """
         SELECT s_suppkey, s_name, s_nationkey,
@@ -517,7 +523,10 @@ def adv_star_dir(tmp_path_factory):
             (4, 'x  y   z', 'en', 'web', 8),
             (5, 'the the the the the the the the', 'en', 'web', 31),
             (6, '', 'de', 'book', 0),
-            (7, NULL, 'en', 'web', NULL)
+            (7, NULL, 'en', 'web', NULL),
+            -- r8 review pin: NULL language — per-lang windows must pin
+            -- NULLS FIRST/LAST identically on both engines
+            (8, 'null lang doc', NULL, 'web', 13)
         ) t(doc_id, text, lang, source, n_chars)""")
     copy("embeddings", """
         SELECT * FROM (VALUES

@@ -30,8 +30,15 @@ def sessionize(
     session_value). A session breaks when the gap to the previous event of
     the same key exceeds ``gap_ms``; ``tiebreak_col`` makes the in-key
     order total (equal timestamps would otherwise make session indices
-    nondeterministic)."""
-    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    nondeterministic).
+
+    NULL timestamps sort FIRST (pinned explicitly — Spark's asc default,
+    but DuckDB's ORDER BY defaults NULLS LAST, so every oracle paired
+    with this operator must write ``ts NULLS FIRST``): a NULL-ts event
+    opens its key's first session rather than re-ordering per engine."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc_nulls_first(), tiebreak_col
+    )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ms = F.lag(F.unix_millis(F.col(ts_col))).over(w)
     is_new = F.when(

@@ -28,15 +28,20 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH g AS (
         SELECT user_id, event_id, ts, value,
+               -- ts NULLS FIRST pinned on every window: Spark defaults
+               -- nulls-first asc, DuckDB nulls-last — a NULL-ts event
+               -- changed session membership AND row counts per engine
                CASE WHEN epoch_ms(ts)
-                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts NULLS FIRST, event_id)
                          > 2592000000
-                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts NULLS FIRST, event_id) IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM events
     ), s AS (
         SELECT user_id, event_id, ts, value,
-               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS BIGINT) AS session_idx
         FROM g
@@ -62,12 +67,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_lag_running",
     oracle="""
     SELECT user_id, event_id, ts, value,
-           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-           rank()       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rk,
-           lag(value)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rn,
+           rank()       OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS rk,
+           lag(value)   OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_value,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS delta,
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_sum
     FROM events
     """,
@@ -75,7 +80,10 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_rank_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking + lag + running-frame aggregation per key. One shuffle on
     user_id serves all five window functions (same window spec)."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS FIRST pinned explicitly on both sides: Spark defaults to
+    # nulls-first asc, DuckDB to nulls-last — a NULL-ts event shifted
+    # every windowed column for its user on one engine only
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_first(), "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return _t(spark, sf_dir, "events").select(
         "user_id",
@@ -95,16 +103,21 @@ def window_rank_lag_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id, ts,
            CAST(SUM(CAST(value AS DECIMAL(18,2)))
-                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
-           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS moving_avg
     FROM events
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-frame moving average (4-row trailing window), decimal-exact."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, Window.currentRow)
+    """Sliding-frame moving average (4-row trailing window), decimal-exact.
+    NULLS FIRST pinned on both sides (the window_rank_lag_running class)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc_nulls_first(), "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
     return _t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",

@@ -72,9 +72,11 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, so pair volume is sum_doc |vocab-terms-in-doc|^2 — never
     vocabulary^2 x corpus and never unbounded per-doc token fan-out. The
     doc-keyed self-join shuffles on uniform doc ids (no skew)."""
+    from ..llmops.dedup import tokens_col
+
     docs = _t(spark, sf_dir, "documents")
     st = (
-        docs.select("doc_id", F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias("term"))
+        docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
         .distinct()
         .persist()  # three consumers: N, df, and the pruned posting list
     )
@@ -291,8 +293,11 @@ def burst_detection_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm AS (
         SELECT component_id, lang AS lang_majority FROM (
             SELECT component_id, lang,
+                   -- lang NULLS FIRST pinned on both sides: Spark asc
+                   -- defaults nulls-first, DuckDB nulls-last — a NULL-lang
+                   -- member won count ties on one engine only
                    row_number() OVER (PARTITION BY component_id
-                                      ORDER BY COUNT(*) DESC, lang ASC) AS rn
+                                      ORDER BY COUNT(*) DESC, lang ASC NULLS FIRST) AS rn
             FROM j GROUP BY 1, 2) WHERE rn = 1)
     SELECT b.component_id, b.keep_doc_id, r.rep_doc_id, r.rep_n_chars,
            l.lang_majority, b.source_first, b.n_members
@@ -337,7 +342,7 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wlang = Window.partitionBy("component_id").orderBy(
-        F.col("cnt").desc(), F.col("lang").asc()
+        F.col("cnt").desc(), F.col("lang").asc_nulls_first()
     )
     lm = (
         j.groupBy("component_id", "lang")

@@ -137,7 +137,9 @@ _NEY_TOTAL = 1000  # sample size to apportion
         FROM w CROSS JOIN tot
     ),
     r AS (
-        SELECT *, row_number() OVER (ORDER BY rem DESC, event_type ASC) AS rk,
+        -- event_type NULLS FIRST pinned on both sides: a NULL stratum
+        -- tying another stratum's rem took the +1 unit on one engine only
+        SELECT *, row_number() OVER (ORDER BY rem DESC, event_type ASC NULLS FIRST) AS rk,
                {_NEY_TOTAL} - CAST(SUM(base) OVER () AS BIGINT) AS leftover
         FROM d
     )
@@ -199,7 +201,9 @@ def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "leftover", F.lit(_NEY_TOTAL) - F.sum("base").over(Window.partitionBy())
     ).withColumn(
         "rk",
-        F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("event_type").asc())),
+        F.row_number().over(
+            Window.orderBy(F.col("rem").desc(), F.col("event_type").asc_nulls_first())
+        ),
     )
     return r.select(
         "event_type",

@@ -63,7 +63,10 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("toks") - 7),
         lambda i: F.concat_ws(" ", F.slice("toks", i, 8)),
     )
-    g = toks.select("doc_id", F.explode(grams).alias("gram"))
+    # persisted: g feeds BOTH the distinct-doc gram count and the join-back;
+    # unpersisted, the tokenize+8-gram explode re-runs over the whole corpus
+    # per consumer (the multi-consumer class token_pmi_pairs prices at 4-6x)
+    g = toks.select("doc_id", F.explode(grams).alias("gram")).persist()
     nd = (
         g.distinct()
         .groupBy("gram")
@@ -264,8 +267,11 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH seq AS (
         SELECT user_id, event_type,
+               -- ts NULLS FIRST pinned on both sides: Spark defaults
+               -- nulls-first asc, DuckDB nulls-last — a NULL-ts event
+               -- produced different lag pairings per engine
                lag(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS prev_type
         FROM events
     )
@@ -277,11 +283,14 @@ def rolling_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order event-sequence transition counts (the Markov-chain
     matrix of user behavior): one user-keyed window for lag, then a tiny
-    (prev, next) rollup. Deterministic total order via (ts, event_id)."""
+    (prev, next) rollup. Deterministic total order via (ts, event_id),
+    NULL ts pinned FIRST on both sides (the window_rank_lag_running class)."""
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
     seq = ev.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     )

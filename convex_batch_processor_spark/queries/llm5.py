@@ -157,9 +157,12 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the novelty ratio is int/int in double (bit-exact, no rounding)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    # persisted: grams feeds BOTH the first-occurrence aggregate and the
+    # join-back — unpersisted, the shingle explode re-runs over the corpus
+    # for each consumer (the dup_span_coverage / token_pmi_pairs class)
     grams = toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("t"), 8)).alias("gram")
-    )
+    ).persist()
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
     return (
@@ -197,7 +200,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tc, tot
     ),
     r AS (
-        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+        -- source NULLS FIRST pinned on both sides: a NULL-source stratum
+        -- tying another source's rem took the +1 unit on one engine only
+        SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC NULLS FIRST) AS rk,
                500000 - SUM(base) OVER () AS leftover
         FROM d
     )
@@ -234,7 +239,9 @@ def token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.withColumn("leftover", F.lit(500000) - F.sum("base").over(Window.partitionBy()))
         .withColumn(
             "rk",
-            F.row_number().over(Window.orderBy(F.col("rem").desc(), F.col("source").asc())),
+            F.row_number().over(
+                Window.orderBy(F.col("rem").desc(), F.col("source").asc_nulls_first())
+            ),
         )
     )
     return out.select(

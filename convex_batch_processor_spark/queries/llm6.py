@@ -201,7 +201,14 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     grams = exploded_shingles(
         _t(spark, sf_dir, "documents"), n=_BLOOM_N, out="gram"
     )
-    eval_grams = grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
+    # persisted: eval_grams is consumed twice (bitmap build + broadcast
+    # in_eval join) and is BOUNDED (the eval split's distinct grams);
+    # persisting the full gram stream instead would cache corpus-scale
+    # state for no win — the %50 filters push below the explode, so the
+    # corpus branch already scans once
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct().persist()
+    )
     corpus = grams.filter(F.col("doc_id") % 50 != 0)
     words = K.bloom_bitmap(eval_grams, "gram", _BLOOM_M, _BLOOM_K)
     return (

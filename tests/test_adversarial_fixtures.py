@@ -763,3 +763,112 @@ def test_boundary_parity_degenerate(spark, adv_degenerate_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_degenerate_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# ---------------------------------------------------------------------------
+# NULL-ordering corner (round-8 second line-review): Spark orders ASC with
+# NULLS FIRST, DuckDB with NULLS LAST, so any window/tiebreak over a nullable
+# column silently diverges unless pinned on both sides. These fixtures hold
+# the exact rows that made each query below FAIL the driver-style compare
+# before the NULLS FIRST pins landed (probe-confirmed divergences, not
+# hypotheticals): a NULL-ts event amid real ones (session membership, rank/
+# lag/moving-avg frames, lag pairings), and an exact-dup pair whose members
+# tie the lang-majority vote 1-1 with one NULL lang.
+_NULLORDER_QUERIES = [
+    "sessionize_events",
+    "window_rank_lag_running",
+    "window_moving_avg",
+    "event_type_transitions",
+    "golden_record_merge",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_nullorder_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_nullorder_sf")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CAST(value AS DOUBLE) AS value, props
+              FROM (VALUES
+                (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 12:00:00',
+                 CAST(1 AS BIGINT), 'view',  1.00, NULL),
+                (2, TIMESTAMP '2024-02-15 12:00:00', 1, 'click', 2.00, NULL),
+                (3, TIMESTAMP '2024-02-16 12:00:00', 1, 'view',  3.00, NULL),
+                (4, NULL,                            1, 'click', 2.50, NULL),
+                (5, TIMESTAMP '2024-01-02 12:00:00', 2, 'view',  1.50, NULL),
+                (6, NULL,                            2, NULL,    1.75, NULL),
+                (7, TIMESTAMP '2024-01-03 12:00:00', 2, NULL,    2.25, NULL),
+                (8, TIMESTAMP '2024-01-04 12:00:00', 2, 'view',  4.00, NULL),
+                (9, TIMESTAMP '2024-01-05 12:00:00', 2, 'click', 5.00, NULL)
+              ) t(event_id, ts, user_id, event_type, value, props))
+        TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    # docs 0/1: exact-dup texts, lang 'en' vs NULL -> 1-1 majority tie
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT),
+             'alpha beta gamma delta epsilon zeta eta theta iota kappa',
+             'en', 'web', CAST(50 AS BIGINT)),
+            (1, 'alpha beta gamma delta epsilon zeta eta theta iota kappa',
+             NULL, 'web', 50),
+            (2, 'one two three four five six seven eight nine ten',
+             'en', NULL, 40),
+            (3, 'uno dos tres cuatro cinco seis siete ocho nueve diez',
+             'de', NULL, 44),
+            (4, 'moon sun star cloud rain snow wind storm fog mist',
+             'en', 'crawl', 42)
+          ) t(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _NULLORDER_QUERIES)
+def test_boundary_parity_nullorder(spark, adv_nullorder_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_nullorder_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+# Largest-remainder NULL-stratum tie: both allocation queries rank strata by
+# (rem DESC, key ASC) to grant the +1 leftover units; an unpinned key put a
+# NULL stratum before the tied name in Spark and after it in DuckDB. The rows
+# below are brute-forced so the NULL stratum EXACTLY ties a named stratum's
+# rem with leftover=1 (neyman: value diffs 1/1/14 cents -> wi 141/141/1980,
+# tw=2262, rem 756/756/750; token_budget: 3/3/13 tokens -> T=19, rem 7/7/5).
+_REMTIE_QUERIES = ["neyman_allocation", "token_budget_allocation"]
+
+
+@pytest.fixture(scope="module")
+def adv_remtie_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_remtie_sf")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CAST(value AS DOUBLE) AS value, props
+              FROM (VALUES
+                (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 00:00:00',
+                 CAST(1 AS BIGINT), NULL, 1.00, NULL),
+                (2, TIMESTAMP '2024-01-02 00:00:00', 1, NULL, 1.01, NULL),
+                (3, TIMESTAMP '2024-01-03 00:00:00', 1, 'aa', 2.00, NULL),
+                (4, TIMESTAMP '2024-01-04 00:00:00', 1, 'aa', 2.01, NULL),
+                (5, TIMESTAMP '2024-01-05 00:00:00', 1, 'zz', 5.00, NULL),
+                (6, TIMESTAMP '2024-01-06 00:00:00', 1, 'zz', 5.14, NULL)
+              ) t(event_id, ts, user_id, event_type, value, props))
+        TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), 'one two three', NULL, NULL, CAST(13 AS BIGINT)),
+            (1, 'uno dos tres', 'en', 'bb', 12),
+            (2, 'a b c d e f g h i j k l m', 'en', 'cc', 25)
+          ) t(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _REMTIE_QUERIES)
+def test_boundary_parity_remtie(spark, adv_remtie_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_remtie_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

@@ -221,8 +221,15 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("timestamp").alias("o_orderdate"),
         )
     )
+    # NULL-semantics parity with the oracle's ON o_custkey = user_id AND
+    # o_orderdate <= ts: SQL comparisons never match NULL, but Spark's
+    # partitionBy groups NULL keys into ONE partition, and a NULL-orderdate
+    # order sorts FIRST (t asc) — landing inside EVERY event's preceding
+    # frame. Filter undated/unkeyed orders; mask NULL-key/NULL-ts events
+    # to the oracle's no-match NULL below.
     orders = (
         _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull())
         .select(
             F.col("o_custkey").alias("key"),
             F.col("o_orderdate").alias("t"),
@@ -245,7 +252,13 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     order_state = F.when(
         F.col("is_event") == 0, F.struct("o_orderkey", "o_orderdate")
     )
-    carried = unioned.withColumn("last_order", F.last(order_state, ignorenulls=True).over(w))
+    no_match = F.col("key").isNull() | F.col("ts").isNull()
+    carried = unioned.withColumn(
+        "last_order",
+        F.when(no_match, F.lit(None)).otherwise(
+            F.last(order_state, ignorenulls=True).over(w)
+        ),
+    )
     return (
         carried.filter(F.col("is_event") == 1)
         .select(

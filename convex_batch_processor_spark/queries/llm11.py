@@ -114,8 +114,11 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0 FROM dur),
     risk AS (
         SELECT day, d_t, c_t,
+               -- day NULLS FIRST pinned on both sides: an all-NULL-ts
+               -- signup user yields a day=NULL censor row, which shifted
+               -- every real day's risk set on one engine only
                nn.n0 - CAST(COALESCE(SUM(d_t + c_t) OVER (
-                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ORDER BY day NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) AS BIGINT) AS n_risk
         FROM per_day CROSS JOIN nn
     ),
@@ -127,7 +130,7 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM risk WHERE d_t > 0
     )
     SELECT day, n_risk, d_t AS n_events, c_t AS n_censored,
-           CAST(SUM(lf) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           CAST(SUM(lf) OVER (ORDER BY day NULLS FIRST ROWS UNBOUNDED PRECEDING) AS DOUBLE)
                AS log_survival
     FROM steps
     """,
@@ -188,7 +191,9 @@ def km_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d").cast("long").alias("d_t"), F.sum("c").cast("long").alias("c_t"))
     )
     nn = dur.agg(F.count(F.lit(1)).alias("n0"))
-    wprev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    wprev = Window.orderBy(F.col("day").asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     risk = per_day.crossJoin(F.broadcast(nn)).select(
         "day",
         "d_t",
@@ -217,7 +222,9 @@ def km_signup_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,9)")
         .alias("lf"),
     )
-    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wcum = Window.orderBy(F.col("day").asc_nulls_first()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return steps.select(
         "day",
         "n_risk",

@@ -27,7 +27,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     oracle="""
     WITH p AS (
         SELECT user_id, ts,
-               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+               -- ts NULLS FIRST pinned on both sides (the
+               -- sessionize_events class): a NULL-ts purchase changed
+               -- which gap rows survive the prev_ts filter per engine
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id) AS prev_ts
         FROM events WHERE event_type = 'purchase'
     ),
     gaps AS (
@@ -57,7 +60,9 @@ def repeat_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-key shuffle; per-user percentile state is the user's own gap
     list (bounded by purchase history, not corpus)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
     p = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.lag("ts").over(w).alias("prev_ts")
     )

@@ -47,7 +47,8 @@ def _rules_sql() -> str:
     WITH rules AS ({_rules_sql()}),
     seq AS (
         SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               -- ts NULLS FIRST pinned on both sides (sessionize class)
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                    AS prev_type
         FROM events
     ),
@@ -82,7 +83,10 @@ def event_sequence_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(nxt, p) for nxt, prevs in sorted(_SEQ_RULES.items()) for p in prevs],
         "next_type string, allowed_prev string",
     )
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts NULLS FIRST pinned on both sides (the sessionize_events class)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
     seq = ev.select(
         "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
     )

@@ -93,7 +93,16 @@ def asof_forward(ev: DataFrame, orders: DataFrame) -> DataFrame:
         F.lit(None).cast("bigint").alias("o_orderkey"),
         F.lit(None).cast("timestamp").alias("o_orderdate"),
     )
-    orders = orders.select(
+    # NULL-semantics parity with the oracle's ON o_custkey = user_id AND
+    # o_orderdate > ts: SQL equality/inequality never matches NULL, but
+    # Spark's partitionBy groups NULL keys into ONE partition (a NULL-key
+    # event would capture NULL-custkey orders) and a NULL-ts event sorts
+    # first in the t-asc window (its frame would span every order). Orders
+    # without a date can never satisfy t > ts; events with a NULL key or
+    # ts are masked to the oracle's no-match NULL below.
+    orders = orders.filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
         F.col("o_custkey").alias("key"),
         F.col("o_orderdate").alias("t"),
         F.lit(0).alias("is_event"),
@@ -116,8 +125,13 @@ def asof_forward(ev: DataFrame, orders: DataFrame) -> DataFrame:
         )
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    nxt_key = F.first(F.col("o_orderkey"), ignorenulls=True).over(w)
-    nxt_date = F.first(F.col("o_orderdate"), ignorenulls=True).over(w)
+    no_match = F.col("key").isNull() | F.col("ts").isNull()
+    nxt_key = F.when(no_match, F.lit(None).cast("bigint")).otherwise(
+        F.first(F.col("o_orderkey"), ignorenulls=True).over(w)
+    )
+    nxt_date = F.when(no_match, F.lit(None).cast("timestamp")).otherwise(
+        F.first(F.col("o_orderdate"), ignorenulls=True).over(w)
+    )
     return (
         unioned.select(
             "key",

@@ -74,10 +74,14 @@ def bootstrap_order_price_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation of map-side partials."""
     orders = _t(spark, sf_dir, "orders")
     reps = F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("replicate")
+    # F.concat (NULL-propagating, == the oracle's ||), NOT concat_ws: a
+    # NULL o_orderkey must yield u = NULL -> weight 0 on both engines —
+    # concat_ws silently drops the NULL part and hashes the bare
+    # replicate id (the make_batch_id class)
     u = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.col("o_orderkey").cast("string"),
-                              F.col("replicate").cast("string"))),
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":"),
+                           F.col("replicate").cast("string"))),
             1,
             4,
         ),

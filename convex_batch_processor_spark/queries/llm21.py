@@ -77,7 +77,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     node-keyed vote rollup — the textbook Pregel step as DataFrame ops;
     rounds are O(diameter)-ish like the CC operator's propagation."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    # persisted: ps feeds ok AND both sides of the pair join — unpersisted,
+    # the lineitem scan + distinct shuffle re-runs three times (the oracle
+    # marks its ps CTE MATERIALIZED for the same reason)
+    ps = li.select("l_partkey", "l_suppkey").distinct().persist()
     ok = (
         ps.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -25,8 +25,11 @@ _DEBOUNCE_S = 300  # suppress same-type repeats within 5 minutes
     oracle=f"""
     WITH seq AS (
         SELECT event_id, user_id, event_type, ts,
+               -- ts NULLS FIRST pinned on both sides (the
+               -- sessionize_events class): a NULL-ts event changed which
+               -- rows pass the debounce filter per engine
                lag(ts) OVER (PARTITION BY user_id, event_type
-                             ORDER BY ts, event_id) AS prev_ts
+                             ORDER BY ts NULLS FIRST, event_id) AS prev_ts
         FROM events
     )
     SELECT event_id, user_id, event_type, ts
@@ -52,7 +55,7 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (user, type)-keyed window, no other shuffle."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
     )
     prev = F.lag("ts").over(w)
     return (
@@ -86,8 +89,11 @@ def event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM grp GROUP BY 1, 2
     )
     SELECT user_id, len AS streak_days, streak_start, streak_end FROM (
+        -- streak_start NULLS FIRST pinned on both sides: a NULL-ts
+        -- event casts to a NULL day/run, which won len ties on one
+        -- engine only
         SELECT *, row_number() OVER (PARTITION BY user_id
-                                     ORDER BY len DESC, streak_start ASC) AS rk
+                                     ORDER BY len DESC, streak_start ASC NULLS FIRST) AS rk
         FROM runs
     ) WHERE rk = 1
     """,
@@ -115,7 +121,7 @@ def longest_active_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
     )
     wr = Window.partitionBy("user_id").orderBy(
-        F.col("len").desc(), F.col("streak_start").asc()
+        F.col("len").desc(), F.col("streak_start").asc_nulls_first()
     )
     return (
         runs.select("*", F.row_number().over(wr).alias("rk"))

@@ -90,7 +90,12 @@ _CURSOR_KEY = 0
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
     FROM orders
-    WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '{_CURSOR_DATE}', {_CURSOR_KEY})
+    -- expanded OR, NOT DuckDB's row-value (tuple) comparison: the tuple
+    -- form uses total ordering where a NULL o_orderdate sorts GREATEST
+    -- and passes the cursor, while Spark's expanded OR evaluates NULL
+    -- and filters the row — keyset semantics exclude unordered keys
+    WHERE o_orderdate > TIMESTAMP '{_CURSOR_DATE}'
+       OR (o_orderdate = TIMESTAMP '{_CURSOR_DATE}' AND o_orderkey > {_CURSOR_KEY})
     ORDER BY o_orderdate, o_orderkey
     LIMIT {_PAGE_SIZE}
     """,

@@ -35,12 +35,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         FROM lineitem GROUP BY 1
     )
     SELECT l_returnflag, n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS pearson_r
+           -- DIVISION-FREE zero-variance guard (ANSI Spark throws
+           -- DIVIDE_BY_ZERO on a constant column where DuckDB yields
+           -- NULL); the variance terms are the same fixed IEEE ops on
+           -- both engines, so the branch decision is engine-identical
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+                ELSE NULL END AS pearson_r
     FROM m
     """,
 )
@@ -84,8 +93,20 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         nd * F.col("syy").cast("double")
         - F.col("sy").cast("double") * F.col("sy").cast("double")
     )
+    # division-free zero-variance guard on the UNsquare-rooted terms
+    # (identical IEEE ops on both engines -> identical branch decision)
+    varx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vary = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
     return m.select(
-        "l_returnflag", "n", F.round(num / (denx * deny), 6).alias("pearson_r")
+        "l_returnflag",
+        "n",
+        F.when(
+            (varx > 0) & (vary > 0), F.round(num / (denx * deny), 6)
+        ).alias("pearson_r"),
     )
 
 
@@ -93,8 +114,11 @@ def price_quantity_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "histogram_median_price",
     oracle="""
     WITH c AS (
+        -- NULL prices excluded on BOTH sides (the NOTES histogram rule):
+        -- a NULL cents band sorts FIRST in Spark's cumsum window and LAST
+        -- in DuckDB's, shifting which band first satisfies 2*cum >= total
         SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
+        FROM orders WHERE o_totalprice IS NOT NULL
     ),
     hist AS (
         SELECT o_orderpriority, cents, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -126,7 +150,7 @@ def histogram_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every step is integer arithmetic; /100.0 is the single exact-operand
     display division."""
     orders = _t(spark, sf_dir, "orders")
-    c = orders.select(
+    c = orders.filter(F.col("o_totalprice").isNotNull()).select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
     )

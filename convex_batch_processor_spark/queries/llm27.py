@@ -37,18 +37,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         FROM daily
     )
     SELECT n,
-           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9) AS slope_cents_per_day,
-           round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
-                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS r_squared
+           -- DIVISION-FREE degenerate guards (ANSI Spark throws
+           -- DIVIDE_BY_ZERO where DuckDB yields NULL): a single-date
+           -- corpus zeroes varx; constant daily revenue zeroes vary
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+                ELSE NULL END AS slope_cents_per_day,
+           CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+                ELSE NULL END AS r_squared
     FROM m
     """,
 )
@@ -102,8 +113,12 @@ def ols_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     num = nd * sxy - sx * sy
     varx = nd * sxx - sx * sx
     vary = nd * syy - sy * sy
+    # division-free degenerate guards (identical IEEE ops on both engines
+    # -> identical branch decision): single-date corpus / constant revenue
     return m.select(
         "n",
-        F.round(num / varx, 9).alias("slope_cents_per_day"),
-        F.round((num * num) / (varx * vary), 9).alias("r_squared"),
+        F.when(varx > 0, F.round(num / varx, 9)).alias("slope_cents_per_day"),
+        F.when(
+            (varx > 0) & (vary > 0), F.round((num * num) / (varx * vary), 9)
+        ).alias("r_squared"),
     )

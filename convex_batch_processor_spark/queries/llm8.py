@@ -42,11 +42,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                          OR lag(event_type) OVER w <> event_type
                     THEN 1 ELSE 0 END AS chg
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        -- ts NULLS FIRST pinned on both sides (the sessionize_events
+        -- class): Spark defaults nulls-first asc, DuckDB nulls-last
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     runs AS (
         SELECT user_id, event_type, ts,
-               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
         FROM seq
     ),
@@ -77,7 +79,9 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     window anywhere.
     """
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
     seq = ev.select(
         "user_id",
         "event_type",
@@ -93,7 +97,7 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     runs = seq.select(
@@ -238,7 +242,10 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..llmops.dedup import winnow_fingerprints
 
     docs = _t(spark, sf_dir, "documents")
-    e = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W)
+    # persisted: e feeds inv, ea, AND eb with no common exchange to reuse —
+    # unpersisted, the tokenize+md5-k-gram+winnow pipeline re-runs over the
+    # full corpus three times (the dup_span_coverage multi-consumer class)
+    e = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W).persist()
     inv = e.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
         (F.col("nd") >= 2) & (F.col("nd") <= _WIN_HOT)
     ).select("fp")
@@ -534,7 +541,9 @@ def _pr_iter_sql(prev: str, out: str) -> str:
         SELECT prev_type AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS n
         FROM (
             SELECT event_type,
-                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   -- ts NULLS FIRST pinned on both sides: a NULL-ts event
+                   -- flipped transition directions on one engine only
+                   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                        AS prev_type
             FROM events
         )
@@ -577,7 +586,9 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on dst instead (large-star/small-star in operators/graph.py
     shows the O(log n) variant)."""
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), F.col("event_id").asc()
+    )
     ed = (
         ev.select("event_type", F.lag("event_type").over(w).alias("prev_type"))
         .filter(F.col("prev_type").isNotNull())

@@ -68,10 +68,10 @@ def rag_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n_tokens/{_STRIDE} rows per doc. The chunk hash stands in for chunk
     text in the checked output (full text emission is the same plan minus
     the md5)."""
+    from ..llmops.dedup import tokens_col
+
     docs = _t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t")
-    )
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
     g = (
         toks.filter(F.size("t") > 0)
         .select(

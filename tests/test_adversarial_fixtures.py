@@ -872,3 +872,137 @@ def test_boundary_parity_remtie(spark, adv_remtie_dir, name):
     spec = QUERIES[name]
     ok, detail = compare(spark, adv_remtie_dir, name, spec.fn, spec.oracle)
     assert ok, f"{name}: {detail}"
+
+
+# NULL-key / NULL-date corner (round-8 batch-B line review): SQL join
+# predicates never match NULL, but Spark's union-and-window as-of groups
+# NULL keys into one partition and sorts NULL timestamps first — a NULL-key
+# event captured NULL-custkey orders, a NULL-orderdate order landed inside
+# every event's preceding frame, and unpinned lag/cumsum windows over
+# nullable ts/day re-ordered per engine (probe-confirmed divergences, all).
+# Also pins: bootstrap's NULL-propagating replicate hash (concat vs
+# concat_ws) via the NULL-o_orderkey order row.
+_NULLKEYS_QUERIES = [
+    "asof_join_next_order",
+    "asof_join_latest_order",
+    "scd2_user_state",
+    "repeat_purchase_interval",
+    "event_sequence_violations",
+    "pagerank_event_graph",
+    "km_signup_to_purchase",
+    "bootstrap_order_price_means",
+    # second batch (same corner, plus the NULL-price order and the
+    # zero-variance lineitem groups below): unpinned windows over
+    # nullable ts/cents, DuckDB tuple-comparison NULL totality, ANSI
+    # zero-variance crash
+    "event_debounce",
+    "longest_active_streak",
+    "keyset_page_orders",
+    "histogram_median_price",
+    "price_quantity_correlation",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_nullkeys_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_nullkeys_sf")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT event_id, ts, user_id, event_type,
+                     CAST(value AS DOUBLE) AS value, props
+              FROM (VALUES
+                (CAST(1 AS BIGINT), TIMESTAMP '2024-01-02 00:00:00', NULL,
+                 'view', 1.00, NULL),
+                (2, TIMESTAMP '2024-01-01 00:00:00', CAST(7 AS BIGINT), 'view', 2.00, NULL),
+                (3, TIMESTAMP '2024-01-03 00:00:00', 7, 'purchase', 3.00, NULL),
+                (4, NULL,                            7, 'click', 4.00, NULL),
+                (5, TIMESTAMP '2024-01-05 00:00:00', 7, 'view', 5.00, NULL),
+                (6, TIMESTAMP '2024-01-02 00:00:00', 8, 'signup', 1.50, NULL),
+                (7, TIMESTAMP '2024-01-04 00:00:00', 8, 'purchase', 2.50, NULL),
+                (8, TIMESTAMP '2024-01-06 00:00:00', 8, 'purchase', 3.50, NULL),
+                (9, NULL,                            9, 'signup', 1.25, NULL),
+                (10, TIMESTAMP '2024-01-08 00:00:00', 9, 'purchase', 2.25, NULL),
+                (11, TIMESTAMP '2024-01-09 00:00:00', 9, 'error', 0.50, NULL),
+                (12, TIMESTAMP '2024-01-10 00:00:00', 9, 'view', 0.75, NULL),
+                (13, NULL,                            8, 'purchase', 9.00, NULL)
+              ) t(event_id, ts, user_id, event_type, value, props))
+        TO '{d}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (VALUES
+                (CAST(100 AS BIGINT), NULL, 'O', 50.00,
+                 TIMESTAMP '2024-01-01 00:00:00', '1-URGENT'),
+                (200, CAST(7 AS BIGINT), 'O', 60.00, NULL, '2-HIGH'),
+                (300, NULL, 'F', 70.00, TIMESTAMP '2024-01-04 00:00:00', '3-MEDIUM'),
+                (400, 8, 'F', -100.00, TIMESTAMP '2024-01-05 00:00:00', '4-LOW'),
+                (500, 7, 'O', 80.00, TIMESTAMP '2024-01-04 00:00:00', '5-LOW'),
+                (600, 8, 'O', 90.00, TIMESTAMP '2024-01-03 00:00:00', '1-URGENT'),
+                (NULL, 8, 'O', 95.00, TIMESTAMP '2024-01-07 00:00:00', '2-HIGH'),
+                (700, 7, 'O', NULL, TIMESTAMP '2024-01-08 00:00:00', '1-URGENT')
+              ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                  o_orderdate, o_orderpriority))
+        TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    # single-row 'R' group and constant-quantity 'A' group: zero variance
+    # on one or both axes (the ANSI DIVIDE_BY_ZERO guard path)
+    con.execute(f"""
+        COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+                     CAST(l_quantity AS DOUBLE) AS l_quantity,
+                     CAST(l_extendedprice AS DOUBLE) AS l_extendedprice,
+                     CAST(l_discount AS DOUBLE) AS l_discount,
+                     CAST(l_tax AS DOUBLE) AS l_tax,
+                     l_returnflag, l_linestatus, l_shipdate
+              FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1,
+                 5.0, 100.00, 0.0, 0.0, 'R', 'O', TIMESTAMP '2024-01-01 00:00:00'),
+                (2, 1, 1, 1, 3.0, 50.00, 0.0, 0.0, 'A', 'F',
+                 TIMESTAMP '2024-01-02 00:00:00'),
+                (3, 1, 1, 2, 3.0, 70.00, 0.0, 0.0, 'A', 'F',
+                 TIMESTAMP '2024-01-03 00:00:00'),
+                (4, 1, 1, 1, 2.0, 20.00, 0.0, 0.0, 'N', 'O',
+                 TIMESTAMP '2024-01-04 00:00:00'),
+                (5, 1, 1, 2, 4.0, 40.00, 0.0, 0.0, 'N', 'O',
+                 TIMESTAMP '2024-01-05 00:00:00'))
+              t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+                l_extendedprice, l_discount, l_tax, l_returnflag,
+                l_linestatus, l_shipdate))
+        TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _NULLKEYS_QUERIES)
+def test_boundary_parity_nullkeys(spark, adv_nullkeys_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_nullkeys_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+# Single-date corpus: every order on ONE o_orderdate zeroes the OLS x-variance
+# — Spark crashed with ANSI DIVIDE_BY_ZERO where the oracle yields NULL
+# (batch-B line review; both sides now carry a division-free varx guard).
+@pytest.fixture(scope="module")
+def adv_singledate_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_singledate_sf")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                     o_orderdate, o_orderpriority
+              FROM (VALUES
+                (CAST(1 AS BIGINT), CAST(1 AS BIGINT), 'O', 100.00,
+                 TIMESTAMP '2024-03-01 00:00:00', '1-URGENT'),
+                (2, 2, 'F', 250.00, TIMESTAMP '2024-03-01 00:00:00', '2-HIGH'))
+              t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                o_orderdate, o_orderpriority))
+        TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+def test_boundary_parity_ols_single_date(spark, adv_singledate_dir):
+    spec = QUERIES["ols_trend_daily_revenue"]
+    ok, detail = compare(spark, adv_singledate_dir, "ols_trend_daily_revenue",
+                         spec.fn, spec.oracle)
+    assert ok, f"ols_trend_daily_revenue: {detail}"

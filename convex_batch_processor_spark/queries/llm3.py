@@ -323,11 +323,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH s AS (
+        -- ts IS NOT NULL mirrors Spark's native session_window, which
+        -- DROPS rows with a NULL event time (probe-verified); without it
+        -- the NULL row also re-orders per engine (NULLS FIRST vs LAST)
         SELECT user_id, event_id, ts, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
                     THEN 1 ELSE 0 END AS brk
-        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        FROM events WHERE ts IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     g AS (
         SELECT user_id, ts, value,

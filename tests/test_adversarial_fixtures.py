@@ -776,6 +776,7 @@ def test_boundary_parity_degenerate(spark, adv_degenerate_dir, name):
 # tie the lang-majority vote 1-1 with one NULL lang.
 _NULLORDER_QUERIES = [
     "sessionize_events",
+    "session_window_agg",
     "window_rank_lag_running",
     "window_moving_avg",
     "event_type_transitions",

@@ -95,8 +95,17 @@ class BatchProcessor:
         def _bg() -> None:
             try:
                 acc.flush_now()
-            except Exception:  # noqa: BLE001 — recorded in history; epoch replays
-                pass
+            except Exception as exc:  # noqa: BLE001
+                # a HANDLE failure is already recorded in flush_history and
+                # the epoch replays on the next flush — but a config error
+                # (unregistered handle name, checkpoint collision) raises
+                # BEFORE any epoch runs and would otherwise vanish: record
+                # it so the docstring's contract holds for every failure
+                try:
+                    # epoch_id -1 marks a pre-epoch failure (no epoch ran)
+                    acc._record_history(-1, 0, 0, False, f"{type(exc).__name__}: {exc}")
+                except Exception:  # noqa: BLE001 — last resort: never kill the daemon
+                    pass
 
         t = threading.Thread(target=_bg, name=f"flush-{batch_id}", daemon=True)
         self._flush_threads.setdefault(batch_id, []).append(t)
@@ -173,7 +182,6 @@ class BatchProcessor:
             key_col=key_col,
             registry=self.registry,
         )
-        self._iterators[job_id] = it
         st = it.start(
             job_id,
             process_batch,
@@ -184,6 +192,11 @@ class BatchProcessor:
             plan_ranges=plan_ranges,
             validate_key=validate_key,
         )
+        # attach only AFTER start() succeeds: a duplicate-id start raises,
+        # and installing first would clobber the live iterator with one
+        # bound to the wrong source/key (a later run_iterator would then
+        # silently resume the persisted cursor against the wrong table)
+        self._iterators[job_id] = it
         return it.run(job_id) if run else st
 
     def attach_iterator(self, job_id: str, source: DataFrame, key_col: str) -> IteratorJobState:

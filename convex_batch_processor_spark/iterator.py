@@ -423,6 +423,13 @@ class TableIterator:
                     handle(chunk, st.cursor)
             except Exception as e:  # noqa: BLE001 — retry path (lib.ts:1046-1069)
                 st = self.store.load(job_id)
+                if st.status != "running":
+                    # a pause/cancel that landed mid-chunk OWNS the status and
+                    # its error_message — the failure path must honor the
+                    # transition exactly like the success path below (never
+                    # flip a paused job to 'failed' or scrub 'Cancelled by
+                    # user' with the in-flight handle's exception)
+                    return st
                 st.retry_count += 1
                 if st.retry_count >= st.max_retries:
                     st.status = "failed"
@@ -476,5 +483,21 @@ class TableIterator:
         st.status = "completed"
         self.store.save(st)
         if st.on_complete:
-            self.registry.resolve(st.on_complete)(st.job_id, st.processed_count)
+            try:
+                self.registry.resolve(st.on_complete)(st.job_id, st.processed_count)
+            except Exception as e:  # noqa: BLE001
+                # the completion callback failed AFTER status was saved: left
+                # alone, the signal is lost at-most-once (later runs see
+                # 'completed' and never re-fire). Step back to 'running' with
+                # the error recorded so the next run() re-enters _complete
+                # and re-fires the handle — at-least-once, mirroring the
+                # n==0 path where the same raise becomes a retry; bounded by
+                # max_retries like any other handle failure.
+                st = self.store.load(st.job_id)
+                st.error_message = f"{type(e).__name__}: {e}"
+                st.retry_count += 1
+                st.status = (
+                    "failed" if st.retry_count >= st.max_retries else "running"
+                )
+                self.store.save(st)
         return st

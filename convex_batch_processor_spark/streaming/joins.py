@@ -45,6 +45,18 @@ def interval_join(
     happens one micro-batch AFTER the watermark that finalizes it."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
+    shared = [
+        c for c in left.columns if c != key and c in set(right.columns)
+    ]
+    if shared:
+        # the projection below emits both sides' columns verbatim; a shared
+        # non-key name would build fine here but produce duplicate output
+        # columns that fail far downstream (AMBIGUOUS_REFERENCE on the
+        # first select/write) — fail fast at the join instead
+        raise ValueError(
+            f"shared non-key column(s) {shared}: rename one side before the "
+            "interval join (both sides' columns appear verbatim in the output)"
+        )
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (

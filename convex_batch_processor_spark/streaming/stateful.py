@@ -133,18 +133,32 @@ def gap_sessions_per_key(
             return
         events.sort()
 
-        cur = state.get if state.exists else None  # (n, start, end, value)
-        for ts, val in events:
-            if cur is None:
-                cur = (1, ts, ts, val)
-            elif ts - cur[2] > gap_ms * 1000:
-                yield emit(*cur)  # closed by an in-batch (or cross-batch) gap
-                cur = (1, ts, ts, val)
+        # Interval merge: the open session is ONE interval among the sorted
+        # batch events — a cross-batch LATE event (within the watermark) more
+        # than gap BEFORE the open session's earliest event must form its own
+        # already-closed session, exactly as the batch sessionize twin splits
+        # there. The old append-only loop merged ANY earlier event into the
+        # open session (ts - end is negative, never > gap), silently bridging
+        # arbitrary gaps. Merging intervals where start - prev_end <= gap
+        # reproduces the twin's strictly-greater split rule; every merged
+        # interval except the latest is closed (anything that could still
+        # join it is later than these events, hence in the open tail).
+        items = [(ts, ts, 1, val) for ts, val in events]  # (start, end, n, v)
+        if state.exists:
+            n0, s0, e0, v0 = state.get
+            items.append((s0, e0, n0, v0))
+        items.sort()
+        merged = [items[0]]
+        for s, e, n, v in items[1:]:
+            ms, me, mn, mv = merged[-1]
+            if s - me <= gap_ms * 1000:
+                merged[-1] = (ms, max(me, e), mn + n, mv + v)
             else:
-                # min() the start too: a cross-batch LATE event (within the
-                # watermark) may precede the open session's first event, and
-                # the batch sessionize twin reports the true earliest ts
-                cur = (cur[0] + 1, min(cur[1], ts), max(cur[2], ts), cur[3] + val)
+                merged.append((s, e, n, v))
+        for s, e, n, v in merged[:-1]:
+            yield emit(n, s, e, v)
+        s, e, n, v = merged[-1]
+        cur = (n, s, e, v)
         state.update(cur)
         # close when the watermark passes last-event + gap; the timeout
         # timestamp must be strictly beyond the current watermark

@@ -96,7 +96,11 @@ class VersionedBucketStore:
         for the write."""
         df = df.persist()
         try:
-            writer = df.repartition(1, "bucket").write.mode("overwrite")
+            # hash-repartition on bucket across n_buckets tasks: parallel
+            # writers, still one file per bucket dir (partitionBy splits by
+            # value within each task). repartition(1, ...) funneled every
+            # write — including full compactions — through a single task.
+            writer = df.repartition(self.n_buckets, "bucket").write.mode("overwrite")
             if df.isEmpty():
                 writer.parquet(self._version_dir(epoch_id))
             else:
@@ -159,11 +163,19 @@ class VersionedBucketStore:
         # reads it directly, so it must survive vacuum
         for v in kept_manifests:
             referenced.update(self._read_manifest(v).values())
+        newest_committed = versions[-1] if versions else -1
         removed = []
         for name in fsutil.listdir(self.spark, self._data_dir):
             if not name.startswith("v="):
                 continue
             ver = int(name[2:])
+            # never touch a version dir NEWER than the newest committed
+            # manifest: it belongs to an IN-FLIGHT epoch whose manifest has
+            # not committed yet — deleting it would let the epoch commit a
+            # manifest over a vanished dir (permanently corrupt, since the
+            # manifest-existence guard then skips replay forever)
+            if ver > newest_committed:
+                continue
             if ver not in referenced:
                 fsutil.delete(
                     self.spark, os.path.join(self._data_dir, name), recursive=True

@@ -349,3 +349,54 @@ def test_delete_batch_refuses_while_flush_pending_retry(spark, tmp_path):
     fail["on"] = False
     assert bp.flush("ev") is True
     assert bp.delete_batch("ev::0") == {"deleted": True}
+
+
+def test_failed_start_iterator_preserves_attached_iterator(spark, sf_dir, tmp_path):
+    """A duplicate-id start_iterator raises from it.start(); the facade
+    must NOT have installed the new (wrong-source/wrong-key) iterator
+    first, or a later run_iterator would resume the persisted cursor
+    against the wrong table."""
+    reg = HandleRegistry()
+    seen = []
+    reg.add("migrate", lambda df, cur: seen.append(df.count()))
+
+    customers = load_table(spark, sf_dir, "customer")
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.start_iterator(
+        "dup-job", customers, "c_custkey", "migrate", batch_size=10_000, run=False
+    )
+    original = bp._iterators["dup-job"]
+    suppliers = load_table(spark, sf_dir, "supplier")
+    with pytest.raises(ValueError, match="already exists"):
+        bp.start_iterator(
+            "dup-job", suppliers, "s_suppkey", "migrate", batch_size=10, run=False
+        )
+    assert bp._iterators["dup-job"] is original
+    # and the job still runs against the ORIGINAL source/key
+    st = bp.run_iterator("dup-job")
+    assert st.status == "completed"
+    assert st.processed_count == customers.count()
+
+
+def test_background_flush_records_config_errors(spark, tmp_path):
+    """flush(block=False) with an unregistered handle fails BEFORE any
+    epoch runs; the failure must still land in flush_history (the
+    docstring's contract) instead of vanishing in the daemon thread."""
+    reg = HandleRegistry()
+    bp = BatchProcessor(spark=spark, root=str(tmp_path), registry=reg)
+    bp.accumulator(
+        "bg-errors",
+        EVENT_SCHEMA,
+        "nope_not_registered",
+        immediate_flush_threshold=10_000,
+        flush_interval_s=3600,
+    )
+    bp.add_items("bg-errors", [{"eventName": "e", "timestamp": 1}])
+    assert bp.flush("bg-errors", block=False) is True
+    bp.wait_for_flushes("bg-errors")
+    hist = bp.get_flush_history("bg-errors", limit=5).collect()
+    assert hist, "config failure left no flush_history row"
+    assert any(
+        (not h.success) and "nope_not_registered" in (h.error_message or "")
+        for h in hist
+    )

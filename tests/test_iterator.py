@@ -356,3 +356,78 @@ def test_unregistered_handle_fails_fast_without_backoff(tmp_path, customer):
     with pytest.raises(KeyError):
         it.run("typo-job")
     assert sleeps == []  # zero backoff sleeps: it never entered the retry loop
+
+
+def test_on_complete_failure_is_retried_not_lost(tmp_path, customer):
+    """A completion callback that raises AFTER status='completed' was saved
+    must not be lost at-most-once: the job steps back to 'running' with the
+    error recorded, and the next run() re-enters completion and re-fires
+    the handle (at-least-once, bounded by max_retries)."""
+    reg, sleeps, calls = HandleRegistry(), [], []
+
+    @reg.register("migrate")
+    def migrate(chunk_df, cursor):
+        chunk_df.count()
+
+    @reg.register("flaky_done")
+    def flaky_done(job_id, n):
+        calls.append(n)
+        if len(calls) == 1:
+            raise RuntimeError("completion sink down")
+
+    it = make_iter(tmp_path, customer.limit(30), reg, sleeps)
+    it.start("flaky-done", "migrate", batch_size=50, on_complete="flaky_done")
+    st = it.run("flaky-done")
+    assert st.status == "running"  # stepped back, not silently 'completed'
+    assert "completion sink down" in (st.error_message or "")
+    assert st.retry_count == 1
+    st = it.run("flaky-done")  # re-enters completion, handle re-fires
+    assert st.status == "completed"
+    assert len(calls) == 2
+    assert calls[1] == 30
+
+
+def test_on_complete_failures_bounded_by_max_retries(tmp_path, customer):
+    """A permanently-failing completion callback terminates at 'failed'
+    after max_retries instead of looping forever."""
+    reg, sleeps = HandleRegistry(), []
+
+    @reg.register("migrate")
+    def migrate(chunk_df, cursor):
+        chunk_df.count()
+
+    @reg.register("always_down")
+    def always_down(job_id, n):
+        raise RuntimeError("permanently down")
+
+    it = make_iter(tmp_path, customer.limit(30), reg, sleeps)
+    it.start("dead-done", "migrate", batch_size=50, max_retries=2,
+             on_complete="always_down")
+    st = it.run("dead-done")
+    while st.status == "running":
+        st = it.run("dead-done")
+    assert st.status == "failed"
+    assert "permanently down" in (st.error_message or "")
+
+
+def test_pause_during_failing_chunk_is_not_flipped_to_failed(tmp_path, customer):
+    """A pause that lands while the in-flight handle is raising OWNS the
+    status: the retry path must return the paused state instead of
+    flipping it to 'failed' at max_retries or scrubbing its fields (the
+    success path's status guard, mirrored)."""
+    reg, sleeps = HandleRegistry(), []
+    controller = {}
+
+    @reg.register("migrate")
+    def migrate(chunk_df, cursor):
+        chunk_df.count()
+        controller["it"].pause("pause-race")
+        raise RuntimeError("handle blew up after the pause landed")
+
+    it = make_iter(tmp_path, customer.limit(30), reg, sleeps)
+    controller["it"] = it
+    it.start("pause-race", "migrate", batch_size=50, max_retries=1)
+    st = it.run("pause-race")
+    assert st.status == "paused"
+    assert st.retry_count == 0  # the failure path never counted a retry
+    assert "blew up" not in (st.error_message or "")

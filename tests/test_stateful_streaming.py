@@ -395,3 +395,66 @@ def test_gap_sessions_late_event_lowers_session_start(spark, tmp_path):
     assert sess.n_events == 2
     assert sess.t_start_us == t0 + 19 * minute  # the late event's ts
     assert sess.t_end_us == t0 + 20 * minute
+
+
+def test_gap_sessions_late_event_before_open_session_splits(spark, tmp_path):
+    """A cross-batch LATE event (within the watermark) arriving more than
+    gap BEFORE the open session's earliest event must form its own
+    already-closed session — the batch sessionize twin splits there. The
+    old append-only merge loop bridged ANY backward gap (ts - end is
+    negative, never > gap), silently merging an hour-early event into a
+    60s-gap session."""
+    import time
+
+    from convex_batch_processor_spark.streaming.stateful import gap_sessions_per_key
+
+    minute = 60_000_000  # micros
+    t0 = 1_700_000_000_000_000
+
+    def file_rows(path, *rows):
+        spark.createDataFrame(
+            list(rows), "user_id long, ts_us long, value double"
+        ).coalesce(1).write.parquet(path)
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    # batch 1: open session at +120m; sentinel at +200m holds the
+    # watermark at +140m, so a +60m event in batch 2 is NOT late-dropped
+    file_rows(
+        str(src / "f1"),
+        (1, t0 + 120 * minute, 1.0),
+        (99, t0 + 200 * minute, 0.25),
+    )
+    # batch 2: late event 60m BEFORE the open session start (gap 30m) —
+    # must close as its own past session, not merge
+    file_rows(str(src / "f2"), (1, t0 + 60 * minute, 2.0))
+    # batch 3: far-future sentinel closes everything via the watermark
+    file_rows(str(src / "f3"), (98, t0 + 2000 * minute, 0.5))
+    now = time.time()
+    for d, age in (("f1", 120), ("f2", 60), ("f3", 0)):
+        for fn in os.listdir(src / d):
+            if fn.endswith(".parquet"):
+                os.utime(src / d / fn, (now - age, now - age))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "60 minutes")
+    )
+    out = gap_sessions_per_key(stream, gap_ms=30 * 60_000)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_late_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sess_late_out WHERE user_id = 1").collect()
+    sessions = {r.t_start_us: (r.n_events, r.t_end_us, r.session_value) for r in rows}
+    # two distinct sessions: the late past one AND the original open one
+    assert sessions.get(t0 + 60 * minute) == (1, t0 + 60 * minute, 2.0)
+    assert sessions.get(t0 + 120 * minute) == (1, t0 + 120 * minute, 1.0)

@@ -195,3 +195,35 @@ def test_cdc_vacuum_shared_with_matview(spark, tmp_path):
     assert _state(view) == before
     live_dirs = {d for d in _os.listdir(tmp_path / "cdc" / "data") if d.startswith("v=")}
     assert live_dirs == {"v=3"}
+
+
+def test_vacuum_never_touches_in_flight_uncommitted_version(spark, tmp_path):
+    """An epoch's version dir is written BEFORE its manifest commits; a
+    concurrent vacuum() must not delete it (no kept manifest references it
+    yet), or the epoch would commit a manifest over a vanished dir —
+    permanently corrupt, since the manifest-existence guard then skips
+    replay forever."""
+    import os as _os
+
+    schema = (
+        "user_id long, ts long, event_id long, op string, "
+        "event_type string, value double"
+    )
+    view = CdcStateView(
+        spark, str(tmp_path / "cdc"), ["user_id"], ["ts", "event_id"], n_buckets=2
+    )
+    for e in range(2):
+        view.foreach_batch(
+            spark.createDataFrame([(1, e, e, "U", f"s{e}", float(e))], schema), e
+        )
+    # simulate epoch 2 mid-flight: version dir written, manifest NOT yet
+    # (CdcStateView IS the VersionedBucketStore)
+    delta = spark.createDataFrame([(1, 2, 2, "U", "s2", 2.0)], schema)
+    merged = delta.withColumn("bucket", view._bucket())
+    view._write_version(merged, 2)
+    removed = view.vacuum(keep_versions=1)
+    live_dirs = {
+        d for d in _os.listdir(tmp_path / "cdc" / "data") if d.startswith("v=")
+    }
+    assert "v=2" in live_dirs, "in-flight uncommitted version dir was vacuumed"
+    assert 2 not in removed

@@ -196,3 +196,21 @@ def test_interval_join_semi_and_anti_emit_left_side_only(spark):
     upper = interval_join(left, right, "k", "l_ts", "r_ts", how="LEFT_SEMI")
     assert upper.columns == ["k", "l_ts", "l_what"]
     assert [r.k for r in upper.collect()] == [1]
+
+
+def test_interval_join_rejects_shared_non_key_columns(spark, sf_dir):
+    """Both sides' columns appear verbatim in the output projection; a
+    shared non-key name would build fine and then fail far downstream
+    with AMBIGUOUS_REFERENCE — the join must fail fast instead."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [], "user_id long, l_ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [], "user_id long, r_ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="shared non-key"):
+        interval_join(left, right, key="user_id", left_ts="l_ts",
+                      right_ts="r_ts", upper="10 minutes",
+                      watermark="10 minutes")

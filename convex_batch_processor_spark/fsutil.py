@@ -108,7 +108,12 @@ def write_text(spark: SparkSession, path: str, text: str,
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
-    if fs.exists(jp):
+    # the pre-rename delete happens ONLY on the opted-in overwrite path:
+    # with overwrite=False, a concurrent writer that won the race between
+    # the exists-check above and this point must surface as rename()
+    # returning false below — an unconditional delete would remove the
+    # winner's committed file and report success (exclusive-create broken)
+    if overwrite and fs.exists(jp):
         fs.delete(jp, False)
     # Hadoop rename reports failure by RETURNING false (e.g. the target
     # was recreated by a concurrent writer inside the delete-rename

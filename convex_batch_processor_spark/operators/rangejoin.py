@@ -52,8 +52,20 @@ def interval_join_bucketed(
     # not enforced) must widen the window to its true microsecond value —
     # int() would silently shrink 2.5 s to 2 s
     delta_us = int(round(delta_s * 1_000_000))
-    lb = F.floor(F.unix_micros(F.col(left_ts)) / F.lit(delta_us))
-    rb = F.floor(F.unix_micros(F.col(right_ts)) / F.lit(delta_us))
+    # integer `div`, NOT floor(double /): double division loses low bits
+    # past 2^53 µs (timestamps outside ~1684-2255), which could land a
+    # true match outside {lb, lb+1} before the exact filter runs — the
+    # same trap write_zordered's bucket key avoids. Floor semantics for
+    # negative epochs via the mod correction (div truncates toward zero).
+    def _floor_div_us(col_name: str):
+        us = F.unix_micros(F.col(col_name))
+        q = F.expr(f"unix_micros({col_name}) div {delta_us}")
+        return F.when(
+            (us % F.lit(delta_us) != 0) & (us < 0), q - F.lit(1)
+        ).otherwise(q)
+
+    lb = _floor_div_us(left_ts)
+    rb = _floor_div_us(right_ts)
     lx = left.withColumn("_bin", F.explode(F.array(lb, lb + 1)))
     rx = right.withColumn("_bin", rb)
     lus = F.unix_micros(F.col(left_ts))

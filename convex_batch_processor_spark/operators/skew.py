@@ -60,9 +60,12 @@ def salted_agg(
             merged.append(F.max(src).alias(name))
         elif fn_name.startswith(
             # paren-anchored for the same reason: count_min_sketch( etc.
-            # must not ride the "count" prefix into a sum-merge; count_if
+            # must not ride the "count" prefix into a sum-merge — the
+            # cast-wrapped variants need the anchor too, or
+            # "cast(count_min_sketch(..." rides "cast(count" into the
+            # sum branch instead of the refuse-loudly error; count_if
             # partials ARE decomposable (a sum of indicators re-sums)
-            ("sum(", "count(", "count_if(", "cast(sum", "cast(count")
+            ("sum(", "count(", "count_if(", "cast(sum(", "cast(count(", "cast(count_if(")
         ):
             merged.append(F.sum(src).alias(name))
         else:

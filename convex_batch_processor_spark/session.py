@@ -44,7 +44,9 @@ def get_spark(
     os.environ["TZ"] = "Etc/UTC"
     if hasattr(time, "tzset"):
         time.tzset()
-    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    # '' (the shell's way to neutralize a variable) means unset, matching
+    # the falsy-cpus local[*] fallback below instead of raising
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or None
     if cpus is not None and cpus != "*" and not (cpus.isdecimal() and int(cpus) > 0):
         raise ValueError(
             f"SPARK_GRAFT_CPUS={cpus!r}: expected a positive integer or '*'"

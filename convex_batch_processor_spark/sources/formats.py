@@ -67,7 +67,10 @@ def read_any(
         if schema is not None:
             reader = reader.schema(schema)
         elif allow_inference:
-            reader = reader.option("inferSchema", "true")
+            # inferSchema is a CSV option; the JSON reader infers by
+            # default when no schema is set, so only CSV needs the flag
+            if fmt == "csv":
+                reader = reader.option("inferSchema", "true")
         else:
             raise ValueError(
                 f"{fmt} read of {path!r} needs an explicit schema at scale "
@@ -119,4 +122,11 @@ def convert(
     """
     df = read_any(spark, src, fmt=src_fmt, schema=schema, **read_options)
     write_any(df, dst, fmt=dst_fmt, partition_cols=partition_cols)
-    return spark.read.format(dst_fmt).load(dst)
+    # read back through read_any: a bare format().load() would drop the
+    # header/escape options and re-infer types for textual destinations
+    # (csv came back as _c0/_c1 with the header row as data). Columnar
+    # formats keep self-describing schemas — passing one would fight
+    # partition-discovery column placement, so only text formats get it.
+    return read_any(
+        spark, dst, fmt=dst_fmt, schema=df.schema if dst_fmt in _TEXTUAL else None
+    )

@@ -128,9 +128,17 @@ def upsert_partitioned(
     if len(non_null) < len(affected):  # patch touches the NULL partition
         part_in = part_in | F.col(partition_col).isNull()
     cur = spark.read.parquet(path).filter(part_in)
-    merged = cur.join(
-        patch.select(*key_cols).distinct(), key_cols, "left_anti"
-    ).unionByName(patch)
+    # NULL-SAFE anti-join on the merge keys: a bare column-name join never
+    # matches NULL = NULL, so an existing NULL-key row would survive the
+    # anti-join AND be re-added by the patch union — a silent duplicate
+    # where MERGE semantics require replacement (the same NULL hazard the
+    # partition membership above already guards)
+    keys = patch.select(*key_cols).distinct()
+    cond = None
+    for k in key_cols:
+        c = cur[k].eqNullSafe(keys[k])
+        cond = c if cond is None else (cond & c)
+    merged = cur.join(keys, cond, "left_anti").unionByName(patch)
     # break lineage: the write targets the same path the plan reads
     # (Spark rejects self-overwrite); on a cluster use a reliable
     # checkpoint dir or a transactional table format instead

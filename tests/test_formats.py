@@ -84,3 +84,20 @@ def test_convert_csv_to_partitioned_parquet(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("n_regionkey=") for d in os.listdir(pq_p))
+
+
+def test_convert_to_csv_readback_keeps_schema_and_header(spark, sf_dir, tmp_path):
+    """convert() to a TEXTUAL destination must read the result back with
+    the source schema and the header/escape options — a bare
+    format().load() returned _c0/_c1 columns with the header row as
+    data."""
+    from convex_batch_processor_spark.sources.formats import convert
+
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "id long, name string"
+    ).write.parquet(src)
+    out = convert(spark, src, str(tmp_path / "out.csv"), dst_fmt="csv")
+    assert out.columns == ["id", "name"]
+    assert dict((r.id, r.name) for r in out.collect()) == {1: "alpha", 2: "beta"}
+    assert out.schema["id"].dataType.simpleString() == "bigint"

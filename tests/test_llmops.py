@@ -441,3 +441,23 @@ def test_salted_agg_rejects_min_by(spark, sf_dir):
         salted_agg(
             li, ["l_returnflag"], {"xm": F2.min_by("l_quantity", "l_extendedprice")}
         ).collect()
+
+
+def test_salted_agg_rejects_cast_wrapped_count_min_sketch(spark, sf_dir):
+    """Regression (r8 operators review): 'cast(count_min_sketch(...' must
+    not ride an unanchored 'cast(count' prefix into the sum-merge branch —
+    non-decomposable aggregates refuse loudly even when cast-wrapped."""
+    import pytest as pt
+    from pyspark.sql import functions as F2
+
+    from convex_batch_processor_spark.operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    with pt.raises(ValueError, match="decomposable"):
+        salted_agg(
+            ev,
+            ["event_type"],
+            {"sk": F2.count_min_sketch(
+                "user_id", F2.lit(0.1), F2.lit(0.01), F2.lit(1)
+            ).cast("string")},
+        )

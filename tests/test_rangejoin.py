@@ -103,3 +103,26 @@ def test_interval_join_bucketed_fractional_delta(spark):
     got = sorted(r.r_ts.microsecond + r.r_ts.second * 1_000_000 for r in out.collect())
     # window is (2.6 s, 5.1 s]: 5.05 s matches, 5.2 s does not
     assert got == [5_050_000]
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    """Negative epoch microseconds (pre-1970): the integer floor-div
+    bucket key must keep a true match inside {lb, lb+1} — double
+    division is exact here, but `div` truncation toward zero would
+    shift negative buckets without the mod correction."""
+    from convex_batch_processor_spark.operators.rangejoin import interval_join_bucketed
+
+    left = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:58")], "id long, lts string"
+    ).select("id", F.col("lts").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, "1969-12-31 23:59:59"), (1, "1970-01-01 00:00:01"),
+         (1, "1969-12-31 23:59:57")],
+        "id long, rts string",
+    ).select("id", F.col("rts").cast("timestamp").alias("rts"))
+    out = interval_join_bucketed(
+        left, right, key_cols=["id"], left_ts="lts", right_ts="rts", delta_s=2
+    )
+    got = sorted(str(r.rts) for r in out.collect())
+    # strict (rts > lts) within 2 s: 23:59:59 and 00:00:00 only
+    assert got == ["1969-12-31 23:59:59"], got

@@ -233,3 +233,22 @@ def test_upsert_partitioned_null_partition_keeps_unpatched_rows(spark, tmp_path)
     upsert_partitioned(spark, path, patch, key_cols=["k"], partition_col="dt")
     got = {(r.k, r.v, r.dt) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "A", None), (2, "b", None), (3, "c", "d1")}
+
+
+def test_upsert_partitioned_replaces_null_key_rows(spark, tmp_path):
+    """MERGE semantics on NULL merge keys: a bare column-name anti-join
+    never matches NULL = NULL, so the old NULL-key row survived AND the
+    patch row was unioned in — a silent duplicate. The null-safe join
+    must REPLACE it."""
+    from convex_batch_processor_spark.sources.sinks import upsert_partitioned
+
+    path = str(tmp_path / "nullkey")
+    spark.createDataFrame(
+        [(None, "a", 1), (5, "a", 10)], "k long, part string, v long"
+    ).write.partitionBy("part").parquet(path)
+    patch = spark.createDataFrame(
+        [(None, "a", 2)], "k long, part string, v long"
+    )
+    upsert_partitioned(spark, path, patch, key_cols=["k"], partition_col="part")
+    rows = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert rows == {(None, 2), (5, 10)}, rows

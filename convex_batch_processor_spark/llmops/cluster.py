@@ -302,6 +302,14 @@ def pca_power_top_component(
             for c in v:  # index order == the SQL list_dot_product fold
                 acc += c * c
             nrm = math.sqrt(acc)
+            if nrm == 0.0:
+                # a constant corpus (or an iterate that collapsed to zero)
+                # has no principal direction: emit the all-zero loading
+                # instead of ZeroDivisionError — oracles mirror with a
+                # CASE WHEN nrm > 0 guard, and zeros are a fixpoint so
+                # breaking early equals running the remaining rounds
+                v = [0.0] * dim
+                break
             v = [_round_half_up(c / nrm, round_dp) for c in v]
             if it == n_iter:
                 break
@@ -365,8 +373,12 @@ def product_quantize(
     quantizer.
     """
     spark = embeddings.sparkSession
-    probe = embeddings.select(vec_col).head(1)
-    if not probe or probe[0][0] is None:
+    # probe the dimension from a NON-NULL vector: head(1) on an unordered
+    # frame can grab a NULL-embedding row and falsely abort a corpus full
+    # of valid vectors (NULL rows still ENCODE per the documented
+    # contract below — code 0 per subspace, NULL recon_err)
+    probe = embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).head(1)
+    if not probe:
         raise ValueError("product_quantize: embeddings input is empty")
     dim = len(probe[0][0])
     if dim % m:

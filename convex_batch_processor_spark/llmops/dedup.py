@@ -175,11 +175,18 @@ def lsh_candidate_pairs(
     colliding docs ever meet. Output is distinct (id_a < id_b) pairs.
     """
     n_bands = F.floor(F.size("signature") / rows_per_band).cast("int")
+    # guard the band index sequence: for a signature SHORTER than one band
+    # (n_bands = 0), sequence(0, -1) yields the DESCENDING [0, -1] (the
+    # module-docstring trap) and band -1 would slice from the END —
+    # emitting bogus buckets for a banding that was never requested
+    band_idx = F.when(n_bands >= 1, F.sequence(F.lit(0), n_bands - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     bands = sig_df.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
-                F.sequence(F.lit(0), n_bands - 1),
+                band_idx,
                 lambda b: F.xxhash64(
                     b, F.concat_ws(",", F.slice("signature", b * rows_per_band + 1, rows_per_band))
                 ),
@@ -728,7 +735,11 @@ def edit_distance_neardup(
     """
     from .textstats import prefix_fingerprint
 
-    base = df.select(
+    # NULL-text docs (tombstoned/failed-fetch rows) cannot be compared:
+    # they all share the md5('') block and the 0.0 empty-empty fallback
+    # below would emit them as mutual near-dups with dist NULL — a dedup
+    # consumer would collapse distinct tombstoned docs into one survivor
+    base = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col),
         F.col(text_col),
         F.length(F.col(text_col)).alias("_len"),
@@ -807,6 +818,7 @@ def sorted_neighborhood_pairs(
             {
                 "nbr_id": F.lag("doc_id", d).over(w),
                 "nbr_sh": F.lag("sh", d).over(w),
+                "nbr_rest": F.lag("rest", d).over(w),
             }
         )
         cand = nbr.filter(F.col("nbr_id").isNotNull()).select(
@@ -815,10 +827,19 @@ def sorted_neighborhood_pairs(
             F.lit(d).alias("neighbor_dist"),
             F.size(F.array_intersect("sh", "nbr_sh")).alias("i"),
             (F.size("sh") + F.size("nbr_sh")).alias("ab"),
+            # same block (the partition) + same rest == identical token
+            # sequences: the only way to score sub-3-token docs, whose
+            # shingle sets are empty
+            (F.col("rest") == F.col("nbr_rest")).alias("same_key"),
         )
         pairs = cand if pairs is None else pairs.unionByName(cand)
     denom = (F.col("ab") - F.col("i")).cast("double")
-    jac = F.when(denom > 0, F.col("i") / denom)
+    # identical docs too short to shingle (< 3 tokens, ab = 0) are jaccard
+    # 1.0, not NULL — a bare when() silently dropped every such pair from
+    # the >= threshold filter (the edit_distance empty-empty class)
+    jac = F.when(denom > 0, F.col("i") / denom).when(
+        (F.col("ab") == 0) & F.col("same_key"), F.lit(1.0)
+    )
     return (
         pairs.select("id_a", "id_b", "neighbor_dist", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)

@@ -36,7 +36,13 @@ def group_zscore(
     the integer sums is what makes the result reproducible across engines,
     partitionings, and retries.
     """
-    schema = f"{key_col} long, {id_col} long, {value_col} double, zscore double"
+    # derive key/id/value types from the input — hardcoding long/double
+    # fails Arrow serialization for any caller whose columns have another
+    # type (the pack_greedy recipe, packing.py)
+    key_t = df.schema[key_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    val_t = df.schema[value_col].dataType.simpleString()
+    schema = f"{key_col} {key_t}, {id_col} {id_t}, {value_col} {val_t}, zscore double"
 
     def normalize(pdf):
         import math

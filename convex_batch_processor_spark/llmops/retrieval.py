@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import exploded_shingles, shingles_from_tokens, tokens_col
+from .dedup import exploded_shingles, tokens_col
 
 
 def bm25_topk(

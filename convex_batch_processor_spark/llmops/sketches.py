@@ -171,8 +171,13 @@ def hll_registers(
         raise ValueError(f"b={b} out of the supported register range [4, 16]")
     h = md5_int(key_col)
     # rank word w = h div m must use INTEGER division (F.expr `div`, never `/`)
+    # NULL keys are NOT distinct elements: md5(NULL) is NULL and would mint
+    # a phantom (bucket NULL, m_reg NULL) register that inflates `present`
+    # by one — biasing the estimate upward and potentially flipping the
+    # linear-counting branch (mirrored in hll_registers_sql_ctes)
     return (
-        df.select(
+        df.filter(F.col(key_col).isNotNull())
+        .select(
             *group_cols,
             (h % m).alias("bucket"),
             F.expr(
@@ -254,7 +259,8 @@ def hll_registers_sql_ctes(
     k_exp = 4 * PORTABLE_HASH_HEX - b + 1
     h = md5_int_sql(key_expr)
     return f"""
-    hll_h AS (SELECT {group_expr} AS grp, {h} AS h FROM {src}),
+    hll_h AS (SELECT {group_expr} AS grp, {h} AS h FROM {src}
+              WHERE {key_expr} IS NOT NULL),
     hll_regs AS MATERIALIZED (
         SELECT grp, h % {m} AS bucket,
                MAX(CASE WHEN h // {m} = 0 THEN {k_exp}
@@ -392,4 +398,15 @@ def cms_inner_product(
             .alias("ip")
         )
     )
-    return per_j.agg(F.min("ip").cast("decimal(38,0)").alias(out))
+    # a depth with ZERO colliding cells contributes sum 0 — the join drops
+    # it, and min over the surviving (strictly positive) depths would
+    # overestimate, or return NULL for fully disjoint sketches. Pad the
+    # missing depths with 0 (depth inventory from sketch_a; two genuinely
+    # empty sketches coalesce to 0 — |A ⋈ B| = 0 is the right answer).
+    depths = sketch_a.select("j").distinct()
+    full = depths.join(per_j, "j", "left").select(
+        F.coalesce(F.col("ip"), F.lit(0).cast("decimal(38,0)")).alias("ip")
+    )
+    return full.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("decimal(38,0)").alias(out)
+    )

@@ -138,9 +138,12 @@ def language_id(
     (one shuffle) → broadcast the small profile table back; per-doc argmax is
     a window over the doc's ≤|langs| overlap rows. No O(n²) anywhere.
     """
+    # persisted: doc_tri feeds BOTH the profile aggregation and the
+    # overlaps join — unpersisted, the corpus-wide trigram explode runs
+    # twice (the dup_span_coverage multi-consumer class)
     doc_tri = df.select(
         F.col(id_col), F.col(lang_col), F.explode(char_trigrams(text_col)).alias("tg")
-    )
+    ).persist()
     w_prof = Window.partitionBy(lang_col).orderBy(F.col("df").desc(), F.col("tg"))
     profiles = (
         doc_tri.groupBy(lang_col, "tg")

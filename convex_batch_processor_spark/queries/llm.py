@@ -861,10 +861,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "edit_distance_neardup",
     oracle="""
     WITH base AS MATERIALIZED (
+        -- text IS NOT NULL mirrors the library filter: tombstoned docs
+        -- all share the md5('') block and would pair as false dups
         SELECT doc_id, text, length(text) AS len,
                md5(COALESCE(array_to_string(list_slice(
                    list_filter(string_split(text, ' '), x -> x <> ''), 1, 4), ' '), '')) AS blk
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS INTEGER) AS dist,
            CASE WHEN greatest(a.len, b.len) > 0

@@ -100,24 +100,32 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tokd
     ),
     nbr AS (
-        SELECT doc_id, sh,
+        SELECT doc_id, rest, sh,
                lag(doc_id, 1) OVER w AS n1_id, lag(sh, 1) OVER w AS n1_sh,
-               lag(doc_id, 2) OVER w AS n2_id, lag(sh, 2) OVER w AS n2_sh
+               lag(rest, 1) OVER w AS n1_rest,
+               lag(doc_id, 2) OVER w AS n2_id, lag(sh, 2) OVER w AS n2_sh,
+               lag(rest, 2) OVER w AS n2_rest
         FROM keyed WINDOW w AS (PARTITION BY blk ORDER BY rest, doc_id)
     ),
     cand AS (
         SELECT least(doc_id, n1_id) AS id_a, greatest(doc_id, n1_id) AS id_b,
                1 AS neighbor_dist,
-               len(list_intersect(sh, n1_sh)) AS i, len(sh) + len(n1_sh) AS ab
+               len(list_intersect(sh, n1_sh)) AS i, len(sh) + len(n1_sh) AS ab,
+               rest = n1_rest AS same_key
         FROM nbr WHERE n1_id IS NOT NULL
         UNION ALL
         SELECT least(doc_id, n2_id), greatest(doc_id, n2_id), 2,
-               len(list_intersect(sh, n2_sh)), len(sh) + len(n2_sh)
+               len(list_intersect(sh, n2_sh)), len(sh) + len(n2_sh),
+               rest = n2_rest
         FROM nbr WHERE n2_id IS NOT NULL
     )
     SELECT id_a, id_b, neighbor_dist, jaccard FROM (
+        -- identical sub-3-token docs (empty shingle sets, ab = 0) score
+        -- 1.0 on both sides instead of NULL-dropping (same block + same
+        -- rest == identical token sequences)
         SELECT id_a, id_b, neighbor_dist,
-               CAST(i AS DOUBLE) / NULLIF(ab - i, 0) AS jaccard
+               CASE WHEN ab - i > 0 THEN CAST(i AS DOUBLE) / (ab - i)
+                    WHEN ab = 0 AND same_key THEN 1.0 END AS jaccard
         FROM cand)
     WHERE jaccard >= 0.5
     """,

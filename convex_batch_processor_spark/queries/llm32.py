@@ -45,12 +45,21 @@ _JS_DEPTH, _JS_WIDTH = 4, 512
     per_j AS (
         SELECT sa.j, SUM(CAST(sa.ca AS DECIMAL(19,0)) * CAST(sb.cb AS DECIMAL(19,0))) AS ip
         FROM sa JOIN sb USING (j, bucket) GROUP BY 1),
-    est AS (SELECT CAST(CAST(MIN(ip) AS DECIMAL(38,0)) AS DOUBLE) AS cms_est FROM per_j),
+    -- pad depths with zero colliding cells to ip 0 (min over surviving
+    -- positive depths overestimates; mirrors cms_inner_product)
+    per_j_full AS (
+        SELECT d.j, COALESCE(p.ip, 0) AS ip
+        FROM (SELECT unnest(range(0, {_JS_DEPTH})) AS j) d
+        LEFT JOIN per_j p USING (j)),
+    est AS (SELECT CAST(CAST(MIN(ip) AS DECIMAL(38,0)) AS DOUBLE) AS cms_est
+            FROM per_j_full),
     tru AS (
         SELECT CAST(SUM(ca.cnt * cb.cnt) AS BIGINT) AS true_size
         FROM ca JOIN cb USING (term))
     SELECT t.true_size, e.cms_est,
-           round(e.cms_est / t.true_size, 6) AS over_ratio
+           -- guard: an empty true join would 0/0 (ANSI crash vs NULL)
+           CASE WHEN t.true_size > 0
+                THEN round(e.cms_est / t.true_size, 6) END AS over_ratio
     FROM tru t, est e
     """,
 )
@@ -96,8 +105,9 @@ def join_size_estimate_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "true_size",
             F.col("cms_est").cast("double").alias("cms_est"),
-            F.round(
-                F.col("cms_est").cast("double") / F.col("true_size"), 6
+            F.when(
+                F.col("true_size") > 0,
+                F.round(F.col("cms_est").cast("double") / F.col("true_size"), 6),
             ).alias("over_ratio"),
         )
     )

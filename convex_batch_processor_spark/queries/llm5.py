@@ -532,7 +532,11 @@ def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
         f"""mu AS MATERIALIZED (SELECT list(m ORDER BY i) AS m FROM (
             SELECT i, round(avg(x[i]), 6) AS m
             FROM e, unnest(range(1, {d1})) AS t(i) GROUP BY 1))""",
-        f"""v0 AS MATERIALIZED (SELECT list_transform(xc, c -> round(c / nrm, 6)) AS v FROM (
+        # CASE WHEN nrm > 0 mirrors the library's zero-norm guard: a
+        # constant corpus has no principal direction -> all-zero loading
+        # (zeros are a fixpoint, so the unrolled rounds stay zero)
+        f"""v0 AS MATERIALIZED (SELECT list_transform(xc,
+                c -> CASE WHEN nrm > 0 THEN round(c / nrm, 6) ELSE 0.0 END) AS v FROM (
             SELECT xc, sqrt(list_dot_product(xc, xc)) AS nrm FROM (
                 SELECT {xc} AS xc
                 FROM e, mu WHERE e.vec_id = (SELECT MIN(vec_id) FROM e))))""",
@@ -547,8 +551,9 @@ def _pca_oracle(n_iter: int = 3, dim: int = 64) -> str:
                 FROM e JOIN s{t} USING (vec_id), mu, unnest(range(1, {d1})) AS t(i)
                 GROUP BY 1))""")
         ctes.append(f"""v{t} AS MATERIALIZED (
-            SELECT list_transform(w, c -> round(c / sqrt(list_dot_product(w, w)), 6)) AS v
-            FROM w{t})""")
+            SELECT list_transform(w,
+                c -> CASE WHEN nrm > 0 THEN round(c / nrm, 6) ELSE 0.0 END) AS v
+            FROM (SELECT w, sqrt(list_dot_product(w, w)) AS nrm FROM w{t}))""")
     ctes.append(f"""fin AS MATERIALIZED (
         SELECT CASE WHEN v[1] < 0 THEN list_transform(v, c -> -c) ELSE v END AS v
         FROM v{n_iter})""")

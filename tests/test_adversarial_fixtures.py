@@ -1007,3 +1007,54 @@ def test_boundary_parity_ols_single_date(spark, adv_singledate_dir):
     ok, detail = compare(spark, adv_singledate_dir, "ols_trend_daily_revenue",
                          spec.fn, spec.oracle)
     assert ok, f"ols_trend_daily_revenue: {detail}"
+
+
+# Degenerate-dedup / constant-embedding corner (r8 llmops review):
+# tombstoned NULL-text docs must NOT pair as near-dups (they shared the
+# md5('') block and the empty-empty 0.0 fallback), identical sub-3-token
+# docs MUST pair (empty shingle sets NULL-dropped them), a constant
+# embedding corpus has no principal direction (zero-norm guard, was
+# ZeroDivisionError), and a NULL vector at the lowest id must not abort
+# the PQ dimension probe.
+_SHORTDUP_QUERIES = [
+    "edit_distance_neardup",
+    "sorted_neighborhood_pairs",
+    "pca_top_component",
+    "product_quantize_pq",
+]
+
+
+@pytest.fixture(scope="module")
+def adv_shortdup_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_shortdup_sf")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), NULL, 'en', 'web', NULL),
+            (1, NULL, 'de', 'web', NULL),
+            (2, 'foo bar', 'en', 'web', CAST(7 AS BIGINT)),
+            (3, 'foo bar', 'en', 'web', 7),
+            (4, 'alpha beta gamma delta epsilon zeta', 'en', 'web', 35),
+            (5, 'alpha beta gamma delta epsilon zeta', 'en', 'web', 35),
+            (6, 'solo unique text content here now', 'de', 'crawl', 33)
+          ) t(doc_id, text, lang, source, n_chars))
+        TO '{d}/documents.parquet' (FORMAT PARQUET)""")
+    vec = "[" + ", ".join(["0.5"] * 64) + "]"
+    con.execute(f"""
+        COPY (SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), NULL, 1),
+            (1, CAST({vec} AS FLOAT[]), 1),
+            (2, CAST({vec} AS FLOAT[]), 1),
+            (3, CAST({vec} AS FLOAT[]), 2),
+            (4, CAST({vec} AS FLOAT[]), 2)
+          ) t(vec_id, embedding, label))
+        TO '{d}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _SHORTDUP_QUERIES)
+def test_boundary_parity_shortdup(spark, adv_shortdup_dir, name):
+    spec = QUERIES[name]
+    ok, detail = compare(spark, adv_shortdup_dir, name, spec.fn, spec.oracle)
+    assert ok, f"{name}: {detail}"

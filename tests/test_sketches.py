@@ -135,3 +135,39 @@ def test_hll_union_estimate_bounds(spark, sf_dir):
         assert r.n_intersect_exact <= r.n_union_exact
         # union estimate within the documented HLL error of exact (b=8)
         assert abs(r.hll_union_est - r.n_union_exact) / r.n_union_exact < 0.35
+
+
+def test_cms_inner_product_disjoint_sketches_estimate_zero(spark):
+    """Regression (r8 llmops review): a depth with zero colliding cells
+    contributes per-depth sum 0 — dropping it from the min overestimated,
+    and fully disjoint sketches returned NULL instead of 0."""
+    a = spark.createDataFrame(
+        [(f"a{i}", 1) for i in range(20)], "term string, cnt long"
+    )
+    b = spark.createDataFrame(
+        [(f"b{i}", 1) for i in range(20)], "term string, cnt long"
+    )
+    sa = K.cms_sketch(a, "term", "cnt", 4, 4096)
+    sb = K.cms_sketch(b, "term", "cnt", 4, 4096)
+    est = K.cms_inner_product(sa, sb).collect()[0][0]
+    # width 4096 >> 20 keys: overwhelmingly likely at least one depth has
+    # no collisions, and the true inner product is 0 — the min must be 0
+    assert est is not None
+    assert int(est) == 0, est
+
+
+def test_hll_registers_ignore_null_keys(spark):
+    """Regression (r8 llmops review): a NULL key minted a phantom
+    (bucket NULL, m_reg NULL) register that inflated `present` and biased
+    the estimate — NULL keys are not distinct elements."""
+    with_nulls = spark.createDataFrame(
+        [(None, "g")] * 5 + [(f"k{i}", "g") for i in range(50)],
+        "k string, g string",
+    )
+    without = spark.createDataFrame(
+        [(f"k{i}", "g") for i in range(50)], "k string, g string"
+    )
+    r1 = {(r.bucket, r.m_reg) for r in K.hll_registers(with_nulls, "k", ["g"]).collect()}
+    r2 = {(r.bucket, r.m_reg) for r in K.hll_registers(without, "k", ["g"]).collect()}
+    assert r1 == r2
+    assert all(b is not None for b, _ in r1)

@@ -42,10 +42,34 @@ from .dedup import tokens_col
 
 
 def _chars(col):
-    """Split a string column into its character array (JVM-side)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
-    )
+    """Split a string column into its character array (JVM-side).
+
+    Guarded for the empty string: sequence(1, 0) is the DESCENDING [1, 0]
+    in Spark (the shingles_from_tokens trap), which would yield two
+    empty-string symbols where local mode's list('') yields none."""
+    return F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.length(col)), lambda i: col.substr(i, F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _merge_fold(l: str, r: str, m: str):
+    """The greedy left-to-right BPE merge as one fold step: replace a
+    trailing ``l`` followed by ``r`` with ``m``. ONE definition shared by
+    the distributed training loop and bpe_apply — the two copies had to
+    be kept bit-identical for train/apply parity."""
+
+    def step(acc, x):
+        return F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(l))
+            & (x == F.lit(r)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return step
 
 
 _RULES_SCHEMA = "rank long, left string, right string, merged string, pair_count long"
@@ -195,19 +219,11 @@ def bpe_train_merges(
         m = l + r
         rules.append((rank, l, r, m, cnt))
 
-        # greedy left-to-right merge: fold each word's symbols, replacing
-        # a trailing `l` followed by `r` with the merged symbol
+        # greedy left-to-right merge via the shared fold (_merge_fold)
         merged = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
+            _merge_fold(l, r, m),
         )
         words = words.select("freq", merged.alias("syms")).localCheckpoint(
             eager=True
@@ -236,31 +252,31 @@ def bpe_apply(
         .distinct()
         .select("w", _chars(F.col("w")).alias("syms"))
     )
-    def _merge_step(l: str, r: str, m: str):
-        def step(acc, x):
-            return F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(m))),
-            ).otherwise(F.concat(acc, F.array(x)))
-
-        return step
-
-    for l, r in rules:
+    for i, (l, r) in enumerate(rules):
         merged = F.aggregate(
             F.col("syms"),
             F.array().cast("array<string>"),
-            _merge_step(l, r, l + r),
+            _merge_fold(l, r, l + r),
         )
         vocab = vocab.select("w", merged.alias("syms"))
+        # bound the Catalyst tree: each rule nests another higher-order
+        # aggregate into ONE collapsed projection — at real vocabularies
+        # (hundreds+ of rules) analysis/codegen blows up without the same
+        # periodic materialization the training loop applies every round;
+        # the vocab table is DISTINCT WORDS, so each checkpoint is small
+        if (i + 1) % 16 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
     sized = vocab.select("w", F.size("syms").alias("n_syms"))
+    # explode_outer + left join: a doc whose text is NULL or token-free
+    # must still emit an accounted (doc_id, 0, 0) row — the inner join
+    # silently dropped it, breaking the package's row-accounting
+    # convention (_null_feature_row)
     return (
-        docs.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("w"))
-        .join(sized, "w")
+        docs.select(F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("w"))
+        .join(sized, "w", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_syms").alias("n_bpe_tokens"),
+            F.count("w").alias("n_words"),
+            F.coalesce(F.sum("n_syms"), F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )

@@ -216,7 +216,15 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                     sr = w.getframerate()
                     nch = w.getnchannels()
                     nf = w.getnframes()
+                    sw = w.getsampwidth()
                     raw = w.readframes(nf)
+                if sw != 2:
+                    # the int16 view below would silently misread 8/24/32-bit
+                    # PCM as garbage — fail loudly like the BMP/AVI decoders
+                    raise ValueError(
+                        f"doc {doc_id}: {8 * sw}-bit PCM unsupported — only "
+                        "16-bit payloads decode (sampwidth check)"
+                    )
                 arr = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                 out["doc_id"].append(int(doc_id))
                 out["sample_rate"].append(sr)
@@ -483,6 +491,7 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                 if magic != b"RIFF" or kind != b"AVI ":
                     raise ValueError(f"not an AVI payload (doc {doc_id})")
                 us_per_frame = n_frames = w = h = None
+                bit_count = None
                 frames: list[tuple[int, int]] = []
                 for fourcc, body, size in walk(b, 12, 8 + riff_size):
                     if fourcc != b"LIST":
@@ -494,12 +503,29 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                                 (us_per_frame, _, _, _, n_frames, _, _, _, w, h) = (
                                     struct.unpack_from("<10I", b, body2)
                                 )
+                            elif fc2 == b"LIST" and b[body2 : body2 + 4] == b"strl":
+                                # strf carries a BITMAPINFOHEADER: read
+                                # biBitCount explicitly — the frame-size
+                                # heuristic below has false negatives at
+                                # tiny widths (32bpp w<=3 == padded 24bpp)
+                                for fc3, body3, size3 in walk(
+                                    b, body2 + 4, body2 + size2
+                                ):
+                                    if fc3 == b"strf" and size3 >= 16:
+                                        bit_count = struct.unpack_from(
+                                            "<H", b, body3 + 14
+                                        )[0]
                     elif list_kind == b"movi":
                         for fc2, body2, size2 in walk(b, body + 4, body + size):
                             if fc2[2:4] in (b"db", b"dc"):
                                 frames.append((body2, size2))
                 if w is None or not frames:
                     raise ValueError(f"no avih header / frames (doc {doc_id})")
+                if bit_count is not None and bit_count != 24:
+                    raise ValueError(
+                        f"doc {doc_id}: strf declares {bit_count} bpp — only "
+                        "uncompressed BGR24 DIB frames are supported"
+                    )
                 stride = (3 * w + 3) // 4 * 4
                 # dwMicroSecPerFrame may legally be 0 (rate lives in strh):
                 # emit NULL fps rather than dividing by zero
@@ -766,7 +792,22 @@ def attach_warc_payload(
                 body = str(text).encode("utf-8")
                 info = record("warcinfo", did * 2, b"software: cbps-spark\r\n")
                 resp = record("response", did * 2 + 1, body)
-                warc = gzip.compress(info, 6) + gzip.compress(resp, 6)
+                # mtime=0 pins the gzip header: gzip.compress embeds the
+                # CURRENT wall clock, so a task retry crossing a second
+                # boundary re-derived different payload bytes and checksum
+                # for the same doc — breaking the container determinism
+                # every other attach_* guarantees
+                def _gz(data: bytes) -> bytes:
+                    import io as _io
+
+                    buf = _io.BytesIO()
+                    with gzip.GzipFile(
+                        fileobj=buf, mode="wb", compresslevel=6, mtime=0
+                    ) as gz:
+                        gz.write(data)
+                    return buf.getvalue()
+
+                warc = _gz(info) + _gz(resp)
                 out["doc_id"].append(did)
                 out["payload"].append(warc)
                 out["meta"].append(
@@ -939,8 +980,15 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list:
             entry = table[code]
             if len(table) < 4096:
                 table.append(prev + (entry[0],))
-        else:  # KwKwK
-            entry = prev + (prev[0],)
+        else:
+            # only code == len(table) is the legal KwKwK case; anything
+            # beyond it is a corrupt/non-conforming stream — raise instead
+            # of decoding plausible-looking garbage means
+            if code != len(table):
+                raise ValueError(
+                    f"LZW code {code} out of range (table size {len(table)})"
+                )
+            entry = prev + (prev[0],)  # KwKwK
             if len(table) < 4096:
                 table.append(entry)
         out.extend(entry)

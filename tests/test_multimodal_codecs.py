@@ -562,3 +562,77 @@ def test_png_decoder_rejects_interlaced(spark):
     df = spark.createDataFrame([(1, png)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="interlace"):
         decode_png_features(df).collect()
+
+
+def test_audio_decode_rejects_non_16bit_pcm(spark):
+    """Regression (r8 multimodal review): an 8-bit PCM WAV must fail
+    loudly, not decode as int16 garbage."""
+    import io
+    import wave
+
+    import pytest as pt
+
+    from convex_batch_processor_spark.llmops.multimodal import decode_audio_features
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(bytes([126, 128, 130, 127] * 100))
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    with pt.raises(Exception, match="8-bit PCM unsupported"):
+        decode_audio_features(df).collect()
+
+
+def test_warc_payload_bytes_are_time_independent(spark):
+    """Regression (r8 multimodal review): gzip embedded the wall-clock
+    mtime, so a task retry crossing a second boundary re-derived
+    different payload bytes/checksum for the same doc."""
+    import time
+
+    from convex_batch_processor_spark.llmops.multimodal import attach_warc_payload
+
+    df = spark.createDataFrame(
+        [(1, "hello warc determinism")], "doc_id long, text string"
+    )
+    a = attach_warc_payload(df).collect()[0]
+    time.sleep(1.1)
+    b = attach_warc_payload(df).collect()[0]
+    assert bytes(a.payload) == bytes(b.payload)
+    assert a.meta["checksum"] == b.meta["checksum"]
+
+
+def test_lzw_decode_rejects_out_of_range_code():
+    """Regression (r8 multimodal review): only code == len(table) is the
+    legal KwKwK case; larger codes are corruption, not data."""
+    import pytest as pt
+
+    from convex_batch_processor_spark.llmops.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    good = _lzw_encode([0, 1, 0, 1, 0, 1], 2)
+    assert _lzw_decode(good, 2) == [0, 1, 0, 1, 0, 1]
+    # craft a stream with a wildly out-of-range code: width 3 after clear
+    # (min_code_size 2 -> clear=4, eoi=5, first free slot 6); emit clear,
+    # a literal 0, then code 7 while the table holds 6 entries
+    import struct
+
+    bits = []
+    for code, width in ((4, 3), (0, 3), (7, 3)):
+        bits.extend((code >> i) & 1 for i in range(width))
+    acc = bytearray()
+    cur = 0
+    for i, bit in enumerate(bits):
+        cur |= bit << (i % 8)
+        if i % 8 == 7:
+            acc.append(cur)
+            cur = 0
+    if len(bits) % 8:
+        acc.append(cur)
+    with pt.raises(ValueError, match="out of range"):
+        _lzw_decode(bytes(acc), 2)

@@ -301,3 +301,22 @@ def test_pack_greedy_nonstring_group_key(spark, sf_dir):
     out = pack_greedy(docs, capacity=256, group_col="src_num")
     assert dict(out.dtypes)["src_num"] == "bigint"
     assert out.count() == 200
+
+
+def test_bpe_apply_accounts_empty_and_null_docs(spark):
+    """Regression (r8 llmops review): NULL-text and token-free docs must
+    emit (doc_id, 0, 0) instead of vanishing from the output — the
+    package's row-accounting convention."""
+    from convex_batch_processor_spark.llmops.bpe import bpe_apply
+
+    docs = spark.createDataFrame(
+        [(1, "aa ab aa"), (2, None), (3, "   "), (4, "ab")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+            for r in bpe_apply(docs, [("a", "a"), ("a", "b")]).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2] == (0, 0)
+    assert rows[3] == (0, 0)
+    assert rows[1][0] == 3
+    assert rows[4] == (1, 1)  # 'ab' merges to one token

@@ -504,14 +504,29 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                                     struct.unpack_from("<10I", b, body2)
                                 )
                             elif fc2 == b"LIST" and b[body2 : body2 + 4] == b"strl":
-                                # strf carries a BITMAPINFOHEADER: read
-                                # biBitCount explicitly — the frame-size
-                                # heuristic below has false negatives at
-                                # tiny widths (32bpp w<=3 == padded 24bpp)
+                                # Only the VIDEO stream's strf carries a
+                                # BITMAPINFOHEADER; an audio strl's strf is
+                                # WAVEFORMATEX, whose wBitsPerSample sits at
+                                # the SAME offset 14 and would shadow the
+                                # real biBitCount (a BGR24 video+audio file
+                                # would then raise). Gate on strh.fccType ==
+                                # 'vids' — strf's biBitCount is read because
+                                # the frame-size heuristic below has false
+                                # negatives at tiny widths (32bpp w<=3 ==
+                                # padded 24bpp).
+                                is_vids = False
                                 for fc3, body3, size3 in walk(
                                     b, body2 + 4, body2 + size2
                                 ):
-                                    if fc3 == b"strf" and size3 >= 16:
+                                    if fc3 == b"strh" and size3 >= 4:
+                                        is_vids = (
+                                            b[body3 : body3 + 4] == b"vids"
+                                        )
+                                    elif (
+                                        fc3 == b"strf"
+                                        and size3 >= 16
+                                        and is_vids
+                                    ):
                                         bit_count = struct.unpack_from(
                                             "<H", b, body3 + 14
                                         )[0]

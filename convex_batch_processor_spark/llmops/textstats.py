@@ -140,7 +140,11 @@ def language_id(
     """
     # persisted: doc_tri feeds BOTH the profile aggregation and the
     # overlaps join — unpersisted, the corpus-wide trigram explode runs
-    # twice (the dup_span_coverage multi-consumer class)
+    # twice (the dup_span_coverage multi-consumer class). Deliberately
+    # never unpersisted: the plan is returned lazily, so the last
+    # consuming action — and hence the only correct unpersist point —
+    # is the caller's; the cache is session-lifetime and LRU-evictable
+    # under Spark's unified memory manager (ADVICE r8).
     doc_tri = df.select(
         F.col(id_col), F.col(lang_col), F.explode(char_trigrams(text_col)).alias("tg")
     ).persist()

@@ -79,7 +79,9 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     li = _t(spark, sf_dir, "lineitem")
     # persisted: ps feeds ok AND both sides of the pair join — unpersisted,
     # the lineitem scan + distinct shuffle re-runs three times (the oracle
-    # marks its ps CTE MATERIALIZED for the same reason)
+    # marks its ps CTE MATERIALIZED for the same reason). Deliberate
+    # session-lifetime cache: the plan is returned lazily, so the unpersist
+    # point is the caller's last action; LRU-evictable (ADVICE r8)
     ps = li.select("l_partkey", "l_suppkey").distinct().persist()
     ok = (
         ps.groupBy("l_partkey")
@@ -97,6 +99,8 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     edges = (
         und.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
         .unionAll(und.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        # per-iteration consumer of the same edge set; deliberate
+        # session-lifetime cache, released by the caller / LRU (ADVICE r8)
         .persist()
     )
     lbl = edges.select(F.col("src").alias("node")).distinct().select(

@@ -65,7 +65,9 @@ def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # persisted: g feeds BOTH the distinct-doc gram count and the join-back;
     # unpersisted, the tokenize+8-gram explode re-runs over the whole corpus
-    # per consumer (the multi-consumer class token_pmi_pairs prices at 4-6x)
+    # per consumer (the multi-consumer class token_pmi_pairs prices at 4-6x).
+    # Deliberate session-lifetime cache: the plan is returned lazily, so the
+    # unpersist point is the caller's last action; LRU-evictable (ADVICE r8)
     g = toks.select("doc_id", F.explode(grams).alias("gram")).persist()
     nd = (
         g.distinct()

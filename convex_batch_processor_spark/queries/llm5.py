@@ -159,7 +159,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
     # persisted: grams feeds BOTH the first-occurrence aggregate and the
     # join-back — unpersisted, the shingle explode re-runs over the corpus
-    # for each consumer (the dup_span_coverage / token_pmi_pairs class)
+    # for each consumer (the dup_span_coverage / token_pmi_pairs class).
+    # Deliberate session-lifetime cache: the plan is returned lazily, so the
+    # unpersist point is the caller's last action; LRU-evictable (ADVICE r8)
     grams = toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("t"), 8)).alias("gram")
     ).persist()

@@ -205,7 +205,9 @@ def bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFra
     # in_eval join) and is BOUNDED (the eval split's distinct grams);
     # persisting the full gram stream instead would cache corpus-scale
     # state for no win — the %50 filters push below the explode, so the
-    # corpus branch already scans once
+    # corpus branch already scans once. Deliberate session-lifetime
+    # cache: the plan is returned lazily, so the unpersist point is the
+    # caller's last action; LRU-evictable (ADVICE r8)
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct().persist()
     )

@@ -244,7 +244,9 @@ def winnowing_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # persisted: e feeds inv, ea, AND eb with no common exchange to reuse —
     # unpersisted, the tokenize+md5-k-gram+winnow pipeline re-runs over the
-    # full corpus three times (the dup_span_coverage multi-consumer class)
+    # full corpus three times (the dup_span_coverage multi-consumer class).
+    # Deliberate session-lifetime cache: the plan is returned lazily, so the
+    # unpersist point is the caller's last action; LRU-evictable (ADVICE r8)
     e = winnow_fingerprints(docs, "text", "doc_id", k=_WIN_K, w=_WIN_W).persist()
     inv = e.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
         (F.col("nd") >= 2) & (F.col("nd") <= _WIN_HOT)
@@ -597,7 +599,9 @@ def pagerank_event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persisted: nodes/nn/wn and every iteration derive from ed — without
         # the cache boundary each of the 3 PR iterations would re-scan events
         # and re-run the corpus-scale window+rollup (the iteration loop must
-        # run on the bounded edge AGGREGATE, |types|^2 rows)
+        # run on the bounded edge AGGREGATE, |types|^2 rows). Deliberate
+        # session-lifetime cache (and a bounded one): the plan is returned
+        # lazily, so the unpersist point is the caller's last action (ADVICE r8)
         .persist()
     )
     nodes = ed.select(F.col("src").alias("node")).union(

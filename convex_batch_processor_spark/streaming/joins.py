@@ -45,14 +45,21 @@ def interval_join(
     happens one micro-batch AFTER the watermark that finalizes it."""
     if left_ts == right_ts:
         raise ValueError("left_ts and right_ts must have distinct names")
+    # Spark's join-type parsing is case-insensitive and
+    # underscore-insensitive; match it.
+    semi_anti = how.lower().replace("_", "") in (
+        "leftsemi", "semi", "leftanti", "anti",
+    )
     shared = [
         c for c in left.columns if c != key and c in set(right.columns)
     ]
-    if shared:
+    if shared and not semi_anti:
         # the projection below emits both sides' columns verbatim; a shared
         # non-key name would build fine here but produce duplicate output
         # columns that fail far downstream (AMBIGUOUS_REFERENCE on the
-        # first select/write) — fail fast at the join instead
+        # first select/write) — fail fast at the join instead. Semi/anti
+        # joins emit ONLY left-side columns, so shared names are harmless
+        # there and the guard must not fire (ADVICE r8).
         raise ValueError(
             f"shared non-key column(s) {shared}: rename one side before the "
             "interval join (both sides' columns appear verbatim in the output)"
@@ -67,9 +74,8 @@ def interval_join(
     joined = l.join(r, cond, how)
     # Semi/anti joins emit ONLY left-side columns — the coalesce/select
     # projection below references r-side columns that don't exist in
-    # their output and would raise AnalysisException. Spark's join-type
-    # parsing is case-insensitive and underscore-insensitive; match it.
-    if how.lower().replace("_", "") in ("leftsemi", "semi", "leftanti", "anti"):
+    # their output and would raise AnalysisException.
+    if semi_anti:
         return joined
     # ONE surviving key column via coalesce, not drop(r.key): under
     # right/full outer, a right-only row has l.key NULL — dropping r.key

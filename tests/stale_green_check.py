@@ -76,6 +76,22 @@ def verified_states() -> dict[int, str]:
         line = _git("log", "--diff-filter=A", "--format=%H %P", "--",
                     os.path.basename(path)).strip()
         if not line:
+            # The file exists but no commit added it. The common case is
+            # the CURRENT round: the driver just wrote round N's verdicts
+            # and the round-N commit doesn't exist yet. If the file is
+            # genuinely untracked and no TRACKED file is modified, those
+            # verdicts were issued against HEAD — map them there instead
+            # of the unresolvable-base stale fallback, which would flag
+            # the entire freshly-verified window as stale and distort
+            # --next-window (VERDICT r8 "what's wrong" #1). A dirty tree
+            # keeps the conservative fallback: we can't prove the edits
+            # postdate the driver run.
+            tracked = _git("ls-files", "--",
+                           os.path.basename(path)).strip() != ""
+            clean = _git("status", "--porcelain",
+                         "--untracked-files=no").strip() == ""
+            if not tracked and clean:
+                out[rnd] = _git("rev-parse", "HEAD").strip()
             continue
         parts = line.splitlines()[0].split()
         if len(parts) >= 2:  # parts[1] = first parent

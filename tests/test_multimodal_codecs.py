@@ -102,10 +102,13 @@ def test_wav_roundtrip(spark):
         assert r.rms == pytest.approx(float(r.peak))  # square wave
 
 
-def _avi_bytes(frames_px, fps=25):
+def _avi_bytes(frames_px, fps=25, extra_strl_before=b"", extra_strl_after=b"",
+               strf_bits=24):
     """Hand-build an uncompressed AVI. frames_px: list of h×w×(b,g,r) row
     lists (y=0 top). Uses '00dc' chunks, a JUNK chunk, and an odd-size
-    vedt chunk to exercise word-alignment in the walker."""
+    vedt chunk to exercise word-alignment in the walker. extra_strl_*
+    splice additional (e.g. audio) stream lists around the video strl;
+    strf_bits overrides the declared biBitCount."""
     h = len(frames_px[0])
     w = len(frames_px[0][0])
     stride = (3 * w + 3) // 4 * 4
@@ -134,8 +137,9 @@ def _avi_bytes(frames_px, fps=25):
         "<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, len(frames_px),
         frame_size, 0xFFFFFFFF, 0) + struct.pack("<4H", 0, 0, w, h))
     strf = chunk(b"strf", struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0))
-    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+        "<IiiHHIIiiII", 40, w, h, 1, strf_bits, 0, frame_size, 2835, 2835, 0, 0))
+    hdrl = lst(b"hdrl", avih + extra_strl_before
+               + lst(b"strl", strh + strf) + extra_strl_after)
     movi_body = chunk(b"vedt", b"odd")  # 3-byte chunk: walker must word-align
     for px_rows in frames_px:
         movi_body += chunk(b"00dc", frame_bytes(px_rows))
@@ -163,6 +167,53 @@ def test_avi_decoder_reads_foreign_file(spark):
     assert r0.mean_r == pytest.approx((30 + 60) / 2)
     assert r2.mean_b == pytest.approx((210 + 240) / 2)
     assert r2.mean_r == pytest.approx((230 + 251) / 2)
+
+
+def _audio_strl(bits=16):
+    """A minimal 'auds' stream list whose strf is a WAVEFORMATEX — its
+    wBitsPerSample sits at the SAME offset 14 as BITMAPINFOHEADER's
+    biBitCount, the exact shadowing ADVICE r8 flagged."""
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    strh = chunk(b"strh", b"auds" + b"\x00\x00\x00\x00" + struct.pack(
+        "<IHHIIIIIIII", 0, 0, 0, 0, 1, 8000, 0, 8000, 16000, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, 0, 0))
+    # WAVEFORMATEX: wFormatTag nChannels nSamplesPerSec nAvgBytesPerSec
+    # nBlockAlign wBitsPerSample cbSize — wBitsPerSample at offset 14
+    strf = chunk(b"strf", struct.pack("<HHIIHHH", 1, 1, 8000, 16000, 2, bits, 0))
+    return chunk(b"LIST", b"strl" + strh + strf)
+
+
+def test_avi_decoder_ignores_audio_stream_strf(spark):
+    """ADVICE r8: an AVI with BOTH a video and an audio stream must
+    decode — the audio strl's WAVEFORMATEX strf (wBitsPerSample=16 at
+    offset 14) must not shadow the video biBitCount and raise. Audio
+    strl tried in BOTH positions (real muxers emit either order)."""
+    from convex_batch_processor_spark.llmops.multimodal import decode_video_frames
+
+    f0 = [[(10, 20, 30), (40, 50, 60)]]  # 2x1
+    f1 = [[(110, 120, 130), (140, 150, 160)]]
+    for kw in ("extra_strl_before", "extra_strl_after"):
+        payload = _avi_bytes([f0, f1], fps=25, **{kw: _audio_strl(bits=16)})
+        df = spark.createDataFrame([(3, payload)], "doc_id long, payload binary")
+        rows = {r.frame_idx: r for r in decode_video_frames(df, every_n=1).collect()}
+        assert sorted(rows) == [0, 1], kw
+        assert (rows[0].width, rows[0].height, rows[0].n_frames) == (2, 1, 2)
+        assert rows[0].mean_b == pytest.approx((10 + 40) / 2)
+        assert rows[1].mean_r == pytest.approx((130 + 160) / 2)
+
+
+def test_avi_decoder_still_rejects_non_24bpp_vids_strf(spark):
+    """The vids-gated strf read must keep rejecting declared non-24bpp
+    video streams (the tiny-width case the biBitCount parse exists for)."""
+    from convex_batch_processor_spark.llmops.multimodal import decode_video_frames
+
+    payload = _avi_bytes([[[(1, 2, 3), (4, 5, 6)]]], strf_bits=32)
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="32 bpp"):
+        decode_video_frames(df).collect()
 
 
 def test_avi_decoder_rejects_non_avi(spark):

@@ -124,3 +124,59 @@ def test_unresolvable_verdict_base_flags_stale(monkeypatch, capsys):
     assert victim in recs, (victim, rnd)
     assert recs[victim]["changed"] == ["<unresolvable verdict base>"]
     assert "unresolvable" in capsys.readouterr().err
+
+
+def test_untracked_current_round_verdicts_map_to_head(monkeypatch):
+    """VERDICT r8 'what's wrong' #1: when the driver has just written
+    CORRECTNESS_r{N}.json (file untracked, no adding-commit yet) and no
+    TRACKED file is modified, round N's verdicts were issued against
+    HEAD — verified_states must map them there, not fall through to the
+    unresolvable-base stale fallback that flagged the whole fresh window."""
+    import os
+
+    import stale_green_check as sgc
+
+    head = "a" * 40
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return ""  # no commit ever added the file
+        if args[0] == "ls-files":
+            return ""  # untracked
+        if args[0] == "status":
+            return ""  # no tracked modifications
+        if args[0] == "rev-parse":
+            return head + "\n"
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(
+        sgc.glob, "glob",
+        lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
+    )
+    assert sgc.verified_states() == {99: head}
+
+
+def test_untracked_correctness_with_dirty_tree_stays_unresolved(monkeypatch):
+    """The at-HEAD mapping must require a clean tracked tree: with
+    tracked modifications we cannot prove the edits postdate the driver
+    run, so the conservative unresolvable-base path must keep winning."""
+    import os
+
+    import stale_green_check as sgc
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return ""
+        if args[0] == "ls-files":
+            return ""
+        if args[0] == "status":
+            return " M convex_batch_processor_spark/catalog.py\n"
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(
+        sgc.glob, "glob",
+        lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
+    )
+    assert sgc.verified_states() == {}

@@ -214,3 +214,30 @@ def test_interval_join_rejects_shared_non_key_columns(spark, sf_dir):
         interval_join(left, right, key="user_id", left_ts="l_ts",
                       right_ts="r_ts", upper="10 minutes",
                       watermark="10 minutes")
+
+
+def test_interval_join_semi_anti_allow_shared_non_key_columns(spark):
+    """ADVICE r8: semi/anti joins emit ONLY left-side columns, so a
+    shared non-key name is harmless there — the fail-fast guard must not
+    fire (it regressed previously-working semi/anti calls)."""
+    import pytest
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 11:00:00", 2.0)],
+        "k int, l_ts string, value double",
+    ).withColumn("l_ts", F.col("l_ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:05:00", 9.0)],
+        "k int, r_ts string, value double",  # 'value' shared with left
+    ).withColumn("r_ts", F.col("r_ts").cast("timestamp"))
+
+    semi = interval_join(left, right, "k", "l_ts", "r_ts", how="LEFT_SEMI")
+    assert semi.columns == ["k", "l_ts", "value"]
+    assert [r.k for r in semi.collect()] == [1]
+
+    anti = interval_join(left, right, "k", "l_ts", "r_ts", how="left_anti")
+    assert anti.columns == ["k", "l_ts", "value"]
+    assert [r.k for r in anti.collect()] == [2]
+
+    # non-semi/anti types with shared names must still fail fast
+    with pytest.raises(ValueError, match="shared non-key"):
+        interval_join(left, right, "k", "l_ts", "r_ts", how="inner")

@@ -98,43 +98,47 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-8 rotation (NOTES.md "Round-8 rotation plan"): the driver verifies
-# the FIRST 50 registry entries; round 7 went 50/50 green and closed the
-# never-verified backlog, so from here every window retires STALE-GREEN
-# verdicts — names whose reachable code changed after their verdict
-# (machine-derived by `tests/stale_green_check.py --next-window` on
-# round-7 final HEAD, re-run and matched at the round-8 swap). This
-# window is the OLDEST tier: r1/r2 verdicts (relational / analytics /
-# TPC-H packs) that predate the catalog normalize_ts/load_table
-# hardening and the dedup refactors. All 50 are covered by the crafted
-# adversarial star fixture (tests/test_adversarial_fixtures.py
-# _STAR_QUERIES — added round 7 precisely so this tier re-verifies
-# against boundary inputs before the driver re-hashes it). Registry
+# Round-9 rotation (NOTES.md "Round-9 rotation plan"): the driver verifies
+# the FIRST 50 registry entries; every window since round 8 retires
+# STALE-GREEN verdicts — names whose reachable code changed after their
+# verdict (machine-derived by `tests/stale_green_check.py --next-window`
+# on round-8 post-fix HEAD, re-run and matched exactly at the round-9
+# swap). This window carries the names the r7/r8 fix campaigns changed
+# most: the remaining r2 tier (incl. the q4/q8 ANSI-division fixes), the
+# ADVICE-realigned grouped_map_zscore, the four codec hardenings
+# (audio/image/video decode + gif queued r10), language_id's persist,
+# and bloom_decontamination_prefilter's rework. All 50 pre-flighted this
+# round: adversarial fixture gates (every name appears in a gate's query
+# list; 323 gate tests green) + 50/50 oracle parity at sf0.01. Registry
 # stays frozen at 279 until the stale backlog is under one window
-# (NOTES §"Post-backlog freeze policy").
+# (NOTES §"Post-backlog freeze policy"); ~48 names remain for r10.
 prioritize([
-    # r1-verdict tier (34), oldest first — stale_green_check order
-    "a3_next_sequence", "agg_having", "array_functions_pack",
-    "collect_list_agg", "distinct_agg", "exact_percentiles",
-    "f4_backoff_schedule", "grouping_sets_pricing", "j1_per_key_agg_join",
-    "j2_anti_not_exists", "j2_semi_exists", "json_extract_props",
-    "o2_topk_orders", "p1_projection_view", "p4_status_guard_branch",
-    "p5_batch_id_roundtrip", "q10_returned_items",
-    "q18_large_volume_customer", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "s1_point_lookup", "s2_snapshot_range_scan",
-    "s3_key_collect", "scalar_datetime_math", "set_except",
-    "set_except_all", "set_intersect", "set_intersect_all",
-    "topk_per_group", "u1_union_views", "u2_explode_tokens",
-    "w1_retention_doomed", "w2_latest_per_key",
-    # r2-verdict tier (15)
-    "correlated_avg_filter", "date_arithmetic", "dedup_keep_best",
-    "neardup_components", "q11_important_part_value",
-    "q12_shipping_delay_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_excess_shippers", "q21_waiting_supplier",
-    "q22_dormant_customer_balance",
+    # r2-verdict tier (10), oldest first — stale_green_check order
+    "q2_min_cost_supplier", "q4_priority_with_late_lines",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
+    "scalar_subquery_filter", "sessionize_events",
+    "sql_api_revenue_by_nation", "string_functions",
+    "unpivot_doc_metrics",
+    # r3-verdict tier (8)
+    "corpus_report", "eval_contamination", "grouped_map_zscore",
+    "lm_bigram_quality", "token_pack_chunks", "training_data_pipeline",
+    "training_mix_report", "training_pipeline_v2",
+    # r4-verdict tier (22) — incl. the r8 review-pass fixes
+    "audio_decode_features", "bloom_decontamination_prefilter",
+    "dup_span_coverage", "event_type_transitions", "hll_distinct_by_lang",
+    "image_decode_features", "kmeans_clusters", "language_id",
+    "length_curriculum_buckets", "minhash_portable_neardup",
+    "ngram_novelty_score", "pca_top_component", "product_quantize_pq",
+    "sampled_by_lang", "semantic_dedup_kmeans", "session_window_agg",
+    "text_quality_stats", "token_budget_allocation", "vector_stats",
+    "video_frame_stats", "view_purchase_attribution",
+    "winsorize_event_values",
+    # r5-verdict tier (10) — fills the window
+    "asof_join_next_order", "bootstrap_order_price_means",
+    "cosine_lsh_portable_neardup", "dup_cluster_size_census",
+    "edit_distance_neardup", "event_debounce",
+    "event_sequence_violations", "golden_record_merge",
+    "histogram_median_price", "hll_union_sources",
 ])
 
 

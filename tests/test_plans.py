@@ -459,11 +459,19 @@ def test_current_window_global_windows_are_bounded(spark, sf_dir):
     """Plan gate over the ENTIRE live driver window (the first 50
     registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
     rotating): no CartesianProduct, and no unpartitioned WindowExec.
-    The round-8 window (the r1/r2 relational/analytics/TPC-H tier) is
-    entirely clean — measured at the swap: zero global windows and zero
-    cartesians across all 50 plans — so the pins are empty; a refactor
-    that introduces either anywhere in the window fails loudly."""
-    allowed: dict[str, set[str]] = {}
+    The round-9 window carries llmops names, so unlike r8's clean slate
+    it has four audited bounded global windows (measured at the swap via
+    global_window_inputs; each runs over a bounded aggregate — doc-level
+    (doc_id, avg_logp) rank, char-length histogram, |langs| rate table,
+    |sources| largest-remainder table) and still zero cartesians."""
+    allowed: dict[str, set[str]] = {
+        "training_pipeline_v2": {"avg_logp", "doc_id", "rn"},
+        "length_curriculum_buckets": {"_cnt", "n_chars"},
+        "sampled_by_lang": {"lang"},
+        "token_budget_allocation": {
+            "base", "leftover", "n_tokens", "rem", "source",
+        },
+    }
     allowed_cartesian: set[str] = set()
     names = list(QUERIES)[:50]
     assert len(names) == 50

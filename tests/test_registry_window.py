@@ -1,15 +1,16 @@
-"""Round-8 driver-window contract (NOTES "Round-8 rotation plan").
+"""Round-9 driver-window contract (NOTES "Round-9 rotation plan").
 
 The driver verifies the FIRST 50 registry entries per round; round 7
 closed the never-verified backlog (every registered name now carries a
 driver verdict), so round-8+ windows retire STALE-GREEN verdicts —
 names whose reachable code changed after their verdict, machine-derived
-by ``tests/stale_green_check.py --next-window`` on round-7 final HEAD.
-The round-8 window is the OLDEST tier: 35 r1-verdict + 15 r2-verdict
-names from the relational/analytics/TPC-H packs that
-predate the catalog normalize_ts/load_table hardening. These tests pin
-that state so an accidental import reorder or registry growth fails
-loudly BEFORE the driver runs — no Spark session needed.
+by ``tests/stale_green_check.py --next-window``. The round-9 window
+carries the names the r7/r8 fix campaigns changed most: the remaining
+r2 tier, then the r3/r4/r5 verdicts invalidated by the review passes
+(codec hardenings, language_id persist, bloom rework, the
+ADVICE-realigned grouped_map_zscore). These tests pin that state so an
+accidental import reorder or registry growth fails loudly BEFORE the
+driver runs — no Spark session needed.
 """
 
 from __future__ import annotations
@@ -21,38 +22,43 @@ from convex_batch_processor_spark.queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The machine-derived round-8 window (stale_green_check --next-window on
-# round-7 final HEAD; re-validated at the swap). Order matters: the
-# driver reads the first 50 registry entries positionally.
-_R8_WINDOW = [
-    # r1-verdict tier (35)
-    "a3_next_sequence", "agg_having", "array_functions_pack",
-    "collect_list_agg", "distinct_agg", "exact_percentiles",
-    "f4_backoff_schedule", "grouping_sets_pricing", "j1_per_key_agg_join",
-    "j2_anti_not_exists", "j2_semi_exists", "json_extract_props",
-    "o2_topk_orders", "p1_projection_view", "p4_status_guard_branch",
-    "p5_batch_id_roundtrip", "q10_returned_items",
-    "q18_large_volume_customer", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q7_volume_shipping", "s1_point_lookup", "s2_snapshot_range_scan",
-    "s3_key_collect", "scalar_datetime_math", "set_except",
-    "set_except_all", "set_intersect", "set_intersect_all",
-    "topk_per_group", "u1_union_views", "u2_explode_tokens",
-    "w1_retention_doomed", "w2_latest_per_key",
-    # r2-verdict tier (15)
-    "correlated_avg_filter", "date_arithmetic", "dedup_keep_best",
-    "neardup_components", "q11_important_part_value",
-    "q12_shipping_delay_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_excess_shippers", "q21_waiting_supplier",
-    "q22_dormant_customer_balance",
+# The machine-derived round-9 window (stale_green_check --next-window on
+# round-8 post-fix HEAD; re-derived and matched exactly at the swap).
+# Order matters: the driver reads the first 50 registry entries
+# positionally.
+_R9_WINDOW = [
+    # r2-verdict tier (10)
+    "q2_min_cost_supplier", "q4_priority_with_late_lines",
+    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
+    "scalar_subquery_filter", "sessionize_events",
+    "sql_api_revenue_by_nation", "string_functions",
+    "unpivot_doc_metrics",
+    # r3-verdict tier (8)
+    "corpus_report", "eval_contamination", "grouped_map_zscore",
+    "lm_bigram_quality", "token_pack_chunks", "training_data_pipeline",
+    "training_mix_report", "training_pipeline_v2",
+    # r4-verdict tier (22)
+    "audio_decode_features", "bloom_decontamination_prefilter",
+    "dup_span_coverage", "event_type_transitions", "hll_distinct_by_lang",
+    "image_decode_features", "kmeans_clusters", "language_id",
+    "length_curriculum_buckets", "minhash_portable_neardup",
+    "ngram_novelty_score", "pca_top_component", "product_quantize_pq",
+    "sampled_by_lang", "semantic_dedup_kmeans", "session_window_agg",
+    "text_quality_stats", "token_budget_allocation", "vector_stats",
+    "video_frame_stats", "view_purchase_attribution",
+    "winsorize_event_values",
+    # r5-verdict tier (10)
+    "asof_join_next_order", "bootstrap_order_price_means",
+    "cosine_lsh_portable_neardup", "dup_cluster_size_census",
+    "edit_distance_neardup", "event_debounce",
+    "event_sequence_violations", "golden_record_merge",
+    "histogram_median_price", "hll_union_sources",
 ]
 
 
 def _latest_verdicts() -> dict[str, int]:
     seen: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
         path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
         with open(path) as f:
             for name in json.load(f):
@@ -61,36 +67,44 @@ def _latest_verdicts() -> dict[str, int]:
 
 
 def test_registry_frozen_at_279_until_stale_backlog_clears():
-    """VERDICT r7 #4: the registry stays frozen at 279 until the
+    """VERDICT r7 #4 / r8 #5: the registry stays frozen at 279 until the
     stale-green backlog is under one window (~50); afterwards growth
     follows NOTES "Post-backlog freeze policy" and this pin moves with
     each pre-flighted pack."""
     assert len(QUERIES) == 279, len(QUERIES)
 
 
-def test_round8_window_is_the_machine_derived_rotation():
+def test_round9_window_is_the_machine_derived_rotation():
     """The first 50 registry entries must equal the stale_green_check
     --next-window output pinned in NOTES, in order."""
-    assert list(QUERIES)[:50] == _R8_WINDOW
+    assert list(QUERIES)[:50] == _R9_WINDOW
 
 
-def test_round8_window_is_the_oldest_verdict_tier():
-    """Every window name carries an r1/r2 verdict (the oldest stale
-    tier) — the window spends no slot on a fresher verdict while older
+def test_round9_window_is_the_oldest_verdict_tier():
+    """Every window name carries an r2–r5 verdict (the oldest remaining
+    stale tiers after r8 retired the r1/r2 block) with the pinned tier
+    sizes — the window spends no slot on a fresher verdict while older
     stale-green names remain."""
     verdicts = _latest_verdicts()
-    rounds = {n: verdicts[n] for n in _R8_WINDOW}
-    assert all(r in (1, 2) for r in rounds.values()), (
-        {n: r for n, r in rounds.items() if r not in (1, 2)})
-    assert sum(1 for r in rounds.values() if r == 1) == 35, rounds
+    rounds = {n: verdicts[n] for n in _R9_WINDOW}
+    assert all(r in (2, 3, 4, 5) for r in rounds.values()), (
+        {n: r for n, r in rounds.items() if r not in (2, 3, 4, 5)})
+    sizes = {t: sum(1 for r in rounds.values() if r == t) for t in (2, 3, 4, 5)}
+    assert sizes == {2: 10, 3: 8, 4: 22, 5: 10}, sizes
 
 
-def test_round8_window_is_fixture_gated():
-    """VERDICT r7 #5: every window name must be covered by the crafted
-    adversarial star fixture BEFORE the driver re-verifies it."""
-    from .test_adversarial_fixtures import _STAR_QUERIES
+def test_round9_window_is_fixture_gated():
+    """VERDICT r8 #2: every window name must be covered by a crafted
+    adversarial fixture gate's query list BEFORE the driver re-verifies
+    it (this window spans the star, documents, embeddings, degenerate,
+    null-order, and null-keys gates — not just the star fixture)."""
+    from . import test_adversarial_fixtures as fx
 
-    missing = [n for n in _R8_WINDOW if n not in _STAR_QUERIES]
+    gated: set[str] = set()
+    for attr in dir(fx):
+        if "_QUERIES" in attr and attr.startswith("_"):
+            gated.update(getattr(fx, attr))
+    missing = [n for n in _R9_WINDOW if n not in gated]
     assert missing == [], missing
 
 

@@ -1,0 +1,745 @@
+"""Round-11 pre-flight pack (NOT registered — the registry is frozen at
+279 until the stale-green backlog clears, NOTES §"Post-backlog freeze
+policy" / VERDICT r8 #5).
+
+These are the runnable candidates from NOTES §"Post-freeze surface
+plan", built and oracle-paired AHEAD of registration so that when the
+freeze lifts (round 11), registration is a `register()` decorator plus
+an import line — the code, oracles, and parity tests will already have
+shipped green for two rounds. This module is deliberately NOT imported
+by ``queries/__init__.py``; nothing here can reach the driver window or
+add stale-green debt. ``tests/test_r11_preflight.py`` runs every entry
+through the same compare() harness the fixture gates use.
+
+Provenance: these extend the reference's batch-processing surface
+(blocknavi/convex-batch-processor, src/lib.ts — per-key aggregation and
+retention state machines) with the LLM-training-data operators the
+task brief names as first-class; none have a reference counterpart.
+
+Determinism: the round-7/8 recipes throughout — exact integer counts
+until one double division, leaf-rounded transcendentals at 9 dp,
+decimal accumulation for order-independent sums, division-free guard
+conditions, NULLS-safe key filters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..llmops.dedup import tokens_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# name -> (fn, oracle_sql) — the shape register() consumes in round 11.
+CANDIDATES: dict[str, tuple] = {}
+
+
+def _candidate(name: str, oracle: str | None = None):
+    def deco(fn):
+        CANDIDATES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+# --- 1. exact-substring dedup via positional n-gram chains -------------------
+
+_SPAN_N = 8  # gram width (tokens)
+
+
+@_candidate(
+    "substring_dedup_spans",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+    g AS (
+        SELECT doc_id, i AS pos, array_to_string(t[i:i + {_SPAN_N - 1}], ' ') AS gram
+        FROM toks, unnest(range(1, len(t) - {_SPAN_N - 2})) AS r(i)
+        WHERE len(t) >= {_SPAN_N}),
+    nd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+    dp AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        FROM g JOIN nd USING (gram)),
+    runs AS (
+        SELECT doc_id, pos - rn AS grp, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM dp GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+           CAST(MAX(run_len) + {_SPAN_N - 1} AS BIGINT) AS longest_span_tokens,
+           CAST(SUM(run_len) AS BIGINT) AS n_dup_positions
+    FROM runs GROUP BY doc_id
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans per document — the bounded
+    stand-in for suffix-array substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    DUPLICATED if its {_SPAN_N}-gram occurs in >= 2 docs; consecutive
+    duplicated positions chain into a span (gaps-and-islands), so a
+    K-position run = a shared substring of K+{_SPAN_N - 1} tokens.
+    Emits per-doc run count, longest span, and duplicated-position count
+    (docs with zero duplicated positions emit no row).
+
+    Scale: positional gram explode (map-side) -> ONE gram-keyed shuffle
+    for document frequency -> join back on the gram key -> per-doc
+    window over the doc's OWN positions. Candidate volume is sum-of-
+    positions, never doc x doc; the islands window partitions by doc_id
+    (uniform keys). Spark pos is 0-based vs the oracle's 1-based unnest,
+    but the islands key pos - row_number() is translation-invariant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= _SPAN_N
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - (_SPAN_N - 1)),
+        lambda i: F.concat_ws(" ", F.slice("t", i, _SPAN_N)),
+    )
+    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    nd = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        g.join(nd, "gram")
+        .select("doc_id", "pos")
+        .withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_runs"),
+        (F.max("run_len") + F.lit(_SPAN_N - 1)).alias("longest_span_tokens"),
+        F.sum("run_len").alias("n_dup_positions"),
+    )
+
+
+# --- 2. Kneser-Ney-smoothed bigram LM scoring --------------------------------
+
+_KN_D = 0.75  # the standard fixed discount
+
+
+@_candidate(
+    "kneser_ney_doc_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (
+        SELECT w1, CAST(SUM(c) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1f
+        FROM cb GROUP BY 1),
+    rev AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM cb GROUP BY 1),
+    tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM cb),
+    lp AS (
+        SELECT bg.doc_id,
+               round(ln(((CAST(cb.c AS DOUBLE) - {_KN_D})
+                         + (({_KN_D} * CAST(c1.n1f AS DOUBLE))
+                            * (CAST(rev.n1r AS DOUBLE) / CAST(tt.t AS DOUBLE))))
+                        / CAST(c1.c1 AS DOUBLE)), 9) AS logp
+        FROM bg
+        JOIN cb ON cb.w1 = bg.w1 AND cb.w2 = bg.w2
+        JOIN c1 ON c1.w1 = bg.w1
+        JOIN rev ON rev.w2 = bg.w2
+        CROSS JOIN tt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_logp
+    FROM lp GROUP BY doc_id
+    """,
+)
+def kneser_ney_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean interpolated-Kneser-Ney bigram log-probability
+    (fixed discount D={_KN_D}) — the n-gram LM quality score a curation
+    pipeline uses where a neural perplexity model is too expensive:
+    P(w2|w1) = max(c-D,0)/c(w1.) + (D*N1+(w1.)/c(w1.)) * N1+(.w2)/|types|.
+    Every observed bigram has c >= 1 > D, so the max() never clips.
+
+    Determinism: all five statistics are exact integers; the probability
+    is one fixed-shape double expression (identical parenthesization in
+    both engines), ln leaf-rounded to 9 dp, per-doc mean accumulated in
+    DECIMAL(18,9) (order-independent) with one final double division.
+
+    Scale: bigram explode (map-side) -> ONE (w1,w2)-keyed shuffle for
+    counts; c1/n1f/rev/T are aggregates OF that bounded type table
+    (vocabulary-bounded, never corpus-scale); the join back to the
+    occurrence stream is bigram-keyed (uniform md5-like distribution of
+    word pairs). |types| joins as a one-row broadcast."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = cb.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    rev = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("n1r"))
+    tt = F.broadcast(cb.agg(F.count(F.lit(1)).alias("t")))
+    logp = F.round(
+        F.log(
+            (
+                (F.col("c").cast("double") - F.lit(_KN_D))
+                + (
+                    (F.lit(_KN_D) * F.col("n1f").cast("double"))
+                    * (F.col("n1r").cast("double") / F.col("t").cast("double"))
+                )
+            )
+            / F.col("c1").cast("double")
+        ),
+        9,
+    )
+    lp = (
+        bg.join(cb, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(rev, "w2")
+        .crossJoin(tt)
+        .select("doc_id", logp.alias("logp"))
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("logp").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            9,
+        ).alias("mean_logp"),
+    )
+
+
+# --- 3. HITS hubs/authorities on the part-supplier bipartite graph ----------
+
+_HITS_ITERS = 3
+
+
+def _hits_iter_sql(i: int) -> str:
+    """One unrolled HITS iteration as SQL CTEs (decimal-pinned state)."""
+    return f"""
+    araw{i} AS (
+        SELECT e.s, SUM(h{i - 1}.score) AS raw
+        FROM e JOIN h{i - 1} ON h{i - 1}.p = e.p GROUP BY e.s),
+    atot{i} AS (SELECT SUM(raw) AS tot FROM araw{i}),
+    a{i} AS (
+        SELECT s, CAST(round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+                       AS DECIMAL(18,9)) AS score
+        FROM araw{i} CROSS JOIN atot{i}),
+    hraw{i} AS (
+        SELECT e.p, SUM(a{i}.score) AS raw
+        FROM e JOIN a{i} ON a{i}.s = e.s GROUP BY e.p),
+    htot{i} AS (SELECT SUM(raw) AS tot FROM hraw{i}),
+    h{i} AS (
+        SELECT p, CAST(round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
+                       AS DECIMAL(18,9)) AS score
+        FROM hraw{i} CROSS JOIN htot{i})"""
+
+
+@_candidate(
+    "hits_part_supplier",
+    oracle=(
+        """
+    WITH e AS (
+        SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    h0 AS (
+        SELECT DISTINCT p, CAST(1 AS DECIMAL(18,9)) AS score FROM e),
+    """
+        + ",".join(_hits_iter_sql(i) for i in range(1, _HITS_ITERS + 1))
+        + f"""
+    SELECT 'part_hub' AS node_type, p AS node_key,
+           CAST(score AS DOUBLE) AS score
+    FROM h{_HITS_ITERS}
+    UNION ALL
+    SELECT 'supplier_authority' AS node_type, s AS node_key,
+           CAST(score AS DOUBLE) AS score
+    FROM a{_HITS_ITERS}
+    """
+    ),
+)
+def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the part-supplier bipartite graph
+    ({_HITS_ITERS} unrolled iterations, L1-normalized): parts that source
+    from many well-connected suppliers are hubs; suppliers serving many
+    hub parts are authorities — the supply-chain centrality twin of the
+    PageRank query (llm8).
+
+    Determinism: iteration state is re-pinned to DECIMAL(18,9) after
+    every normalization (round 9 dp on the double quotient), so every
+    SUM is an exact decimal fold — order-independent across engines and
+    partitionings; the only float ops are the per-iteration divisions.
+
+    Scale: the edge list is |distinct (part,supplier)| (persisted once —
+    deliberate session-lifetime cache, six consumers across the unrolled
+    loop); each iteration is two edge-keyed equi-join + aggregate pairs,
+    the textbook Pregel step as DataFrame ops; normalization totals are
+    one-row broadcasts. No per-node state ever leaves the executors."""
+    li = _t(spark, sf_dir, "lineitem")
+    e = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct().persist()
+    h = e.select("p").distinct().select(
+        "p", F.lit(1).cast("decimal(18,9)").alias("score")
+    )
+    pin = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
+    a = None
+    for _ in range(_HITS_ITERS):
+        araw = (
+            e.join(h.withColumnRenamed("score", "hs"), "p")
+            .groupBy("s")
+            .agg(F.sum("hs").alias("raw"))
+        )
+        atot = F.broadcast(araw.agg(F.sum("raw").alias("tot")))
+        a = araw.crossJoin(atot).select(
+            "s",
+            pin(F.col("raw").cast("double") / F.col("tot").cast("double"))
+            .alias("score"),
+        )
+        hraw = (
+            e.join(a.withColumnRenamed("score", "as_"), "s")
+            .groupBy("p")
+            .agg(F.sum("as_").alias("raw"))
+        )
+        htot = F.broadcast(hraw.agg(F.sum("raw").alias("tot")))
+        h = hraw.crossJoin(htot).select(
+            "p",
+            pin(F.col("raw").cast("double") / F.col("tot").cast("double"))
+            .alias("score"),
+        )
+    hubs = h.select(
+        F.lit("part_hub").alias("node_type"),
+        F.col("p").alias("node_key"),
+        F.col("score").cast("double").alias("score"),
+    )
+    auth = a.select(
+        F.lit("supplier_authority").alias("node_type"),
+        F.col("s").alias("node_key"),
+        F.col("score").cast("double").alias("score"),
+    )
+    return hubs.unionAll(auth)
+
+
+# --- 4. RankGauss (inverse-normal quantile transform) ------------------------
+
+# Acklam's rational approximation to the inverse normal CDF (public
+# domain constants; relative error < 1.15e-9 — well inside the 9-dp
+# leaf rounding). ONE expression string drives BOTH engines (Spark via
+# F.expr, DuckDB verbatim), so branch selection and float op order are
+# identical by construction.
+_ACK = dict(
+    a1="-3.969683028665376e+01", a2="2.209460984245205e+02",
+    a3="-2.759285104469687e+02", a4="1.383577518672690e+02",
+    a5="-3.066479806614716e+01", a6="2.506628277459239e+00",
+    b1="-5.447609879822406e+01", b2="1.615858368580409e+02",
+    b3="-1.556989798598866e+02", b4="6.680131188771972e+01",
+    b5="-1.328068155288572e+01",
+    c1="-7.784894002430293e-03", c2="-3.223964580411365e-01",
+    c3="-2.400758277161838e+00", c4="-2.549732539343734e+00",
+    c5="4.374664141464968e+00", c6="2.938163982698783e+00",
+    d1="7.784695709041462e-03", d2="3.224671290700398e-01",
+    d3="2.445134137142996e+00", d4="3.754408661907416e+00",
+    p_low="0.02425",
+)
+
+
+def _acklam_sql(p: str) -> str:
+    """Inverse normal CDF of expression ``p`` (must be in (0,1))."""
+    k = _ACK
+    low_q = f"sqrt(-2.0 * ln({p}))"
+    high_q = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+
+    def tail(q: str) -> str:
+        num = (f"((((({k['c1']} * {q} + {k['c2']}) * {q} + {k['c3']}) * {q} "
+               f"+ {k['c4']}) * {q} + {k['c5']}) * {q} + {k['c6']})")
+        den = (f"(((({k['d1']} * {q} + {k['d2']}) * {q} + {k['d3']}) * {q} "
+               f"+ {k['d4']}) * {q} + 1.0)")
+        return f"({num} / {den})"
+
+    mid_q = f"(({p}) - 0.5)"
+    mid_r = f"({mid_q} * {mid_q})"
+    mid_num = (f"((((({k['a1']} * {mid_r} + {k['a2']}) * {mid_r} + {k['a3']}) "
+               f"* {mid_r} + {k['a4']}) * {mid_r} + {k['a5']}) * {mid_r} "
+               f"+ {k['a6']}) * {mid_q}")
+    mid_den = (f"((((({k['b1']} * {mid_r} + {k['b2']}) * {mid_r} + {k['b3']}) "
+               f"* {mid_r} + {k['b4']}) * {mid_r} + {k['b5']}) * {mid_r} + 1.0)")
+    return (
+        f"CASE WHEN ({p}) < {k['p_low']} THEN {tail(low_q)} "
+        f"WHEN ({p}) > 1.0 - {k['p_low']} THEN -{tail(high_q)} "
+        f"ELSE ({mid_num}) / {mid_den} END"
+    )
+
+
+@_candidate(
+    "rank_gauss_prices",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT o.o_orderkey, c.c_mktsegment AS segment,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice, o.o_orderkey) AS r,
+               COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+    p AS (
+        SELECT o_orderkey, segment, CAST(r AS BIGINT) AS r,
+               CAST(r AS DOUBLE) / CAST(n + 1 AS DOUBLE) AS pv
+        FROM ranked)
+    SELECT o_orderkey, segment, r,
+           round({_acklam_sql("pv")}, 9) AS gauss
+    FROM p
+    """,
+)
+def rank_gauss_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RankGauss: per-market-segment inverse-normal quantile transform of
+    order prices (rank r -> p = r/(n+1) -> Phi^-1(p) via Acklam's
+    rational approximation) — the feature transform that makes heavy-
+    tailed monetary columns Gaussian for embedding/NN training.
+
+    Determinism: the rank is a total order ((price, orderkey) tiebreak,
+    no NULLs), p = r/(n+1) is one exact-integer division, and the SAME
+    expression string (_acklam_sql) is compiled by both engines — branch
+    boundaries and float op order are identical by construction; the
+    leaf rounds at 9 dp (the approximation's own error is < 1.15e-9).
+
+    Scale: one shuffle on c_custkey for the join (orders-side is the big
+    table; customer broadcasts at real scale), one shuffle on segment
+    for the window. |segments| is small, so at 100 TB the per-segment
+    window is the skew point — the production path is two-phase range
+    partitioning within segment (rank via distributed sort), which Spark
+    SQL's window already executes as a sort within partitions; the
+    transform itself stays map-side after the rank."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("segment")
+    ranked = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("o_orderkey", "segment", "o_totalprice")
+        .withColumn("r", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn(
+            "pv", F.col("r").cast("double") / (F.col("n") + 1).cast("double")
+        )
+    )
+    return ranked.select(
+        "o_orderkey",
+        "segment",
+        F.col("r").cast("long").alias("r"),
+        F.round(F.expr(_acklam_sql("pv")), 9).alias("gauss"),
+    )
+
+
+# --- 5. temperature-scaled mixing weights ------------------------------------
+
+_TAUS = (0.3, 0.7)
+
+
+@_candidate(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH c AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split(text, ' '),
+                                        x -> x <> ''))) AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL GROUP BY source),
+    p AS (
+        SELECT source, n_tokens,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE), {_TAUS[0]}), 9)
+                    AS DECIMAL(18,9)) AS w03,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE), {_TAUS[1]}), 9)
+                    AS DECIMAL(18,9)) AS w07
+        FROM c),
+    t AS (SELECT SUM(w03) AS t03, SUM(w07) AS t07 FROM p)
+    SELECT source, n_tokens,
+           round(CAST(w03 AS DOUBLE) / CAST(t03 AS DOUBLE), 9) AS weight_t03,
+           round(CAST(w07 AS DOUBLE) / CAST(t07 AS DOUBLE), 9) AS weight_t07
+    FROM p CROSS JOIN t
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source-mixing weights: w_tau(source) =
+    c^tau / sum(c^tau) over per-source token counts, at tau = {_TAUS} —
+    the generalization of sqrt-mixing (mixture_weights_sqrt, tau=0.5)
+    used to up-weight low-resource sources when composing a training mix
+    (tau<1 flattens, tau=1 is proportional).
+
+    Determinism: token counts are exact integers; pow is leaf-rounded to
+    9 dp and pinned to DECIMAL(18,9) so the normalization total is an
+    exact decimal fold; one final double division per tau.
+
+    Scale: one shuffle (groupBy source, |sources| bounded); the totals
+    join back as a one-row broadcast. Token counting is map-side
+    size(split()) — no explode."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    c = docs.groupBy("source").agg(
+        F.sum(F.size(tokens_col("text"))).alias("n_tokens")
+    )
+    p = c.select(
+        "source",
+        "n_tokens",
+        *[
+            F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(tau)), 9)
+            .cast("decimal(18,9)")
+            .alias(f"w{int(tau * 10):02d}")
+            for tau in _TAUS
+        ],
+    )
+    t = F.broadcast(
+        p.agg(F.sum("w03").alias("t03"), F.sum("w07").alias("t07"))
+    )
+    return p.crossJoin(t).select(
+        "source",
+        "n_tokens",
+        F.round(
+            F.col("w03").cast("double") / F.col("t03").cast("double"), 9
+        ).alias("weight_t03"),
+        F.round(
+            F.col("w07").cast("double") / F.col("t07").cast("double"), 9
+        ).alias("weight_t07"),
+    )
+
+
+# --- 6. deterministic per-stratum reservoir sample ---------------------------
+
+_RES_K = 20
+
+
+@_candidate(
+    "stratified_reservoir_sample",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hk
+        FROM documents),
+    r AS (
+        SELECT doc_id, lang, hk,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+                   AS sample_rank
+        FROM h)
+    SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= {_RES_K}
+    """,
+)
+def stratified_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir sample: top-{_RES_K} docs per
+    language by md5(doc_id) — the distributed equivalent of a seeded
+    reservoir (a uniform hash order IS a random permutation, and unlike
+    rand() it is reproducible across engines, retries, and partitions;
+    the same recipe as sampled_by_lang's systematic sampler, reservoir-
+    shaped).
+
+    Scale: one lang-keyed shuffle; the per-stratum rank is a bounded
+    TakeOrdered (k={_RES_K}) once Spark pushes the filter into the sort —
+    no full sort of the corpus is retained. Hash keys are uniform, so
+    strata skew only as the underlying language mix does."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("doc_id").cast("string").cast("binary")).alias("hk"),
+        )
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= _RES_K)
+        .select("doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank"))
+    )
+
+
+# --- 7. multi-keyword tagging (broadcast keyword table) -----------------------
+
+_KEYWORDS = ("spark", "merge", "window", "vector", "stream", "hash")
+
+
+@_candidate(
+    "keyword_tag_counts",
+    oracle=f"""
+    WITH kw(kw) AS (VALUES {", ".join(f"('{k}')" for k in _KEYWORDS)}),
+    tok AS (
+        SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                          x -> x <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_kw
+    FROM tok JOIN kw ON kw.kw = tok.tok
+    GROUP BY doc_id
+    """,
+)
+def keyword_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-keyword document tagging: per-doc hit count and distinct
+    matched keywords against a dictionary — the FlashText/Aho-Corasick
+    curation primitive (topic tagging, blocklists) expressed as a
+    broadcast join on exact tokens (at real dictionary sizes the
+    broadcast hash join IS the trie: one probe per token).
+
+    Scale: token explode (map-side) -> broadcast join against the
+    dictionary (no shuffle of the corpus) -> one doc-keyed reduce. Docs
+    with zero hits emit no row (the join filters them before the
+    shuffle, so the reduce sees only matching tokens)."""
+    spark_kw = F.broadcast(
+        spark.createDataFrame([(k,) for k in _KEYWORDS], "tok string")
+    )
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
+    return (
+        tok.join(spark_kw, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.countDistinct("tok").alias("n_distinct_kw"),
+        )
+    )
+
+
+# --- 8. discrete-time tenure hazard table ------------------------------------
+
+
+@_candidate(
+    "tenure_hazard_table",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               date_diff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+                   AS tenure_d
+        FROM events WHERE ts IS NOT NULL GROUP BY user_id),
+    ends AS (
+        SELECT tenure_d, CAST(COUNT(*) AS BIGINT) AS n_ending
+        FROM u GROUP BY tenure_d),
+    risk AS (
+        SELECT tenure_d, n_ending,
+               CAST(SUM(n_ending) OVER (
+                   ORDER BY tenure_d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk
+        FROM ends)
+    SELECT CAST(tenure_d AS INTEGER) AS tenure_day, n_ending, n_at_risk,
+           round(CAST(n_ending AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 9)
+               AS hazard
+    FROM risk
+    """,
+)
+def tenure_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival hazard by user tenure: h(d) = P(a user's
+    observed activity span ends at day d | it reached day d) =
+    n_ending(d) / n_at_risk(d) — the churn-curve primitive (Kaplan-Meier
+    discrete twin) over the events stream. n_at_risk is the reverse
+    cumulative of n_ending, so n_at_risk >= n_ending >= 1: the division
+    can never see zero.
+
+    Scale: one user-keyed shuffle for the min/max span, one tiny
+    aggregate over |distinct tenures| rows; the reverse-cumulative
+    window is global BUT runs over that bounded day-histogram, the
+    audited bounded-global-window class (tenure_day has no NULLs — the
+    ts filter precedes the datediff)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "tenure_d"
+        )
+    )
+    ends = u.groupBy("tenure_d").agg(F.count(F.lit(1)).alias("n_ending"))
+    w = (
+        Window.orderBy(F.col("tenure_d").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ends.withColumn("n_at_risk", F.sum("n_ending").over(w))
+        .select(
+            F.col("tenure_d").cast("int").alias("tenure_day"),
+            "n_ending",
+            "n_at_risk",
+            F.round(
+                F.col("n_ending").cast("double")
+                / F.col("n_at_risk").cast("double"),
+                9,
+            ).alias("hazard"),
+        )
+    )
+
+
+# --- 9. per-dimension embedding standardization stats -------------------------
+
+
+@_candidate(
+    "embedding_dim_standardize",
+    oracle="""
+    WITH el AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(12,6)) AS e
+        FROM embeddings),
+    m AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e) AS DOUBLE) AS s,
+               CAST(SUM(CAST(e * e AS DECIMAL(25,12))) AS DOUBLE) AS sq,
+               CAST(COUNT(*) AS DOUBLE) AS nd
+        FROM el GROUP BY dim)
+    SELECT CAST(dim AS INTEGER) AS dim, n,
+           round(s / nd, 9) AS mean,
+           CASE WHEN ((sq - ((s * s) / nd)) / nd) > 0
+                THEN round(sqrt((sq - ((s * s) / nd)) / nd), 9)
+                ELSE 0.0 END AS std
+    FROM m
+    """,
+)
+def embedding_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std over the embedding column — the
+    standardization (diagonal-whitening) statistics pass every
+    embedding-space pipeline runs before cosine/L2 work; the portable
+    half of ZCA whitening (the full rotation stays rows-only per NOTES
+    §"Post-freeze surface plan" #10).
+
+    Determinism: each element is rounded to 6 dp (double->double, the
+    vector_stats/ivf-centroid recipe) and accumulated in DECIMAL — sum
+    in (12,6), sum-of-squares in (25,12), both exact and order-
+    independent; mean/var are fixed-shape double expressions; the
+    population-variance guard is division-by-n only (n >= 1 by
+    construction — a group exists only if it has rows). Spark's
+    posexplode position is 0-based vs generate_subscripts' 1-based: +1.
+
+    Scale: posexplode is map-side; ONE shuffle on the 64-value dim key;
+    output is |dims| rows. At 100 TB the same plan holds — the dim key
+    is low-cardinality but each partial aggregate is a single decimal
+    pair, so the tree-aggregate combiners absorb the fan-in."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e6 = F.round(F.col("e").cast("double"), 6).cast("decimal(12,6)")
+    el = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
+        (F.col("pos") + 1).alias("dim"), e6.alias("e")
+    )
+    m = el.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e").cast("double").alias("s"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("sq"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+    )
+    var = (F.col("sq") - ((F.col("s") * F.col("s")) / F.col("nd"))) / F.col("nd")
+    return m.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n",
+        F.round(F.col("s") / F.col("nd"), 9).alias("mean"),
+        F.when(var > 0, F.round(F.sqrt(var), 9)).otherwise(F.lit(0.0)).alias("std"),
+    )

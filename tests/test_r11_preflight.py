@@ -17,6 +17,8 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import duckdb  # noqa: E402
+
 from oracle_check import compare  # noqa: E402
 
 from convex_batch_processor_spark.queries.llm72 import CANDIDATES  # noqa: E402
@@ -37,3 +39,140 @@ def test_preflight_pack_is_not_registered():
 
     assert len(QUERIES) == 279
     assert not (set(CANDIDATES) & set(QUERIES))
+
+
+@pytest.fixture(scope="module")
+def adv_preflight_dir(tmp_path_factory):
+    """Crafted boundary inputs for every pre-flight candidate: NULL/empty
+    /1-token texts, an exactly-8-token doc, a cross-doc 13-token shared
+    prefix (one 6-position island), a doc whose 8-grams repeat only
+    WITHIN itself (nd=1 — must not count as duplicated), constant and
+    NULL embeddings (std=0 / skipped rows), single-event and
+    NULL-ts-only users (tenure 0 / filtered), a 45-order segment with
+    heavy price ties (exercises BOTH Acklam tail branches and the
+    orderkey tiebreak), a single-order segment (p=0.5, central branch),
+    a NULL market segment (NULL partition keys group on both engines),
+    and duplicate part-supplier edges (distinct collapse)."""
+    d = tmp_path_factory.mktemp("adv_preflight_sf")
+    con = duckdb.connect()
+
+    def copy(table: str, sql: str) -> None:
+        con.execute(f"COPY ({sql}) TO '{d}/{table}.parquet' (FORMAT PARQUET)")
+
+    copy("documents", """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), NULL, 'en', 'web', NULL),
+            (1, '', 'en', 'web', CAST(0 AS BIGINT)),
+            (2, 'one', 'en', 'web', 3),
+            (3, 'a b', 'en', 'web', 3),
+            (4, 'w1 w2 w3 w4 w5 w6 w7 w8', 'en', 'web', 23),
+            (5, 'w1 w2 w3 w4 w5 w6 w7 w8', 'de', 'book', 23),
+            (6, 'p q r s t u v w x y z1 z2 z3 spark merge', 'en', 'web', 40),
+            (7, 'p q r s t u v w x y z1 z2 z3 hash window', 'de', 'web', 40),
+            (8, 'the the the the the the the the the', 'en', 'news', 35),
+            (9, 'x  y   z', 'fr', 'web', 8),
+            (10, 'spark spark merge window vector stream hash scan',
+             'fr', 'cc', 48)
+        ) t(doc_id, text, lang, source, n_chars)""")
+    copy("embeddings", """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST([0.0, 0.0, 1.5, -2.25] AS FLOAT[]), 1),
+            (1, CAST([0.0, 1.0, 1.5, 0.5] AS FLOAT[]), 1),
+            (2, CAST([0.0, -1.0, 1.5, 0.125] AS FLOAT[]), 2),
+            (3, CAST(NULL AS FLOAT[]), 2)
+        ) t(vec_id, embedding, label)""")
+    copy("events", """
+        SELECT event_id, ts, user_id, event_type,
+               CAST(value AS DOUBLE) AS value, props
+        FROM (VALUES
+            (CAST(1 AS BIGINT), TIMESTAMP '2024-01-01 10:00:00',
+             CAST(1 AS BIGINT), 'view', 1.0, '{}'),
+            (2, TIMESTAMP '2024-01-02 09:00:00', 2, 'view', 2.0, '{}'),
+            (3, TIMESTAMP '2024-01-02 23:59:59', 2, 'click', 3.0, '{}'),
+            (4, TIMESTAMP '2024-01-01 00:00:00', 3, 'view', 4.0, '{}'),
+            (5, TIMESTAMP '2024-01-04 00:00:00', 3, 'purchase', 5.0, '{}'),
+            (6, CAST(NULL AS TIMESTAMP), 4, 'view', 6.0, '{}'),
+            (7, CAST(NULL AS TIMESTAMP), 5, 'view', 7.0, '{}'),
+            (8, TIMESTAMP '2024-02-01 12:00:00', 5, 'click', 8.0, '{}'),
+            (9, TIMESTAMP '2024-02-02 11:00:00', 5, 'click', 9.0, '{}')
+        ) t(event_id, ts, user_id, event_type, value, props)""")
+    copy("customer", """
+        SELECT c_custkey, c_name, c_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+        FROM (VALUES
+            (CAST(1 AS BIGINT), 'Customer#000000001', 0, 10.0, 'BUILDING'),
+            (2, 'Customer#000000002', 1, 20.0, 'AUTOMOBILE'),
+            (3, 'Customer#000000003', 2, 30.0, NULL)
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    copy("orders", """
+        SELECT CAST(100 + i AS BIGINT) AS o_orderkey,
+               CAST(1 AS BIGINT) AS o_custkey,
+               'O' AS o_orderstatus,
+               CAST(10.0 + (i % 7) AS DOUBLE) AS o_totalprice,
+               TIMESTAMP '2024-01-01 00:00:00' AS o_orderdate,
+               '1-URGENT' AS o_orderpriority
+        FROM range(45) r(i)
+        UNION ALL
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'F', CAST(99.0 AS DOUBLE),
+             TIMESTAMP '2024-02-01 00:00:00', '5-LOW'),
+            (2, 3, 'O', 50.0, TIMESTAMP '2024-03-01 00:00:00', '3-MEDIUM'),
+            (3, 3, 'O', 50.0, TIMESTAMP '2024-03-02 00:00:00', '3-MEDIUM')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    copy("lineitem", """
+        SELECT * FROM (VALUES
+            (CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(1 AS BIGINT), 1),
+            (2, 1, 1, 1),  -- duplicate edge: distinct must collapse it
+            (3, 1, 2, 1),
+            (4, 2, 1, 1),
+            (5, 3, 3, 1)   -- isolated pair
+        ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber)""")
+    con.close()
+    return str(d)
+
+
+@pytest.mark.parametrize("name", sorted(CANDIDATES))
+def test_preflight_boundary_parity(spark, adv_preflight_dir, name):
+    fn, oracle = CANDIDATES[name]
+    ok, detail = compare(spark, adv_preflight_dir, name, fn, oracle)
+    assert ok, f"{name}: {detail}"
+
+
+def test_preflight_boundary_values(spark, adv_preflight_dir):
+    """Pin the crafted-boundary semantics, not just cross-engine parity
+    (both engines agreeing on the wrong answer is the class the r8
+    llmops review caught)."""
+    import pyspark.sql.functions as F
+
+    fn, _ = CANDIDATES["substring_dedup_spans"]
+    spans = {r.doc_id: r for r in fn(spark, adv_preflight_dir).collect()}
+    # docs 6/7 share exactly the 13-token prefix: grams at 6 positions,
+    # one island, longest span = 6 + 7 = 13 tokens
+    assert set(spans) == {4, 5, 6, 7}
+    assert spans[6].n_dup_runs == 1 and spans[6].longest_span_tokens == 13
+    assert spans[4].longest_span_tokens == 8  # the exactly-8-token pair
+    # doc 8's self-repeated grams occur in ONE doc only — never flagged
+
+    fn, _ = CANDIDATES["tenure_hazard_table"]
+    hz = {r.tenure_day: r for r in fn(spark, adv_preflight_dir).collect()}
+    # users 1,2 end day 0; user 5 ends day 1; user 3 day 3; user 4 is
+    # NULL-ts-only and filtered entirely
+    assert {d: (h.n_ending, h.n_at_risk) for d, h in hz.items()} == {
+        0: (2, 4), 1: (1, 2), 3: (1, 1)}
+    assert hz[3].hazard == 1.0
+
+    fn, _ = CANDIDATES["embedding_dim_standardize"]
+    dims = {r.dim: r for r in fn(spark, adv_preflight_dir).collect()}
+    assert dims[1].std == 0.0 and dims[3].std == 0.0  # constant dims
+    assert dims[1].n == 3  # the NULL embedding contributes no rows
+    assert dims[3].mean == 1.5
+
+    fn, _ = CANDIDATES["rank_gauss_prices"]
+    rg = fn(spark, adv_preflight_dir)
+    one = rg.filter(F.col("segment") == "AUTOMOBILE").collect()
+    assert len(one) == 1 and one[0].gauss == 0.0  # p = 1/2 -> Phi^-1 = 0
+    tails = rg.filter(F.col("segment") == "BUILDING").collect()
+    gs = {r.r: r.gauss for r in tails}
+    assert len(gs) == 45 and gs[1] < -2.0 and gs[45] > 2.0  # both tails
+    assert abs(gs[1] + gs[45]) < 1e-6  # symmetric ranks -> symmetric z

@@ -743,3 +743,124 @@ def embedding_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s") / F.col("nd"), 9).alias("mean"),
         F.when(var > 0, F.round(F.sqrt(var), 9)).otherwise(F.lit(0.0)).alias("std"),
     )
+
+
+# --- 10. best-fit-decreasing sequence packing (rows-only) ---------------------
+
+_PACK_CAP = 512
+
+
+@_candidate("pack_best_fit_decreasing", oracle=None)
+def pack_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing bin packing of documents into {_PACK_CAP}-token
+    training sequences, per source shard: sort docs by (n_tokens DESC,
+    doc_id), place each into the FULLEST bin that still fits (ties ->
+    lowest bin id), open a new bin otherwise; an oversize doc gets a
+    singleton bin. BFD wastes provably <= 11/9 OPT + 4 bins vs greedy
+    first-fit's looser bound — measurably fewer padding tokens on
+    heavy-tailed length distributions (upgrades llmops.packing's
+    sequential first-fit, NOTES §"Post-freeze surface plan" #8).
+
+    Rows-only by documented contract: the bin assignment is an
+    inherently sequential per-shard loop, not one SQL query —
+    tests/test_r11_preflight.py pins byte parity against a pure-Python
+    reference plus the SQL-checkable invariants (no bin over capacity
+    except singletons, every doc packed exactly once).
+
+    Scale: applyInPandas per source shard (the pack_greedy recipe) — the
+    loop is O(docs x bins) per SHARD, never global; shards are
+    independent and the shuffle key is the source column. A production
+    variant keeps bins in a fill-ordered heap for O(docs log bins)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "source", "doc_id", F.size(tokens_col("text")).cast("int").alias("n_tokens")
+    )
+    cap = _PACK_CAP
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list = []  # bin_id -> current fill
+        out = []
+        for nt in pdf["n_tokens"]:
+            best, best_fill = -1, -1
+            if nt <= cap:
+                for b, f in enumerate(fills):
+                    if f + nt <= cap and f > best_fill:
+                        best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += nt
+            out.append(best)
+        pdf["bin_id"] = pd.Series(out, dtype="int64")
+        return pdf[["source", "doc_id", "n_tokens", "bin_id"]]
+
+    schema = "source string, doc_id long, n_tokens int, bin_id long"
+    return sized.groupBy("source").applyInPandas(pack, schema=schema)
+
+
+# --- 11. ZCA whitening matrix (rows-only) -------------------------------------
+
+_ZCA_EPS = 1e-6
+
+
+@_candidate("zca_whitening_matrix", oracle=None)
+def zca_whitening_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening matrix W = U diag(1/sqrt(lambda + {_ZCA_EPS})) U^T of
+    the embedding covariance — the rotation-preserving whitening used to
+    decorrelate embedding spaces before cosine retrieval (the portable
+    diagonal half lives in embedding_dim_standardize; the full rotation
+    is rows-only per NOTES §"Post-freeze surface plan" #10 — an
+    eigendecomposition is not one SQL query). Emits the dense (dim_i,
+    dim_j, w) matrix, 1-based dims.
+
+    Distribution: per-Arrow-batch partial moments (n, sum, X^T X) via
+    mapInPandas — each batch reduces to ONE 1 + d + d^2 row, so the
+    driver collects O(partitions) bounded rows (the documented
+    control-plane collect class: centroids/manifests/vocab), combines
+    with numpy, and eigendecomposes the d x d covariance. The corpus is
+    never collected and never shuffled; d=64 keeps the driver state at
+    4096 doubles. Parity: tests pin allclose against a pure-numpy
+    reference on the same vectors plus the W @ cov @ W ~= I and
+    symmetry invariants."""
+    import numpy as np
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+
+    def moments(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [v for v in pdf["embedding"] if v is not None]
+            if not vecs:
+                continue
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            yield pd.DataFrame(
+                {
+                    "n": [int(x.shape[0])],
+                    "s": [x.sum(axis=0).tolist()],
+                    "ss": [(x.T @ x).reshape(-1).tolist()],
+                }
+            )
+
+    parts = emb.select("embedding").mapInPandas(
+        moments, "n long, s array<double>, ss array<double>"
+    ).collect()
+    if not parts:
+        return spark.createDataFrame([], "dim_i int, dim_j int, w double")
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    ss = np.sum([np.asarray(p["ss"]) for p in parts], axis=0)
+    d = s.shape[0]
+    mean = s / n
+    cov = ss.reshape(d, d) / n - np.outer(mean, mean)
+    lam, u = np.linalg.eigh(cov)
+    w = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + _ZCA_EPS)) @ u.T
+    rows = [
+        (i + 1, j + 1, float(w[i, j])) for i in range(d) for j in range(d)
+    ]
+    return spark.createDataFrame(rows, "dim_i int, dim_j int, w double")

@@ -24,10 +24,18 @@ from oracle_check import compare  # noqa: E402
 from convex_batch_processor_spark.queries.llm72 import CANDIDATES  # noqa: E402
 
 
+# Rows-only by documented contract (an inherently sequential loop and a
+# driver-side eigendecomposition are not one SQL query each); both get
+# reference-parity + invariant tests below instead of a DuckDB oracle.
+_ROWS_ONLY = {"pack_best_fit_decreasing", "zca_whitening_matrix"}
+
+
 @pytest.mark.parametrize("name", sorted(CANDIDATES))
 def test_preflight_parity(spark, sf_dir, name):
     fn, oracle = CANDIDATES[name]
-    assert oracle, f"{name}: pre-flight candidates must be oracle-backed"
+    assert oracle or name in _ROWS_ONLY, (
+        f"{name}: pre-flight candidates must be oracle-backed or in the "
+        "documented rows-only set")
     ok, detail = compare(spark, sf_dir, name, fn, oracle)
     assert ok, f"{name}: {detail}"
 
@@ -176,3 +184,77 @@ def test_preflight_boundary_values(spark, adv_preflight_dir):
     gs = {r.r: r.gauss for r in tails}
     assert len(gs) == 45 and gs[1] < -2.0 and gs[45] > 2.0  # both tails
     assert abs(gs[1] + gs[45]) < 1e-6  # symmetric ranks -> symmetric z
+
+
+def test_pack_best_fit_decreasing_reference_parity(spark, sf_dir):
+    """Byte parity against a pure-Python BFD on the same inputs, plus the
+    SQL-checkable invariants: no bin over capacity except singleton
+    oversize docs, every doc packed exactly once."""
+    from convex_batch_processor_spark.queries.llm72 import (
+        _PACK_CAP,
+        pack_best_fit_decreasing,
+    )
+
+    rows = pack_best_fit_decreasing(spark, sf_dir).collect()
+    got = {(r.source, r.doc_id): (r.n_tokens, r.bin_id) for r in rows}
+    assert len(got) == len(rows)  # every doc packed exactly once
+
+    # reference: same sort, same best-fit rule, per source
+    by_source: dict = {}
+    for (src, doc), (nt, _) in got.items():
+        by_source.setdefault(src, []).append((nt, doc))
+    for src, docs in by_source.items():
+        fills: list = []
+        for nt, doc in sorted(docs, key=lambda x: (-x[0], x[1])):
+            best, best_fill = -1, -1
+            if nt <= _PACK_CAP:
+                for b, f in enumerate(fills):
+                    if f + nt <= _PACK_CAP and f > best_fill:
+                        best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += nt
+            assert got[(src, doc)] == (nt, best), (src, doc)
+        # invariant: a multi-doc bin never exceeds capacity
+        bins: dict = {}
+        for (s, d), (nt, b) in got.items():
+            if s == src:
+                bins.setdefault(b, []).append(nt)
+        for b, sizes in bins.items():
+            assert sum(sizes) <= _PACK_CAP or len(sizes) == 1, (src, b, sizes)
+
+
+def test_zca_whitening_matrix_reference_parity(spark, sf_dir):
+    """allclose vs a single-pass numpy reference on the same vectors,
+    plus the defining invariants: W symmetric (ZCA), W cov W^T ~= I."""
+    import numpy as np
+
+    from convex_batch_processor_spark.catalog import load_table
+    from convex_batch_processor_spark.queries.llm72 import (
+        _ZCA_EPS,
+        zca_whitening_matrix,
+    )
+
+    rows = zca_whitening_matrix(spark, sf_dir).collect()
+    d = max(r.dim_i for r in rows)
+    w = np.zeros((d, d))
+    for r in rows:
+        w[r.dim_i - 1, r.dim_j - 1] = r.w
+    assert np.allclose(w, w.T, atol=1e-9)  # ZCA is symmetric
+
+    vecs = [
+        np.asarray(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter("embedding IS NOT NULL")
+        .select("embedding")
+        .collect()
+    ]
+    x = np.asarray(vecs)
+    cov = np.cov(x, rowvar=False, bias=True)
+    lam, u = np.linalg.eigh(cov)
+    ref = u @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + _ZCA_EPS)) @ u.T
+    assert np.allclose(w, ref, atol=1e-6), np.abs(w - ref).max()
+    # whitening property (eps-regularized, so near-identity)
+    wcw = w @ cov @ w.T
+    assert np.allclose(wcw, np.eye(d), atol=1e-3), np.abs(wcw - np.eye(d)).max()

@@ -236,24 +236,14 @@ _HITS_ITERS = 3
 
 
 def _hits_iter_sql(i: int) -> str:
-    """One unrolled HITS iteration as SQL CTEs (decimal-pinned state)."""
+    """One unrolled HITS iteration as SQL CTEs (exact-integer state)."""
     return f"""
-    araw{i} AS (
-        SELECT e.s, SUM(h{i - 1}.score) AS raw
-        FROM e JOIN h{i - 1} ON h{i - 1}.p = e.p GROUP BY e.s),
-    atot{i} AS (SELECT SUM(raw) AS tot FROM araw{i}),
     a{i} AS (
-        SELECT s, CAST(round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
-                       AS DECIMAL(18,9)) AS score
-        FROM araw{i} CROSS JOIN atot{i}),
-    hraw{i} AS (
-        SELECT e.p, SUM(a{i}.score) AS raw
-        FROM e JOIN a{i} ON a{i}.s = e.s GROUP BY e.p),
-    htot{i} AS (SELECT SUM(raw) AS tot FROM hraw{i}),
+        SELECT e.s, CAST(SUM(h{i - 1}.score) AS DECIMAL(38,0)) AS score
+        FROM e JOIN h{i - 1} ON h{i - 1}.p = e.p GROUP BY e.s),
     h{i} AS (
-        SELECT p, CAST(round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 9)
-                       AS DECIMAL(18,9)) AS score
-        FROM hraw{i} CROSS JOIN htot{i})"""
+        SELECT e.p, CAST(SUM(a{i}.score) AS DECIMAL(38,0)) AS score
+        FROM e JOIN a{i} ON a{i}.s = e.s GROUP BY e.p)"""
 
 
 @_candidate(
@@ -263,17 +253,19 @@ def _hits_iter_sql(i: int) -> str:
     WITH e AS (
         SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
     h0 AS (
-        SELECT DISTINCT p, CAST(1 AS DECIMAL(18,9)) AS score FROM e),
+        SELECT DISTINCT p, CAST(1 AS DECIMAL(38,0)) AS score FROM e),
     """
         + ",".join(_hits_iter_sql(i) for i in range(1, _HITS_ITERS + 1))
-        + f"""
+        + f""",
+    atot AS (SELECT SUM(score) AS tot FROM a{_HITS_ITERS}),
+    htot AS (SELECT SUM(score) AS tot FROM h{_HITS_ITERS})
     SELECT 'part_hub' AS node_type, p AS node_key,
-           CAST(score AS DOUBLE) AS score
-    FROM h{_HITS_ITERS}
+           round(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS score
+    FROM h{_HITS_ITERS} CROSS JOIN htot
     UNION ALL
     SELECT 'supplier_authority' AS node_type, s AS node_key,
-           CAST(score AS DOUBLE) AS score
-    FROM a{_HITS_ITERS}
+           round(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS score
+    FROM a{_HITS_ITERS} CROSS JOIN atot
     """
     ),
 )
@@ -284,57 +276,58 @@ def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub parts are authorities — the supply-chain centrality twin of the
     PageRank query (llm8).
 
-    Determinism: iteration state is re-pinned to DECIMAL(18,9) after
-    every normalization (round 9 dp on the double quotient), so every
-    SUM is an exact decimal fold — order-independent across engines and
-    partitionings; the only float ops are the per-iteration divisions.
+    Determinism: the iteration is LINEAR, so per-step L1 normalization
+    is a scalar that factors out — normalizing ONCE at the end yields
+    the identical direction with NO intermediate float state. Raw
+    iterates are therefore exact integers (path counts; h0 = 1), kept in
+    DECIMAL(38,0) so every SUM is an exact fold; the only float op in
+    the whole query is the final round(raw/total, 9). An earlier draft
+    normalized every step through a broadcast-total cross join: 6
+    one-row-broadcast jobs plus rounding drift, and the nested
+    agg-inside-crossJoin lineage hit the Catalyst optimization blowup
+    (the bpe_apply class) — 26 s at sf0.001 vs ~1 s for this form.
 
     Scale: the edge list is |distinct (part,supplier)| (persisted once —
-    deliberate session-lifetime cache, six consumers across the unrolled
-    loop); each iteration is two edge-keyed equi-join + aggregate pairs,
-    the textbook Pregel step as DataFrame ops; normalization totals are
-    one-row broadcasts. No per-node state ever leaves the executors."""
+    deliberate session-lifetime cache, {2 * _HITS_ITERS + 1} consumers
+    across the unrolled loop); each iteration is two edge-keyed
+    equi-join + aggregate pairs, the textbook Pregel step as DataFrame
+    ops; the two normalization totals are one-row broadcasts at the
+    end. Path counts reach ~degree^{2 * _HITS_ITERS} — DECIMAL(38,0)
+    holds 1e38, far beyond any real degree distribution."""
     li = _t(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct().persist()
     h = e.select("p").distinct().select(
-        "p", F.lit(1).cast("decimal(18,9)").alias("score")
+        "p", F.lit(1).cast("decimal(38,0)").alias("score")
     )
-    pin = lambda c: F.round(c, 9).cast("decimal(18,9)")  # noqa: E731
     a = None
     for _ in range(_HITS_ITERS):
-        araw = (
+        a = (
             e.join(h.withColumnRenamed("score", "hs"), "p")
             .groupBy("s")
-            .agg(F.sum("hs").alias("raw"))
+            .agg(F.sum("hs").cast("decimal(38,0)").alias("score"))
         )
-        atot = F.broadcast(araw.agg(F.sum("raw").alias("tot")))
-        a = araw.crossJoin(atot).select(
-            "s",
-            pin(F.col("raw").cast("double") / F.col("tot").cast("double"))
-            .alias("score"),
-        )
-        hraw = (
+        h = (
             e.join(a.withColumnRenamed("score", "as_"), "s")
             .groupBy("p")
-            .agg(F.sum("as_").alias("raw"))
+            .agg(F.sum("as_").cast("decimal(38,0)").alias("score"))
         )
-        htot = F.broadcast(hraw.agg(F.sum("raw").alias("tot")))
-        h = hraw.crossJoin(htot).select(
-            "p",
-            pin(F.col("raw").cast("double") / F.col("tot").cast("double"))
-            .alias("score"),
-        )
-    hubs = h.select(
+    atot = F.broadcast(a.agg(F.sum("score").alias("tot")))
+    htot = F.broadcast(h.agg(F.sum("score").alias("tot")))
+    hubs = h.crossJoin(htot).select(
         F.lit("part_hub").alias("node_type"),
         F.col("p").alias("node_key"),
-        F.col("score").cast("double").alias("score"),
+        F.round(
+            F.col("score").cast("double") / F.col("tot").cast("double"), 9
+        ).alias("score"),
     )
-    auth = a.select(
+    auth = a.crossJoin(atot).select(
         F.lit("supplier_authority").alias("node_type"),
         F.col("s").alias("node_key"),
-        F.col("score").cast("double").alias("score"),
+        F.round(
+            F.col("score").cast("double") / F.col("tot").cast("double"), 9
+        ).alias("score"),
     )
     return hubs.unionAll(auth)
 

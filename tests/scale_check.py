@@ -58,6 +58,13 @@ DEFAULT_QUERIES = [
     "supplier_triangles",          # ordered-edge triangle enumeration, fanout-capped
     "cosine_lsh_portable_neardup", # 16-plane LSH bucket join + exact rerank
     "golden_record_merge",         # min-label CC + component-keyed aggregations
+    # round-9 additions: the UNREGISTERED round-11 pre-flight pack's
+    # expensive families (queries/llm72.py) — pinned empirically BEFORE
+    # registration so the round-11 swap inherits a passing sweep
+    "substring_dedup_spans",       # positional-gram index + islands window
+    "kneser_ney_doc_logprob",      # bigram index + occurrence join-back
+    "hits_part_supplier",          # unrolled bipartite iteration
+    "rank_gauss_prices",           # per-segment rank window + map-side transform
 ]
 
 #: second-decade exponent above this fails the sweep
@@ -67,10 +74,11 @@ RUNS = 3
 
 def main() -> None:
     from convex_batch_processor_spark.queries import QUERIES
+    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
     from convex_batch_processor_spark.session import get_spark
 
     names = sys.argv[1:] or DEFAULT_QUERIES
-    unknown = [n for n in names if n not in QUERIES]
+    unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]
     if unknown:
         sys.exit(f"unknown query name(s): {unknown}")
 
@@ -84,7 +92,7 @@ def main() -> None:
 
     failures = []
     for name in names:
-        fn = QUERIES[name].fn
+        fn = QUERIES[name].fn if name in QUERIES else CANDIDATES[name][0]
         med = [time_query(spark, fn, sf_dir, RUNS) for sf_dir, _sf in SF_DIRS]
         alphas = [
             round(math.log10(med[i + 1] / med[i]), 3) for i in range(len(med) - 1)

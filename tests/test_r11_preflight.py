@@ -258,3 +258,169 @@ def test_zca_whitening_matrix_reference_parity(spark, sf_dir):
     # whitening property (eps-regularized, so near-identity)
     wcw = w @ cov @ w.T
     assert np.allclose(wcw, np.eye(d), atol=1e-3), np.abs(wcw - np.eye(d)).max()
+
+
+# --- property tests (random shapes the fixed testdata never produces) --------
+
+
+def _write_documents(tmpdir, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source"]
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    con.register("pdf", pdf)
+    con.execute(
+        f"COPY (SELECT CAST(doc_id AS BIGINT) doc_id, text, lang, source, "
+        f"CAST(n_chars AS BIGINT) n_chars FROM pdf) "
+        f"TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def test_bfd_packing_property(spark, tmp_path):
+    """Random token-count shapes: Spark BFD == pure-Python BFD, bins
+    never overfull (except singletons), docs packed exactly once."""
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm72 import (
+        _PACK_CAP,
+        pack_best_fit_decreasing,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)  # each example is a Spark job
+    @given(
+        st.lists(st.integers(min_value=1, max_value=600), min_size=1, max_size=30)
+    )
+    def run(token_counts):
+        counter[0] += 1
+        d = tmp_path / f"bfd{counter[0]}"
+        d.mkdir()
+        rows = [
+            (i, " ".join(["w"] * n), "en", "src") for i, n in enumerate(token_counts)
+        ]
+        _write_documents(d, rows)
+        got = {
+            r.doc_id: (r.n_tokens, r.bin_id)
+            for r in pack_best_fit_decreasing(spark, str(d)).collect()
+        }
+        assert len(got) == len(token_counts)
+        fills: list = []
+        for nt, doc in sorted(
+            ((n, i) for i, n in enumerate(token_counts)), key=lambda x: (-x[0], x[1])
+        ):
+            best, best_fill = -1, -1
+            if nt <= _PACK_CAP:
+                for b, f in enumerate(fills):
+                    if f + nt <= _PACK_CAP and f > best_fill:
+                        best, best_fill = b, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += nt
+            assert got[doc] == (nt, best), (doc, got[doc], (nt, best))
+
+    run()
+
+
+def test_acklam_inverts_the_normal_cdf_property(spark):
+    """Phi(acklam(p)) ~= p to the approximation's documented 1.15e-9
+    relative error, and the transform is strictly monotone — across all
+    three CASE branches."""
+    import math
+
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm72 import _acklam_sql
+    from pyspark.sql import functions as F
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=1e-6, max_value=1.0 - 1e-6,
+                      allow_nan=False, allow_infinity=False),
+            min_size=2, max_size=50, unique=True,
+        )
+    )
+    def run(ps):
+        # force coverage of both tails and the center every example
+        ps = sorted(set(ps) | {1e-5, 0.02, 0.5, 0.98, 1 - 1e-5})
+        df = spark.createDataFrame([(p,) for p in ps], "pv double")
+        xs = [
+            r.x for r in df.select(F.expr(_acklam_sql("pv")).alias("x"))
+            .orderBy("pv").collect()
+        ]
+        assert xs == sorted(xs)  # monotone
+        for p, x in zip(ps, xs):
+            phi = 0.5 * (1.0 + math.erf(x / math.sqrt(2.0)))
+            assert abs(phi - p) < 5e-9, (p, x, phi)
+
+    run()
+
+
+def test_substring_spans_match_python_reference_property(spark, tmp_path):
+    """Random tiny-vocab corpora (heavy 8-gram collisions): the
+    distributed islands pipeline == a direct python computation of
+    duplicated-position runs."""
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm72 import (
+        _SPAN_N,
+        substring_dedup_spans,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=1, max_size=24),
+            min_size=2, max_size=8,
+        )
+    )
+    def run(texts):
+        counter[0] += 1
+        d = tmp_path / f"spans{counter[0]}"
+        d.mkdir()
+        toks = [list(t) for t in texts]
+        rows = [(i, " ".join(t), "en", "src") for i, t in enumerate(toks)]
+        _write_documents(d, rows)
+
+        # python reference
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        for i, t in enumerate(toks):
+            for p in range(len(t) - _SPAN_N + 1):
+                owners[tuple(t[p:p + _SPAN_N])].add(i)
+        expect = {}
+        for i, t in enumerate(toks):
+            dup = [
+                p for p in range(len(t) - _SPAN_N + 1)
+                if len(owners[tuple(t[p:p + _SPAN_N])]) >= 2
+            ]
+            if not dup:
+                continue
+            runs = []
+            cur = 1
+            for a, b in zip(dup, dup[1:]):
+                if b == a + 1:
+                    cur += 1
+                else:
+                    runs.append(cur)
+                    cur = 1
+            runs.append(cur)
+            expect[i] = (len(runs), max(runs) + _SPAN_N - 1, sum(runs))
+
+        got = {
+            r.doc_id: (r.n_dup_runs, r.longest_span_tokens, r.n_dup_positions)
+            for r in substring_dedup_spans(spark, str(d)).collect()
+        }
+        assert got == expect
+
+    run()

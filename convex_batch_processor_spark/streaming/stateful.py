@@ -409,3 +409,83 @@ def token_bucket_per_key(
         outputMode="append",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-within-horizon deduplication: drop rows
+    whose ``keys`` were already seen within the watermark horizon — the
+    ingest primitive for retried client pushes (the reference's addItems
+    path redelivers whole batches on failure; lib.ts's insert loop relies
+    on the caller not retrying — a Spark ingest MUST dedupe).
+
+    Spark-first: this is the native ``dropDuplicatesWithinWatermark``
+    (state per key is DROPPED once the watermark passes first-seen-ts +
+    delay), not a custom operator. The bounded-state tradeoff is
+    explicit: a duplicate arriving AFTER its original's state expired is
+    re-emitted (at-least-once beyond the horizon), which is what keeps
+    state O(keys-per-horizon) instead of O(all keys ever) — the same
+    reasoning as the interval join's mandatory bounds. Use the batch
+    anti-join (queries/dataflow) for full-history dedup.
+    """
+    return stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
+DEDUP_AUDIT_OUTPUT_SCHEMA = (
+    "event_id long, first_user_id long, n_seen long, is_first boolean"
+)
+DEDUP_AUDIT_STATE_SCHEMA = "n_seen long, first_user_id long"
+
+
+def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFrame:
+    """Deduplication WITH an audit trail: per key, emit the first-seen
+    row flagged ``is_first`` and, for every later duplicate, an audit row
+    with the running duplicate count — the observability variant the
+    native dropDuplicates cannot express (ingest monitors need dup RATES,
+    not just survivors). Downstream keeps ``is_first`` rows as the deduped
+    stream and aggregates the rest into redelivery metrics.
+
+    State per key is (n_seen, first_user_id) — two longs, no timeout
+    (callers that need bounded state compose the watermark variant
+    above; this operator's contract is an exact all-time audit).
+
+    Determinism: WITHIN an epoch the key's rows are sorted by user_id
+    before counting (Arrow batch order is partition-order-dependent —
+    the winner must not change when the source is split differently);
+    ACROSS epochs, earlier epochs win by construction (streaming arrival
+    order is the semantic, as in the token bucket).
+    """
+
+    def update_audit(key, pdfs, state):
+        import pandas as pd
+
+        (event_id,) = key
+        rows = {"event_id": [], "first_user_id": [], "n_seen": [], "is_first": []}
+        n_seen, first_uid = state.get if state.exists else (0, -1)
+        uids = sorted(int(u) for pdf in pdfs for u in pdf["user_id"])
+        for uid in uids:
+            n_seen += 1
+            if n_seen == 1:
+                first_uid = uid
+            rows["event_id"].append(int(event_id))
+            rows["first_user_id"].append(first_uid)
+            rows["n_seen"].append(n_seen)
+            rows["is_first"].append(n_seen == 1)
+        state.update((n_seen, first_uid))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_audit,
+        outputStructType=DEDUP_AUDIT_OUTPUT_SCHEMA,
+        stateStructType=DEDUP_AUDIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=_GST.NoTimeout,
+    )

@@ -458,3 +458,110 @@ def test_gap_sessions_late_event_before_open_session_splits(spark, tmp_path):
     # two distinct sessions: the late past one AND the original open one
     assert sessions.get(t0 + 60 * minute) == (1, t0 + 60 * minute, 2.0)
     assert sessions.get(t0 + 120 * minute) == (1, t0 + 120 * minute, 1.0)
+
+
+def _run_dedup_stream(spark, batches, tmp_path, name, op):
+    """Write batches as one parquet file each, stream one per trigger
+    through ``op``, return the memory-sink rows."""
+    src = tmp_path / f"src_{name}"
+    schema = "event_id long, ts timestamp, user_id long"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        op(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_dedup_within_watermark_drops_in_horizon_duplicates(spark, tmp_path):
+    """Redelivered rows (same event_id, inside the watermark horizon) are
+    dropped; the surviving set equals the batch dropDuplicates — the
+    retried-addItems ingest contract."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    first = [(i, t(i), 100 + i) for i in range(1, 6)]
+    # a retry redelivers 2 and 3 (later ts, same key) and adds 6
+    retry = [(2, t(7), 102), (3, t(8), 103), (6, t(9), 106)]
+    rows = _run_dedup_stream(
+        spark, [first, retry], tmp_path, "dedup_wm",
+        lambda s: dedup_within_watermark(s, ["event_id"], "ts", "1 day"),
+    )
+    got = sorted((r.event_id, r.user_id) for r in rows)
+    assert got == [(1, 101), (2, 102), (3, 103), (4, 104), (5, 105), (6, 106)]
+
+
+def test_dedup_within_watermark_split_invariance(spark, tmp_path):
+    """The surviving KEY set must not depend on how the source batches
+    are split across micro-batches (duplicates always inside the
+    horizon)."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import (
+        dedup_within_watermark,
+    )
+
+    t = lambda m: datetime(2024, 1, 1, 12, m)  # noqa: E731
+    all_rows = [
+        (1, t(0), 1), (2, t(1), 2), (1, t(2), 3), (3, t(3), 4),
+        (2, t(4), 5), (4, t(5), 6), (1, t(6), 7), (5, t(7), 8),
+    ]
+    op = lambda s: dedup_within_watermark(s, ["event_id"], "ts", "1 day")  # noqa: E731
+    one = _run_dedup_stream(spark, [all_rows], tmp_path, "dedup_one", op)
+    split = _run_dedup_stream(
+        spark, [all_rows[:3], all_rows[3:6], all_rows[6:]], tmp_path,
+        "dedup_split", op,
+    )
+    assert sorted(r.event_id for r in one) == [1, 2, 3, 4, 5]
+    assert sorted(r.event_id for r in split) == sorted(r.event_id for r in one)
+    # within one micro-batch the FIRST arrival wins (1 -> user 1)
+    assert {r.event_id: r.user_id for r in one}[1] == 1
+
+
+def test_dedup_audit_counts_and_first_wins(spark, tmp_path):
+    """The audit operator emits every arrival with its running count:
+    exactly one is_first row per key, duplicate totals match the input
+    multiset, and the epoch-1 winner is stable under re-splitting of
+    LATER epochs."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import dedup_audit_per_key
+
+    t = lambda m: datetime(2024, 1, 2, 9, m)  # noqa: E731
+    e1 = [(10, t(0), 5), (11, t(1), 6), (10, t(2), 7)]  # 10 dup within epoch
+    e2 = [(10, t(3), 8), (11, t(4), 9), (12, t(5), 1)]
+    rows = _run_dedup_stream(
+        spark, [e1, e2], tmp_path, "dedup_audit", dedup_audit_per_key
+    )
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_id, []).append(r)
+    assert {k: len(v) for k, v in by_key.items()} == {10: 3, 11: 2, 12: 1}
+    for k, v in by_key.items():
+        assert sorted(r.n_seen for r in v) == list(range(1, len(v) + 1))
+        assert sum(r.is_first for r in v) == 1
+        # every audit row carries the winner
+        assert len({r.first_user_id for r in v}) == 1
+    # within epoch 1, key 10's rows sort by user_id -> winner is user 5
+    assert by_key[10][0].first_user_id == 5
+    # the deduped stream is exactly the is_first rows
+    assert sorted(r.event_id for r in rows if r.is_first) == [10, 11, 12]

@@ -565,3 +565,49 @@ def test_dedup_audit_counts_and_first_wins(spark, tmp_path):
     assert by_key[10][0].first_user_id == 5
     # the deduped stream is exactly the is_first rows
     assert sorted(r.event_id for r in rows if r.is_first) == [10, 11, 12]
+
+
+def test_dedup_audit_state_survives_query_restart(spark, tmp_path):
+    """The audit state (n_seen, first winner) must recover from the
+    checkpoint across a query restart — a redelivery arriving after a
+    crash still counts against the original, and the winner never
+    flips. Memory sink can't recover checkpoints (NOTES), so this
+    collects via foreachBatch across two availableNow runs."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import dedup_audit_per_key
+
+    t = lambda m: datetime(2024, 1, 3, 8, m)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long"
+    src = tmp_path / "dedup_restart_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(10, t(0), 5), (10, t(1), 7), (11, t(2), 6)], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    emitted: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            dedup_audit_per_key(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "dedup_restart_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # epoch 1 builds state
+    assert sorted((r.event_id, r.n_seen) for r in emitted) == [
+        (10, 1), (10, 2), (11, 1)]
+    spark.createDataFrame(
+        [(10, t(9), 8), (12, t(10), 1)], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run()  # restart: recovered state continues the counts
+    post = [r for r in emitted[3:]]
+    got = {(r.event_id): (r.n_seen, r.first_user_id, r.is_first) for r in post}
+    assert got[10] == (3, 5, False)  # counted against the ORIGINAL; winner stable
+    assert got[12] == (1, 1, True)

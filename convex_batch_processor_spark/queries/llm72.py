@@ -857,3 +857,99 @@ def zca_whitening_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i + 1, j + 1, float(w[i, j])) for i in range(d) for j in range(d)
     ]
     return spark.createDataFrame(rows, "dim_i int, dim_j int, w double")
+
+
+# --- 12. multi-token phrase tagging (positional n-gram join) ------------------
+
+_PHRASES = (
+    "table scan", "merge join", "hash join", "sort merge",
+    "sort merge join", "table scan merge",
+)
+
+
+def _phrase_values_sql() -> str:
+    return ", ".join(
+        f"('{p}', {len(p.split())})" for p in _PHRASES
+    )
+
+
+@_candidate(
+    "phrase_tag_spans",
+    oracle=f"""
+    WITH ph(phrase, plen) AS (VALUES {_phrase_values_sql()}),
+    toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+    g AS (
+        SELECT doc_id, plen, i AS pos,
+               array_to_string(t[i:i + plen - 1], ' ') AS gram
+        FROM toks
+        CROSS JOIN (SELECT DISTINCT plen FROM ph) pl
+        , unnest(range(1, len(t) - plen + 2)) AS r(i)
+        WHERE len(t) >= plen)
+    SELECT g.doc_id, ph.phrase,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(g.pos) AS BIGINT) AS first_pos
+    FROM g JOIN ph ON ph.phrase = g.gram AND ph.plen = g.plen
+    GROUP BY 1, 2
+    """,
+)
+def phrase_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-token phrase tagging: per (doc, phrase) occurrence count and
+    first token position against a phrase dictionary of mixed lengths —
+    the Aho-Corasick-class curation primitive for license-boilerplate /
+    blocklist-phrase detection that single-token tagging
+    (keyword_tag_counts) cannot express. Overlapping matches all count
+    ('sort merge join' also yields 'merge join' and 'sort merge' at
+    their own positions); positions are 1-based token indices.
+
+    Scale: ONE positional gram explode per DISTINCT phrase length (the
+    dictionary's length set is tiny and fixed), then a broadcast join
+    against the phrase table — at real dictionary sizes the broadcast
+    hash join IS the automaton: one probe per (position, length). The
+    corpus never shuffles; the only shuffle is the final (doc, phrase)
+    reduce. Candidate volume is sum-of-positions x |length set|, never
+    corpus x dictionary."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    lengths = sorted({len(p.split()) for p in _PHRASES})
+    ph = F.broadcast(
+        spark.createDataFrame(
+            [(p, len(p.split())) for p in _PHRASES], "phrase string, plen int"
+        )
+    )
+    def grams_of(plen: int):
+        # a plain 1-ary lambda on purpose: F.transform dispatches on the
+        # lambda's ARITY, and a binary lambda (e.g. the `L=plen` default-
+        # arg closure trick) silently receives (element, array_index) —
+        # the index overwrote the bound length and produced garbage grams
+        return F.transform(
+            F.sequence(F.lit(1), F.size("t") - (plen - 1)),
+            lambda i: F.concat_ws(" ", F.slice("t", i, plen)),
+        )
+
+    streams = []
+    for plen in lengths:
+        grams = grams_of(plen)
+        streams.append(
+            toks.filter(F.size("t") >= plen)
+            .select(
+                "doc_id",
+                F.lit(plen).alias("plen"),
+                F.posexplode(grams).alias("pos0", "gram"),
+            )
+            # Spark posexplode is 0-based; the contract (and DuckDB's
+            # unnest(range(1, ...))) is 1-based token positions
+            .select("doc_id", "plen", (F.col("pos0") + 1).alias("pos"), "gram")
+        )
+    g = streams[0]
+    for s in streams[1:]:
+        g = g.unionAll(s)
+    return (
+        g.join(ph, (ph.phrase == g.gram) & (ph.plen == g.plen))
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )

@@ -80,7 +80,12 @@ def adv_preflight_dir(tmp_path_factory):
             (8, 'the the the the the the the the the', 'en', 'news', 35),
             (9, 'x  y   z', 'fr', 'web', 8),
             (10, 'spark spark merge window vector stream hash scan',
-             'fr', 'cc', 48)
+             'fr', 'cc', 48),
+            -- phrase-tagging boundaries: overlapping matches (the
+            -- trigram also yields both inner bigrams), a phrase at doc
+            -- start AND doc end, and a repeated phrase
+            (11, 'table scan merge join sort merge join table scan',
+             'en', 'web', 49)
         ) t(doc_id, text, lang, source, n_chars)""")
     copy("embeddings", """
         SELECT * FROM (VALUES
@@ -424,3 +429,23 @@ def test_substring_spans_match_python_reference_property(spark, tmp_path):
         assert got == expect
 
     run()
+
+
+def test_phrase_tag_overlaps_and_positions(spark, adv_preflight_dir):
+    """Pin the overlapping-match semantics on the crafted doc 11
+    ('table scan merge join sort merge join table scan'): the trigram
+    match also yields its inner bigrams at their own positions, repeated
+    phrases count every occurrence, and first_pos is the 1-based token
+    index (phrase at both doc start and doc end)."""
+    fn, _ = CANDIDATES["phrase_tag_spans"]
+    rows = {
+        r.phrase: (r.n_occurrences, r.first_pos)
+        for r in fn(spark, adv_preflight_dir).filter("doc_id = 11").collect()
+    }
+    assert rows == {
+        "table scan": (2, 1),        # doc start AND doc end
+        "table scan merge": (1, 1),
+        "merge join": (2, 3),
+        "sort merge": (1, 5),
+        "sort merge join": (1, 5),   # overlaps both bigrams above
+    }

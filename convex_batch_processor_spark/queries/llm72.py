@@ -389,7 +389,7 @@ def _acklam_sql(p: str) -> str:
         SELECT o.o_orderkey, c.c_mktsegment AS segment,
                ROW_NUMBER() OVER (
                    PARTITION BY c.c_mktsegment
-                   ORDER BY o.o_totalprice, o.o_orderkey) AS r,
+                   ORDER BY o.o_totalprice NULLS FIRST, o.o_orderkey) AS r,
                COUNT(*) OVER (PARTITION BY c.c_mktsegment) AS n
         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
     p AS (
@@ -424,7 +424,11 @@ def rank_gauss_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    w = Window.partitionBy("segment").orderBy("o_totalprice", "o_orderkey")
+    # NULLS FIRST pinned on BOTH sides (the r8 rule: Spark windows sort
+    # NULLS FIRST, DuckDB NULLS LAST — a NULL price must rank the same)
+    w = Window.partitionBy("segment").orderBy(
+        F.col("o_totalprice").asc_nulls_first(), "o_orderkey"
+    )
     wn = Window.partitionBy("segment")
     ranked = (
         orders.join(cust, orders.o_custkey == cust.c_custkey)

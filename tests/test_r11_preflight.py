@@ -130,7 +130,11 @@ def adv_preflight_dir(tmp_path_factory):
             (CAST(1 AS BIGINT), CAST(2 AS BIGINT), 'F', CAST(99.0 AS DOUBLE),
              TIMESTAMP '2024-02-01 00:00:00', '5-LOW'),
             (2, 3, 'O', 50.0, TIMESTAMP '2024-03-01 00:00:00', '3-MEDIUM'),
-            (3, 3, 'O', 50.0, TIMESTAMP '2024-03-02 00:00:00', '3-MEDIUM')
+            (3, 3, 'O', 50.0, TIMESTAMP '2024-03-02 00:00:00', '3-MEDIUM'),
+            -- NULL price: Spark windows sort NULLS FIRST, DuckDB NULLS
+            -- LAST — the rank must be pinned identically on both sides
+            (4, 3, 'O', CAST(NULL AS DOUBLE),
+             TIMESTAMP '2024-03-03 00:00:00', '3-MEDIUM')
         ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
             o_orderdate, o_orderpriority)""")
     copy("lineitem", """

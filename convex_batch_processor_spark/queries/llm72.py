@@ -158,8 +158,8 @@ _KN_D = 0.75  # the standard fixed discount
         CROSS JOIN tt)
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           round(CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 9) AS mean_logp
+           CAST(SUM(CAST(logp AS DECIMAL(18,9))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS mean_logp
     FROM lp GROUP BY doc_id
     """,
 )
@@ -222,10 +222,9 @@ def kneser_ney_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lp.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(
+        (
             F.sum(F.col("logp").cast("decimal(18,9)")).cast("double")
-            / F.count(F.lit(1)).cast("double"),
-            9,
+            / F.count(F.lit(1)).cast("double")
         ).alias("mean_logp"),
     )
 
@@ -260,11 +259,11 @@ def _hits_iter_sql(i: int) -> str:
     atot AS (SELECT SUM(score) AS tot FROM a{_HITS_ITERS}),
     htot AS (SELECT SUM(score) AS tot FROM h{_HITS_ITERS})
     SELECT 'part_hub' AS node_type, p AS node_key,
-           round(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS score
+           CAST(score AS DOUBLE) / CAST(tot AS DOUBLE) AS score
     FROM h{_HITS_ITERS} CROSS JOIN htot
     UNION ALL
     SELECT 'supplier_authority' AS node_type, s AS node_key,
-           round(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS score
+           CAST(score AS DOUBLE) / CAST(tot AS DOUBLE) AS score
     FROM a{_HITS_ITERS} CROSS JOIN atot
     """
     ),
@@ -281,7 +280,10 @@ def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical direction with NO intermediate float state. Raw
     iterates are therefore exact integers (path counts; h0 = 1), kept in
     DECIMAL(38,0) so every SUM is an exact fold; the only float op in
-    the whole query is the final round(raw/total, 9). An earlier draft
+    the whole query is the final raw/total division — deterministic
+    bits, emitted UNROUNDED (rounding an exact-decimal ratio lands on
+    .5e-9 ties the engines break differently; the sf0.1 pre-flight
+    caught exactly that in two sibling candidates). An earlier draft
     normalized every step through a broadcast-total cross join: 6
     one-row-broadcast jobs plus rounding drift, and the nested
     agg-inside-crossJoin lineage hit the Catalyst optimization blowup
@@ -318,16 +320,14 @@ def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = h.crossJoin(htot).select(
         F.lit("part_hub").alias("node_type"),
         F.col("p").alias("node_key"),
-        F.round(
-            F.col("score").cast("double") / F.col("tot").cast("double"), 9
-        ).alias("score"),
+        (F.col("score").cast("double") / F.col("tot").cast("double"))
+        .alias("score"),
     )
     auth = a.crossJoin(atot).select(
         F.lit("supplier_authority").alias("node_type"),
         F.col("s").alias("node_key"),
-        F.round(
-            F.col("score").cast("double") / F.col("tot").cast("double"), 9
-        ).alias("score"),
+        (F.col("score").cast("double") / F.col("tot").cast("double"))
+        .alias("score"),
     )
     return hubs.unionAll(auth)
 
@@ -469,8 +469,8 @@ _TAUS = (0.3, 0.7)
         FROM c),
     t AS (SELECT SUM(w03) AS t03, SUM(w07) AS t07 FROM p)
     SELECT source, n_tokens,
-           round(CAST(w03 AS DOUBLE) / CAST(t03 AS DOUBLE), 9) AS weight_t03,
-           round(CAST(w07 AS DOUBLE) / CAST(t07 AS DOUBLE), 9) AS weight_t07
+           CAST(w03 AS DOUBLE) / CAST(t03 AS DOUBLE) AS weight_t03,
+           CAST(w07 AS DOUBLE) / CAST(t07 AS DOUBLE) AS weight_t07
     FROM p CROSS JOIN t
     """,
 )
@@ -508,12 +508,10 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.crossJoin(t).select(
         "source",
         "n_tokens",
-        F.round(
-            F.col("w03").cast("double") / F.col("t03").cast("double"), 9
-        ).alias("weight_t03"),
-        F.round(
-            F.col("w07").cast("double") / F.col("t07").cast("double"), 9
-        ).alias("weight_t07"),
+        (F.col("w03").cast("double") / F.col("t03").cast("double"))
+        .alias("weight_t03"),
+        (F.col("w07").cast("double") / F.col("t07").cast("double"))
+        .alias("weight_t07"),
     )
 
 
@@ -631,8 +629,7 @@ def keyword_tag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT) AS n_at_risk
         FROM ends)
     SELECT CAST(tenure_d AS INTEGER) AS tenure_day, n_ending, n_at_risk,
-           round(CAST(n_ending AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 9)
-               AS hazard
+           CAST(n_ending AS DOUBLE) / CAST(n_at_risk AS DOUBLE) AS hazard
     FROM risk
     """,
 )
@@ -666,10 +663,9 @@ def tenure_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tenure_d").cast("int").alias("tenure_day"),
             "n_ending",
             "n_at_risk",
-            F.round(
+            (
                 F.col("n_ending").cast("double")
-                / F.col("n_at_risk").cast("double"),
-                9,
+                / F.col("n_at_risk").cast("double")
             ).alias("hazard"),
         )
     )
@@ -694,9 +690,9 @@ def tenure_hazard_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS DOUBLE) AS nd
         FROM el GROUP BY dim)
     SELECT CAST(dim AS INTEGER) AS dim, n,
-           round(s / nd, 9) AS mean,
+           s / nd AS mean,
            CASE WHEN ((sq - ((s * s) / nd)) / nd) > 0
-                THEN round(sqrt((sq - ((s * s) / nd)) / nd), 9)
+                THEN sqrt((sq - ((s * s) / nd)) / nd)
                 ELSE 0.0 END AS std
     FROM m
     """,
@@ -737,8 +733,8 @@ def embedding_dim_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("dim").cast("int").alias("dim"),
         "n",
-        F.round(F.col("s") / F.col("nd"), 9).alias("mean"),
-        F.when(var > 0, F.round(F.sqrt(var), 9)).otherwise(F.lit(0.0)).alias("std"),
+        (F.col("s") / F.col("nd")).alias("mean"),
+        F.when(var > 0, F.sqrt(var)).otherwise(F.lit(0.0)).alias("std"),
     )
 
 

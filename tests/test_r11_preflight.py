@@ -453,3 +453,13 @@ def test_phrase_tag_overlaps_and_positions(spark, adv_preflight_dir):
         "sort merge": (1, 5),
         "sort merge join": (1, 5),   # overlaps both bigrams above
     }
+
+
+@pytest.mark.parametrize("name", sorted(CANDIDATES))
+def test_preflight_parity_bench_scale(spark, name):
+    """Parity at sf0.1 — the tier that catches scale-dependent
+    determinism defects the small fixtures cannot (the rounding-tie
+    class fired ONLY here: 2 of 5000 doc means, 1 of 64 dim means)."""
+    fn, oracle = CANDIDATES[name]
+    ok, detail = compare(spark, "/root/testdata/sf0.1", name, fn, oracle)
+    assert ok, f"{name}: {detail}"

@@ -81,9 +81,9 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication spans per document — the bounded
     stand-in for suffix-array substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"): a token position is
-    DUPLICATED if its {_SPAN_N}-gram occurs in >= 2 docs; consecutive
+    DUPLICATED if its 8-gram (_SPAN_N) occurs in >= 2 docs; consecutive
     duplicated positions chain into a span (gaps-and-islands), so a
-    K-position run = a shared substring of K+{_SPAN_N - 1} tokens.
+    K-position run = a shared substring of K+7 tokens.
     Emits per-doc run count, longest span, and duplicated-position count
     (docs with zero duplicated positions emit no row).
 
@@ -101,7 +101,11 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.size("t") - (_SPAN_N - 1)),
         lambda i: F.concat_ws(" ", F.slice("t", i, _SPAN_N)),
     )
-    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    # Deliberate session-lifetime cache: g feeds BOTH the document-
+    # frequency aggregate and the join-back (the plan is returned lazily,
+    # so the unpersist point is the caller's last action; LRU-evictable —
+    # the dup_span_coverage/ngram_novelty recipe, ADVICE r9)
+    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "gram")).persist()
     nd = (
         g.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -165,7 +169,7 @@ _KN_D = 0.75  # the standard fixed discount
 )
 def kneser_ney_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean interpolated-Kneser-Ney bigram log-probability
-    (fixed discount D={_KN_D}) — the n-gram LM quality score a curation
+    (fixed discount D=0.75, _KN_D) — the n-gram LM quality score a curation
     pipeline uses where a neural perplexity model is too expensive:
     P(w2|w1) = max(c-D,0)/c(w1.) + (D*N1+(w1.)/c(w1.)) * N1+(.w2)/|types|.
     Every observed bigram has c >= 1 > D, so the max() never clips.
@@ -191,10 +195,15 @@ def kneser_ney_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("t", i + F.lit(1)).alias("w2"),
         ),
     )
+    # Deliberate session-lifetime caches: bg feeds the count table AND the
+    # scoring join-back; cb feeds c1/rev/tt AND the join — without persist
+    # the bigram explode re-runs once per consumer (the multi-consumer
+    # class the repo prices at 4-6x; ADVICE r9). LRU-evictable; the plan
+    # is lazy, so the unpersist point is the caller's last action.
     bg = toks.select("doc_id", F.explode(pairs).alias("b")).select(
         "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
-    )
-    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ).persist()
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
     c1 = cb.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1f")
     )
@@ -270,7 +279,7 @@ def _hits_iter_sql(i: int) -> str:
 )
 def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities over the part-supplier bipartite graph
-    ({_HITS_ITERS} unrolled iterations, L1-normalized): parts that source
+    (3 unrolled iterations, _HITS_ITERS, L1-normalized): parts that source
     from many well-connected suppliers are hubs; suppliers serving many
     hub parts are authorities — the supply-chain centrality twin of the
     PageRank query (llm8).
@@ -290,12 +299,12 @@ def hits_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the bpe_apply class) — 26 s at sf0.001 vs ~1 s for this form.
 
     Scale: the edge list is |distinct (part,supplier)| (persisted once —
-    deliberate session-lifetime cache, {2 * _HITS_ITERS + 1} consumers
-    across the unrolled loop); each iteration is two edge-keyed
-    equi-join + aggregate pairs, the textbook Pregel step as DataFrame
-    ops; the two normalization totals are one-row broadcasts at the
-    end. Path counts reach ~degree^{2 * _HITS_ITERS} — DECIMAL(38,0)
-    holds 1e38, far beyond any real degree distribution."""
+    deliberate session-lifetime cache, 7 consumers across the unrolled
+    loop); each iteration is two edge-keyed equi-join + aggregate pairs,
+    the textbook Pregel step as DataFrame ops; the two normalization
+    totals are one-row broadcasts at the end. Path counts reach
+    ~degree^6 — DECIMAL(38,0) holds 1e38, far beyond any real degree
+    distribution."""
     li = _t(spark, sf_dir, "lineitem")
     e = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
@@ -476,7 +485,8 @@ _TAUS = (0.3, 0.7)
 )
 def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source-mixing weights: w_tau(source) =
-    c^tau / sum(c^tau) over per-source token counts, at tau = {_TAUS} —
+    c^tau / sum(c^tau) over per-source token counts, at tau in
+    (0.3, 0.7) (_TAUS) —
     the generalization of sqrt-mixing (mixture_weights_sqrt, tau=0.5)
     used to up-weight low-resource sources when composing a training mix
     (tau<1 flattens, tau=1 is proportional).
@@ -536,7 +546,7 @@ _RES_K = 20
     """,
 )
 def stratified_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-stratum reservoir sample: top-{_RES_K} docs per
+    """Deterministic per-stratum reservoir sample: top-20 (_RES_K) docs per
     language by md5(doc_id) — the distributed equivalent of a seeded
     reservoir (a uniform hash order IS a random permutation, and unlike
     rand() it is reproducible across engines, retries, and partitions;
@@ -544,7 +554,7 @@ def stratified_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shaped).
 
     Scale: one lang-keyed shuffle; the per-stratum rank is a bounded
-    TakeOrdered (k={_RES_K}) once Spark pushes the filter into the sort —
+    TakeOrdered (k=20) once Spark pushes the filter into the sort —
     no full sort of the corpus is retained. Hash keys are uniform, so
     strata skew only as the underlying language mix does."""
     docs = _t(spark, sf_dir, "documents")
@@ -745,8 +755,8 @@ _PACK_CAP = 512
 
 @_candidate("pack_best_fit_decreasing", oracle=None)
 def pack_best_fit_decreasing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Best-fit-decreasing bin packing of documents into {_PACK_CAP}-token
-    training sequences, per source shard: sort docs by (n_tokens DESC,
+    """Best-fit-decreasing bin packing of documents into 512-token
+    (_PACK_CAP) training sequences, per source shard: sort docs by (n_tokens DESC,
     doc_id), place each into the FULLEST bin that still fits (ties ->
     lowest bin id), open a new bin otherwise; an oversize doc gets a
     singleton bin. BFD wastes provably <= 11/9 OPT + 4 bins vs greedy
@@ -803,7 +813,7 @@ _ZCA_EPS = 1e-6
 
 @_candidate("zca_whitening_matrix", oracle=None)
 def zca_whitening_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ZCA whitening matrix W = U diag(1/sqrt(lambda + {_ZCA_EPS})) U^T of
+    """ZCA whitening matrix W = U diag(1/sqrt(lambda + 1e-6)) U^T (_ZCA_EPS) of
     the embedding covariance — the rotation-preserving whitening used to
     decorrelate embedding spaces before cosine retrieval (the portable
     diagonal half lives in embedding_dim_standardize; the full rotation

@@ -459,7 +459,12 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
     before counting (Arrow batch order is partition-order-dependent —
     the winner must not change when the source is split differently);
     ACROSS epochs, earlier epochs win by construction (streaming arrival
-    order is the semantic, as in the token bucket).
+    order is the semantic, as in the token bucket). A NULL user_id still
+    COUNTS as an arrival (the audit contract is exact) under the sentinel
+    -1 — the same "no uid" sentinel the empty state uses — and sorts
+    FIRST, matching the repo's pinned NULLS FIRST window ordering
+    (pandas surfaces NULL as NaN; int(NaN) would otherwise crash the
+    whole query, ADVICE r9).
     """
 
     def update_audit(key, pdfs, state):
@@ -468,7 +473,10 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
         (event_id,) = key
         rows = {"event_id": [], "first_user_id": [], "n_seen": [], "is_first": []}
         n_seen, first_uid = state.get if state.exists else (0, -1)
-        uids = sorted(int(u) for pdf in pdfs for u in pdf["user_id"])
+        uids = sorted(
+            -1 if pd.isna(u) else int(u)
+            for pdf in pdfs for u in pdf["user_id"]
+        )
         for uid in uids:
             n_seen += 1
             if n_seen == 1:

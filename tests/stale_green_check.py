@@ -86,12 +86,36 @@ def verified_states() -> dict[int, str]:
             # --next-window (VERDICT r8 "what's wrong" #1). A dirty tree
             # keeps the conservative fallback: we can't prove the edits
             # postdate the driver run.
+            #
+            # A clean tree alone is NOT proof either (ADVICE r9): commits
+            # can land AFTER the driver run while the verdicts file stays
+            # untracked, and mapping those verdicts to the NEWER head
+            # would silently mask genuinely stale-green entries. HEAD is
+            # the driver's base only if nothing was committed after the
+            # verdicts file was written: require HEAD's committer time
+            # <= the file's mtime, else stay unresolved (conservative —
+            # stale_green() then flags that round's names with a warning;
+            # committing the verdicts file pins its base permanently).
             tracked = _git("ls-files", "--",
                            os.path.basename(path)).strip() != ""
             clean = _git("status", "--porcelain",
                          "--untracked-files=no").strip() == ""
             if not tracked and clean:
-                out[rnd] = _git("rev-parse", "HEAD").strip()
+                try:
+                    mtime = os.path.getmtime(path)
+                except OSError:
+                    mtime = None
+                head_time = int(
+                    _git("show", "-s", "--format=%ct", "HEAD").strip())
+                if mtime is not None and head_time <= mtime:
+                    out[rnd] = _git("rev-parse", "HEAD").strip()
+                else:
+                    print(
+                        f"warning: CORRECTNESS_r{rnd:02d} is untracked and "
+                        "HEAD postdates it — cannot resolve the driver-run "
+                        "base; commit the verdicts file to pin it",
+                        file=sys.stderr,
+                    )
             continue
         parts = line.splitlines()[0].split()
         if len(parts) >= 2:  # parts[1] = first parent

@@ -131,7 +131,10 @@ def test_untracked_current_round_verdicts_map_to_head(monkeypatch):
     CORRECTNESS_r{N}.json (file untracked, no adding-commit yet) and no
     TRACKED file is modified, round N's verdicts were issued against
     HEAD — verified_states must map them there, not fall through to the
-    unresolvable-base stale fallback that flagged the whole fresh window."""
+    unresolvable-base stale fallback that flagged the whole fresh window.
+
+    The mapping additionally requires HEAD to PREDATE the verdicts file
+    (ADVICE r9): here HEAD was committed before the file was written."""
     import os
 
     import stale_green_check as sgc
@@ -145,6 +148,8 @@ def test_untracked_current_round_verdicts_map_to_head(monkeypatch):
             return ""  # untracked
         if args[0] == "status":
             return ""  # no tracked modifications
+        if args[0] == "show":
+            return "1000\n"  # HEAD committed at t=1000 ...
         if args[0] == "rev-parse":
             return head + "\n"
         raise AssertionError(f"unexpected git call: {args}")
@@ -154,7 +159,43 @@ def test_untracked_current_round_verdicts_map_to_head(monkeypatch):
         sgc.glob, "glob",
         lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
     )
+    monkeypatch.setattr(
+        sgc.os.path, "getmtime", lambda p: 2000.0  # ... file written after
+    )
     assert sgc.verified_states() == {99: head}
+
+
+def test_untracked_correctness_with_newer_commits_stays_unresolved(
+        monkeypatch, capsys):
+    """ADVICE r9: commits landing AFTER the driver run while the verdicts
+    file stays untracked must NOT map the verdicts to the newer HEAD —
+    that would silently mask genuinely stale-green entries and distort
+    --next-window. HEAD committed at t=3000 > file mtime t=2000 means the
+    base is unresolvable: warn and leave the round unmapped (stale_green
+    then conservatively flags its names)."""
+    import os
+
+    import stale_green_check as sgc
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return ""
+        if args[0] == "ls-files":
+            return ""
+        if args[0] == "status":
+            return ""
+        if args[0] == "show":
+            return "3000\n"  # HEAD postdates the verdicts file
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(
+        sgc.glob, "glob",
+        lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
+    )
+    monkeypatch.setattr(sgc.os.path, "getmtime", lambda p: 2000.0)
+    assert sgc.verified_states() == {}
+    assert "HEAD postdates" in capsys.readouterr().err
 
 
 def test_untracked_correctness_with_dirty_tree_stays_unresolved(monkeypatch):

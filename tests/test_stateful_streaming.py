@@ -567,6 +567,30 @@ def test_dedup_audit_counts_and_first_wins(spark, tmp_path):
     assert sorted(r.event_id for r in rows if r.is_first) == [10, 11, 12]
 
 
+def test_dedup_audit_null_user_id_counts_as_sentinel(spark, tmp_path):
+    """ADVICE r9: a NULL user_id row must not crash the query (pandas
+    surfaces it as NaN; int(NaN) raised ValueError). It still counts in
+    the audit under the -1 sentinel and sorts FIRST within its epoch
+    (the pinned NULLS FIRST ordering), so it can win first-seen."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import dedup_audit_per_key
+
+    t = lambda m: datetime(2024, 1, 4, 7, m)  # noqa: E731
+    e1 = [(10, t(0), 7), (10, t(1), None), (11, t(2), 6)]
+    e2 = [(10, t(3), 3)]
+    rows = _run_dedup_stream(
+        spark, [e1, e2], tmp_path, "dedup_audit_null", dedup_audit_per_key
+    )
+    k10 = sorted((r for r in rows if r.event_id == 10), key=lambda r: r.n_seen)
+    # all three arrivals counted; the NULL (sentinel -1) sorts first in
+    # epoch 1 and wins first-seen, carried by every audit row
+    assert [r.n_seen for r in k10] == [1, 2, 3]
+    assert {r.first_user_id for r in k10} == {-1}
+    assert [r.is_first for r in k10] == [True, False, False]
+    assert [r.first_user_id for r in rows if r.event_id == 11] == [6]
+
+
 def test_dedup_audit_state_survives_query_restart(spark, tmp_path):
     """The audit state (n_seen, first winner) must recover from the
     checkpoint across a query restart — a redelivery arriving after a

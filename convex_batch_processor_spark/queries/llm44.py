@@ -227,19 +227,31 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pi GROUP BY 1),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
     brier AS (
+        -- each exact (38,18) product is re-narrowed to scale 9 BEFORE
+        -- the sum, via EXPLICIT round(x, 9) — round-half-away-from-zero
+        -- in both engines, unlike a bare downscale CAST (Spark HALF_UP,
+        -- DuckDB truncates). The narrowing fixes two 1-ulp drifts the
+        -- old final round(, 9) masked: at scale 18 the per-row
+        -- term1 + term2 needs precision 39, which Spark resolves by
+        -- rounding every row at scale 17 while DuckDB stays exact, and
+        -- the scale-18 sum's unscaled value overflows 2^52, where Java
+        -- (parseDouble) and DuckDB ((double)int / 10^scale) round the
+        -- double conversion differently (exposed by the rule-14 strip)
         SELECT CAST(SUM(
-                   CAST(p AS DECIMAL(12,0))
+                   CAST(round(CAST(p AS DECIMAL(12,0))
                        * (CAST(1 AS DECIMAL(2,0)) - CAST(pi9 AS DECIMAL(12,9)))
-                       * (CAST(1 AS DECIMAL(2,0)) - CAST(pi9 AS DECIMAL(12,9)))
-                 + CAST(c - p AS DECIMAL(12,0))
-                       * CAST(pi9 AS DECIMAL(12,9)) * CAST(pi9 AS DECIMAL(12,9))
+                       * (CAST(1 AS DECIMAL(2,0)) - CAST(pi9 AS DECIMAL(12,9))),
+                        9) AS DECIMAL(24,9))
+                 + CAST(round(CAST(c - p AS DECIMAL(12,0))
+                       * CAST(pi9 AS DECIMAL(12,9)) * CAST(pi9 AS DECIMAL(12,9)),
+                        9) AS DECIMAL(24,9))
                ) AS DOUBLE) AS sq
         FROM pi)
     SELECT tot.n AS n_rows,
-           round(CAST(SUM(CAST(nb AS DECIMAL(12,0))
-                          * CAST(round(abs(avg_conf - frac_pos), 9) AS DECIMAL(12,9)))
-                      AS DOUBLE) / tot.n, 9) AS ece,
-           round(brier.sq / tot.n, 9) AS brier
+           CAST(SUM(CAST(nb AS DECIMAL(12,0))
+                    * CAST(round(abs(avg_conf - frac_pos), 9) AS DECIMAL(12,9)))
+                AS DOUBLE) / tot.n AS ece,
+           brier.sq / tot.n AS brier
     FROM bins CROSS JOIN tot CROSS JOIN brier
     GROUP BY tot.n, brier.sq
     """,
@@ -252,7 +264,9 @@ def calibration_ece_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Brier uses the histogram identity Sum_v [p_v(1-pi)^2 + (c_v-p_v)pi^2]
     with pi pinned at 9 dp, so the squared-error mass is an exact decimal
     sum; ECE weights each bin's 9-dp gap by its exact row count. Both
-    reduce by one double division at the end.
+    reduce by one double division at the end, emitted UNROUNDED (rule 14:
+    rounding an exact-decimal ratio lands on .5e-9 ties the engines break
+    differently; the raw division of deterministic operands is bit-exact).
 
     Scale: identical to calibration_bins — histogram-sized after one
     shuffle."""
@@ -287,10 +301,23 @@ def calibration_ece_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark's precision-loss mode — the narrowed chain peaks at exactly
     # 38 and stays exact (the logloss decimal lesson)
     omp = (one - pid).cast("decimal(12,9)")
+    # each exact (38,18) product re-narrowed to scale 9 BEFORE the sum,
+    # via EXPLICIT F.round(x, 9) — half-away-from-zero in BOTH engines,
+    # unlike a bare downscale cast (Spark HALF_UP, DuckDB truncates).
+    # The narrowing fixes two 1-ulp drifts the old final round(, 9)
+    # masked: at scale 18 the per-row term1 + term2 needs precision 39
+    # (Spark's precision-loss mode rounded every row at scale 17 while
+    # DuckDB stayed exact) and the scale-18 sum's unscaled value
+    # overflows 2^52, where Java (parseDouble) and DuckDB
+    # ((double)int / 10^scale) round the double conversion differently
     brier = pi.agg(
         F.sum(
-            F.col("p").cast("decimal(12,0)") * omp * omp
-            + (F.col("c") - F.col("p")).cast("decimal(12,0)") * pid * pid
+            F.round(
+                F.col("p").cast("decimal(12,0)") * omp * omp, 9
+            ).cast("decimal(24,9)")
+            + F.round(
+                (F.col("c") - F.col("p")).cast("decimal(12,0)") * pid * pid, 9
+            ).cast("decimal(24,9)")
         )
         .cast("double")
         .alias("sq")
@@ -301,12 +328,11 @@ def calibration_ece_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(brier))
         .groupBy(F.col("n"), F.col("sq"))
         .agg(
-            F.round(
+            (
                 F.sum(F.col("nb").cast("decimal(12,0)") * gap).cast("double")
-                / F.col("n"),
-                9,
+                / F.col("n")
             ).alias("ece"),
-            F.round(F.col("sq") / F.col("n"), 9).alias("brier"),
+            (F.col("sq") / F.col("n")).alias("brier"),
         )
         .select(F.col("n").alias("n_rows"), "ece", "brier")
     )

@@ -110,8 +110,8 @@ _MAX_LEN = _BUCKETS[-1]
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n) AS BIGINT) AS real_tokens,
            CAST(SUM(bucket - n) AS BIGINT) AS pad_tokens,
-           round(CAST(SUM(bucket - n) AS BIGINT)
-                 / CAST(COUNT(*) * bucket AS DOUBLE), 9) AS pad_frac
+           CAST(SUM(bucket - n) AS BIGINT)
+                 / CAST(COUNT(*) * bucket AS DOUBLE) AS pad_frac
     FROM b GROUP BY bucket
     """,
 )
@@ -123,7 +123,9 @@ def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket layout before sequence packing (token_pack_* are the cure;
     this is the diagnosis).
 
-    Integer-only until the final mirrored double division.
+    Integer-only until the final mirrored double division — emitted
+    UNROUNDED (rule 14: rounding an exact-integer ratio lands on .5e-9
+    ties the engines break differently; the raw division is bit-exact).
 
     Scale: per-row map + one bounded-key aggregation; the token count
     never leaves the map side."""
@@ -154,10 +156,9 @@ def padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
         "real_tokens",
         "pad_tokens",
-        F.round(
+        (
             F.col("pad_tokens")
-            / (F.col("n_docs") * F.col("bucket")).cast("double"),
-            9,
+            / (F.col("n_docs") * F.col("bucket")).cast("double")
         ).alias("pad_frac"),
     )
 

@@ -98,47 +98,51 @@ from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 
 
-# Round-9 rotation (NOTES.md "Round-9 rotation plan"): the driver verifies
-# the FIRST 50 registry entries; every window since round 8 retires
-# STALE-GREEN verdicts — names whose reachable code changed after their
-# verdict (machine-derived by `tests/stale_green_check.py --next-window`
-# on round-8 post-fix HEAD, re-run and matched exactly at the round-9
-# swap). This window carries the names the r7/r8 fix campaigns changed
-# most: the remaining r2 tier (incl. the q4/q8 ANSI-division fixes), the
-# ADVICE-realigned grouped_map_zscore, the four codec hardenings
-# (audio/image/video decode + gif queued r10), language_id's persist,
-# and bloom_decontamination_prefilter's rework. All 50 pre-flighted this
-# round: adversarial fixture gates (every name appears in a gate's query
-# list; 323 gate tests green) + 50/50 oracle parity at sf0.01. Registry
-# stays frozen at 279 until the stale backlog is under one window
-# (NOTES §"Post-backlog freeze policy"); ~48 names remain for r10.
+# Round-10 rotation (NOTES.md "Round-10 rotation plan"): the driver
+# verifies the FIRST 50 registry entries; every window since round 8
+# retires STALE-GREEN verdicts — names whose reachable code changed
+# after their verdict (machine-derived by
+# `tests/stale_green_check.py --next-window`, re-run and matched exactly
+# at the round-10 swap). This is the FINAL backlog window: 42
+# oracle-backed stale names spanning r5/r6/r7 (the r7/r8 fix-campaign
+# tail — incl. this round's rule-14 round-strips on
+# calibration_ece_brier and padding_waste_buckets) + 8 oldest-verdict
+# freshness pads. The 6 permanent rows-only residents (approx_stats,
+# bpe_merges, bpe_tokenize_stats, minhash_neardup,
+# cosine_neardup_bucketed, lsh_ann_probe) record no hash verdict and are
+# re-covered by their hash-green portable twins instead. All 50
+# pre-flighted at sf0.01 on r9 final HEAD (42/42 + 8/8 PASS) and
+# re-verified at this swap. After this window lands the stale ledger is
+# 0 and the registry freeze lifts (NOTES §"Post-freeze surface plan").
 prioritize([
-    # r2-verdict tier (10), oldest first — stale_green_check order
-    "q2_min_cost_supplier", "q4_priority_with_late_lines",
-    "q6_forecast_revenue", "q8_market_share", "q9_product_type_profit",
-    "scalar_subquery_filter", "sessionize_events",
-    "sql_api_revenue_by_nation", "string_functions",
-    "unpivot_doc_metrics",
-    # r3-verdict tier (8)
-    "corpus_report", "eval_contamination", "grouped_map_zscore",
-    "lm_bigram_quality", "token_pack_chunks", "training_data_pipeline",
-    "training_mix_report", "training_pipeline_v2",
-    # r4-verdict tier (22) — incl. the r8 review-pass fixes
-    "audio_decode_features", "bloom_decontamination_prefilter",
-    "dup_span_coverage", "event_type_transitions", "hll_distinct_by_lang",
-    "image_decode_features", "kmeans_clusters", "language_id",
-    "length_curriculum_buckets", "minhash_portable_neardup",
-    "ngram_novelty_score", "pca_top_component", "product_quantize_pq",
-    "sampled_by_lang", "semantic_dedup_kmeans", "session_window_agg",
-    "text_quality_stats", "token_budget_allocation", "vector_stats",
-    "video_frame_stats", "view_purchase_attribution",
-    "winsorize_event_values",
-    # r5-verdict tier (10) — fills the window
-    "asof_join_next_order", "bootstrap_order_price_means",
-    "cosine_lsh_portable_neardup", "dup_cluster_size_census",
-    "edit_distance_neardup", "event_debounce",
-    "event_sequence_violations", "golden_record_merge",
-    "histogram_median_price", "hll_union_sources",
+    # r5-verdict stale tier (17), oldest first — stale_green_check order
+    "keyset_page_orders", "km_signup_to_purchase",
+    "label_propagation_communities", "lang_confusion_matrix",
+    "longest_active_streak", "neyman_allocation",
+    "ols_trend_daily_revenue", "pagerank_event_graph", "pii_scrub_stats",
+    "price_quantity_correlation", "rag_chunk_overlap",
+    "repeat_purchase_interval", "scd2_user_state", "token_pack_greedy",
+    "token_pmi_pairs", "url_domain_extract",
+    "winnowing_fingerprint_pairs",
+    # r6-verdict stale tier (22)
+    "auc_quantity_returnflag", "best_split_information_gain",
+    "calibration_ece_brier", "dp_noisy_counts_by_type",
+    "gif_decode_features", "gini_by_segment",
+    "histogram_quantile_accuracy", "hll_accuracy_profile",
+    "html_extract_text", "join_size_estimate_cms", "journey_triples_topk",
+    "kmeans_silhouette", "linear_attribution_credit",
+    "logloss_quantity_model", "mojibake_repair_stats",
+    "padding_waste_buckets", "pareto_front_parts",
+    "sorted_neighborhood_pairs", "warc_extract_stats",
+    "web_curation_pipeline", "welch_ttest_priorities",
+    "zlib_ratio_classes",
+    # r7-verdict stale re-pins (3)
+    "asof_join_latest_order", "window_moving_avg",
+    "window_rank_lag_running",
+    # freshness pads (8): oldest-verdict fresh names
+    "bm25_topk", "cdc_chunks", "doc_embedding_join", "lm_trigram_quality",
+    "stratified_sample_systematic", "vocab_top_terms",
+    "ccnet_perplexity_buckets", "cms_heavy_hitters",
 ])
 
 

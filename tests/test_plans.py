@@ -459,18 +459,26 @@ def test_current_window_global_windows_are_bounded(spark, sf_dir):
     """Plan gate over the ENTIRE live driver window (the first 50
     registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
     rotating): no CartesianProduct, and no unpartitioned WindowExec.
-    The round-9 window carries llmops names, so unlike r8's clean slate
-    it has four audited bounded global windows (measured at the swap via
-    global_window_inputs; each runs over a bounded aggregate — doc-level
-    (doc_id, avg_logp) rank, char-length histogram, |langs| rate table,
-    |sources| largest-remainder table) and still zero cartesians."""
+    The round-10 window (the final backlog rotation) has six audited
+    bounded global windows (measured at the swap via
+    global_window_inputs; each runs over a bounded aggregate — KM
+    day-risk tables, |event_type| largest-remainder tables, quantity/
+    price/size histograms collapsed before the window) and still zero
+    cartesians."""
     allowed: dict[str, set[str]] = {
-        "training_pipeline_v2": {"avg_logp", "doc_id", "rn"},
-        "length_curriculum_buckets": {"_cnt", "n_chars"},
-        "sampled_by_lang": {"lang"},
-        "token_budget_allocation": {
-            "base", "leftover", "n_tokens", "rem", "source",
+        "km_signup_to_purchase": {
+            "n_censored", "n_risk", "n_events", "lf", "day",
+            "d_t", "c_t", "_w1", "n0",
         },
+        "neyman_allocation": {
+            "base", "nh", "leftover", "rem", "wi", "event_type",
+        },
+        "auc_quantity_returnflag": {"n", "v", "p"},
+        "best_split_information_gain": {
+            "c", "p", "split_value", "_we1", "_we0",
+        },
+        "histogram_quantile_accuracy": {"c", "cents", "bin"},
+        "pareto_front_parts": {"msize", "cents"},
     }
     allowed_cartesian: set[str] = set()
     names = list(QUERIES)[:50]

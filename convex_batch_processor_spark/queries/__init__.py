@@ -96,6 +96,7 @@ from . import llm68  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm69  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
+from . import llm72  # noqa: E402,F401  (r9-pre-flighted pack, registered late r10 when the freeze lifted; registers at the BACK — fronts the r11 window)
 
 
 # Round-10 rotation (NOTES.md "Round-10 rotation plan"): the driver

@@ -1,15 +1,15 @@
-"""Round-11 pre-flight pack (NOT registered — the registry is frozen at
-279 until the stale-green backlog clears, NOTES §"Post-backlog freeze
-policy" / VERDICT r8 #5).
+"""The round-11 surface pack (REGISTERED late round 10 — the stale-green
+backlog cleared with the r10 rotation, lifting the registry freeze per
+NOTES §"Post-freeze surface plan" / VERDICT r9 #4).
 
 These are the runnable candidates from NOTES §"Post-freeze surface
-plan", built and oracle-paired AHEAD of registration so that when the
-freeze lifts (round 11), registration is a `register()` decorator plus
-an import line — the code, oracles, and parity tests will already have
-shipped green for two rounds. This module is deliberately NOT imported
-by ``queries/__init__.py``; nothing here can reach the driver window or
-add stale-green debt. ``tests/test_r11_preflight.py`` runs every entry
-through the same compare() harness the fixture gates use.
+plan", built and oracle-paired in round 9 AHEAD of registration (two
+rounds of parity/fixture/property/scale green before a driver slot).
+The pack registers at the BACK of the registry — outside the round-10
+driver window — and rotates to the front of the round-11 window.
+``tests/test_r11_preflight.py`` runs every entry through the same
+compare() harness the fixture gates use, at sf0.001, a crafted boundary
+fixture, AND sf0.1 (the rounding-tie tier).
 
 Provenance: these extend the reference's batch-processing surface
 (blocknavi/convex-batch-processor, src/lib.ts — per-key aggregation and
@@ -29,13 +29,16 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..llmops.dedup import tokens_col
+from .registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-# name -> (fn, oracle_sql) — the shape register() consumes in round 11.
+# name -> (fn, oracle_sql) — kept as the pre-flight harness's index
+# (tests/test_r11_preflight.py and tests/scale_check.py parametrize
+# over it); registration happens at the bottom of the module.
 CANDIDATES: dict[str, tuple] = {}
 
 
@@ -963,3 +966,14 @@ def phrase_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("pos").cast("long").alias("first_pos"),
         )
     )
+
+
+# --- registration (freeze lifted late round 10) -------------------------------
+# Every candidate above shipped two rounds of pre-flight green (DuckDB
+# parity at sf0.001 + sf0.01 + sf0.1, crafted boundary fixture,
+# partition-invariance probe, property tests, scale sweep) before this
+# loop ran — the NOTES registration rule: pre-flight BEFORE registering,
+# in the same module.
+for _name, (_fn, _oracle) in CANDIDATES.items():
+    register(_name, _oracle)(_fn)
+del _name, _fn, _oracle

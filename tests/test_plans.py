@@ -497,7 +497,7 @@ def test_current_window_global_windows_are_bounded(spark, sf_dir):
 
 
 def test_full_registry_no_new_cartesians_or_global_windows(spark, sf_dir):
-    """Ratchet over the ENTIRE 279-query registry (rounds 6-7 material
+    """Ratchet over the ENTIRE 291-query registry (rounds 6-7 material
     included, ahead of the rotation): the ONLY CartesianProducts are the
     two histogram x histogram DP queries (bounded ~|bins|^2 by design),
     and the ONLY queries with unpartitioned WindowExecs are the audited
@@ -522,6 +522,9 @@ def test_full_registry_no_new_cartesians_or_global_windows(spark, sf_dir):
         "waterfill_allocation", "voptimal_cost_curve",
         "equiwidth_vs_voptimal", "retrieval_eval_ndcg",
         "join_order_advisor", "ks_wasserstein_drift",
+        # llm72 pack (registered late r10): reverse-cumulative risk set
+        # over the bounded |distinct tenure-days| histogram
+        "tenure_hazard_table",
     }
     for name, spec in QUERIES.items():
         df = spec.fn(spark, sf_dir)

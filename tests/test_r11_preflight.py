@@ -1,11 +1,13 @@
-"""Oracle parity for the round-11 pre-flight pack (queries/llm72.py).
+"""Oracle parity for the llm72 pack (built as the round-11 pre-flight,
+registered late round 10 when the stale backlog cleared and the
+registry freeze lifted).
 
-The registry is frozen at 279 (NOTES §"Post-backlog freeze policy"), so
-these candidates are NOT registered — this file runs each one through
-the SAME compare() harness the driver-window fixture gates use, at
-sf0.001, so that when the freeze lifts the pack has already shipped
-parity-green. A second test pins that the module stays unregistered
-until then.
+This file runs each entry through the SAME compare() harness the
+driver-window fixture gates use, at sf0.001, a crafted boundary
+fixture, AND sf0.1 (the rounding-tie tier) — the pack shipped two
+rounds of this before taking a driver slot. A registration test pins
+that all 12 are registered with their pre-flighted oracles and sit
+OUTSIDE the round-10 driver window.
 """
 
 from __future__ import annotations
@@ -40,13 +42,22 @@ def test_preflight_parity(spark, sf_dir, name):
     assert ok, f"{name}: {detail}"
 
 
-def test_preflight_pack_is_not_registered():
-    """The registry freeze holds: importing llm72 must not grow QUERIES
-    (it would silently displace the pinned driver window)."""
+def test_preflight_pack_is_registered_behind_the_window():
+    """The freeze lifted late r10: all 12 candidates are registered with
+    exactly their pre-flighted (fn, oracle) pairs, BEHIND the round-10
+    driver window (they front the round-11 window instead — displacing
+    the pinned window mid-round would burn its slots)."""
     from convex_batch_processor_spark.queries import QUERIES
 
-    assert len(QUERIES) == 279
-    assert not (set(CANDIDATES) & set(QUERIES))
+    assert len(QUERIES) == 291
+    window = set(list(QUERIES)[:50])
+    for name, (fn, oracle) in CANDIDATES.items():
+        assert name in QUERIES, name
+        assert name not in window, name
+        assert QUERIES[name].fn is fn, name
+        assert QUERIES[name].oracle == oracle, name
+    rows_only = {n for n in CANDIDATES if CANDIDATES[n][1] is None}
+    assert rows_only == _ROWS_ONLY
 
 
 @pytest.fixture(scope="module")

@@ -73,12 +73,18 @@ def _latest_verdicts() -> dict[str, int]:
     return seen
 
 
-def test_registry_frozen_at_279_until_stale_backlog_clears():
-    """VERDICT r7 #4 / r8 #5: the registry stays frozen at 279 until the
-    stale-green backlog is under one window (~50); afterwards growth
-    follows NOTES "Post-backlog freeze policy" and this pin moves with
-    each pre-flighted pack."""
-    assert len(QUERIES) == 279, len(QUERIES)
+def test_registry_is_279_plus_the_llm72_pack():
+    """The freeze (VERDICT r7 #4 / r8 #5) held at 279 through rounds
+    7-10's rotations; it lifted late round 10 when the stale backlog
+    cleared (NOTES "Post-freeze surface plan") and the pre-flighted
+    12-operator llm72 pack registered — at the BACK, outside this
+    round's window. This pin moves only with a pre-flighted pack, one
+    pack per round max."""
+    assert len(QUERIES) == 291, len(QUERIES)
+    # the pack sits entirely OUTSIDE the driver window
+    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
+
+    assert not (set(CANDIDATES) & set(list(QUERIES)[:50]))
 
 
 def test_round10_window_is_the_machine_derived_rotation():

@@ -65,6 +65,10 @@ DEFAULT_QUERIES = [
     "kneser_ney_doc_logprob",      # bigram index + occurrence join-back
     "hits_part_supplier",          # unrolled bipartite iteration
     "rank_gauss_prices",           # per-segment rank window + map-side transform
+    # round-10 additions: the round-12 pre-flight pack's expensive
+    # families (queries/llm73.py) — pinned before registration, as above
+    "top_ngram_char_fraction",     # 3x positional gram explode + gram reduce
+    "substring_dedup_scrub",       # gram index + 8x coverage explode + distinct
 ]
 
 #: second-decade exponent above this fails the sweep
@@ -74,9 +78,15 @@ RUNS = 3
 
 def main() -> None:
     from convex_batch_processor_spark.queries import QUERIES
-    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
+    from convex_batch_processor_spark.queries.llm72 import (
+        CANDIDATES as _C72,
+    )
+    from convex_batch_processor_spark.queries.llm73 import (
+        CANDIDATES as _C73,
+    )
     from convex_batch_processor_spark.session import get_spark
 
+    CANDIDATES = {**_C72, **_C73}
     names = sys.argv[1:] or DEFAULT_QUERIES
     unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]
     if unknown:

@@ -497,3 +497,98 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
         outputMode="append",
         timeoutConf=_GST.NoTimeout,
     )
+
+
+TOPK_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, value double, admitted boolean, "
+    "kth_value double, n_seen long"
+)
+TOPK_STATE_SCHEMA = "values array<double>, ids array<long>, n_seen long"
+
+
+def topk_per_key_stream(
+    stream: DataFrame, k: int = 3, key_col: str = "user_id"
+) -> DataFrame:
+    """Streaming exact top-k maintenance per key (leaderboard): for each
+    arriving (key, event_id, value) row, emit whether it was ADMITTED to
+    the key's current top-k (value strictly above the current kth, or
+    the board not yet full) and the kth value after processing it — the
+    alerting primitive ("new record entered the top 3") that a batch
+    top-k (o2_topk_orders / topk_per_group) cannot express incrementally.
+
+    Exactness: maintaining a k-slot board under inserts is exact — any
+    row in the TRUE final top-k beats everything below the board's kth
+    at its arrival time, so it is always admitted (evictions only drop
+    rows that k better rows have already beaten). State per key is two
+    k-slot arrays + a counter, O(k) — bounded regardless of stream
+    length.
+
+    Determinism: WITHIN an epoch a key's rows are processed in
+    (ts, event_id) order (Arrow batch order is partition-order-dependent;
+    the admitted/kth sequence must not change when the source is split
+    differently); ACROSS epochs, arrival order is the semantic, as in
+    the token bucket. Ties on value: the board prefers the EARLIER
+    arrival (admission requires strictly beating the kth), and board
+    ordering tie-breaks on event_id ascending so eviction order is
+    total. NULL values never admit (comparisons with NULL are False;
+    pandas NaN fails the strict > test) and count only in n_seen.
+    """
+
+    def update_topk(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        vals, ids, n_seen = (
+            state.get if state.exists else ([], [], 0)
+        )
+        # state arrays arrive as numpy/list — normalize to python lists
+        board = sorted(
+            zip((float(v) for v in vals), (int(i) for i in ids)),
+            key=lambda t: (-t[0], t[1]),
+        )
+        rows = {
+            "user_id": [], "event_id": [], "value": [],
+            "admitted": [], "kth_value": [], "n_seen": [],
+        }
+        arrivals = sorted(
+            (
+                (r.ts, int(r.event_id),
+                 None if pd.isna(r.value) else float(r.value))
+                for pdf in pdfs
+                for r in pdf.itertuples(index=False)
+            ),
+        )
+        for _ts, eid, val in arrivals:
+            n_seen += 1
+            admitted = False
+            if val is not None and not math.isnan(val):
+                if len(board) < k:
+                    board.append((val, eid))
+                    admitted = True
+                elif val > board[-1][0]:
+                    board.append((val, eid))
+                    admitted = True
+                if admitted:
+                    board.sort(key=lambda t: (-t[0], t[1]))
+                    del board[k:]
+            kth = board[-1][0] if len(board) == k else None
+            rows["user_id"].append(int(user_id))
+            rows["event_id"].append(eid)
+            rows["value"].append(val)
+            rows["admitted"].append(admitted)
+            rows["kth_value"].append(kth)
+            rows["n_seen"].append(n_seen)
+        state.update(
+            ([v for v, _ in board], [i for _, i in board], n_seen)
+        )
+        yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_topk,
+        outputStructType=TOPK_OUTPUT_SCHEMA,
+        stateStructType=TOPK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -635,3 +635,154 @@ def test_dedup_audit_state_survives_query_restart(spark, tmp_path):
     got = {(r.event_id): (r.n_seen, r.first_user_id, r.is_first) for r in post}
     assert got[10] == (3, 5, False)  # counted against the ORIGINAL; winner stable
     assert got[12] == (1, 1, True)
+
+
+def _run_topk_stream(spark, batches, tmp_path, name, k=3):
+    """Write batches as one parquet file each, stream one per trigger
+    through topk_per_key_stream, return the memory-sink rows."""
+    from convex_batch_processor_spark.streaming.stateful import (
+        topk_per_key_stream,
+    )
+
+    src = tmp_path / f"src_{name}"
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        topk_per_key_stream(stream, k=k)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _replay_board(rows, k):
+    """Reconstruct the final per-key board from the emitted admit log."""
+    boards: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.n_seen)):
+        if r.admitted:
+            b = boards.setdefault(r.user_id, [])
+            b.append((r.value, r.event_id))
+            b.sort(key=lambda t: (-t[0], t[1]))
+            del b[k:]
+    return boards
+
+
+def test_topk_stream_matches_batch_topk(spark, tmp_path):
+    """The final board reconstructed from the admit log equals the batch
+    top-k over all arrivals (exactness of k-slot maintenance), and every
+    arrival row is emitted with its running n_seen."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 5, 9, m)  # noqa: E731
+    e1 = [(1, 10, t(0), 5.0), (1, 11, t(1), 7.0), (1, 12, t(2), 3.0),
+          (2, 20, t(3), 1.0)]
+    e2 = [(1, 13, t(4), 6.0), (1, 14, t(5), 2.0), (1, 15, t(6), 9.0),
+          (2, 21, t(7), 4.0)]
+    rows = _run_topk_stream(spark, [e1, e2], tmp_path, "topk_eq", k=3)
+    assert len(rows) == 8
+    boards = _replay_board(rows, 3)
+    # batch truth: top-3 by (value desc, event_id asc)
+    allrows = e1 + e2
+    for uid in (1, 2):
+        truth = sorted(
+            ((v, eid) for u, eid, _ts, v in allrows if u == uid),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        assert boards[uid] == truth, uid
+    # the value that never reached the board was not admitted
+    by_eid = {r.event_id: r for r in rows}
+    assert by_eid[14].admitted is False  # 2.0 vs board (9,7,6... ) at its time
+    assert by_eid[12].admitted is True   # board not yet full at arrival
+    # kth_value is NULL while the board is underfull
+    assert by_eid[20].kth_value is None
+    assert by_eid[15].kth_value == 6.0   # after 9.0 admits: board 9,7,6
+
+
+def test_topk_stream_split_invariance(spark, tmp_path):
+    """The admitted/kth sequence must not depend on how arrivals split
+    across micro-batches when (ts, event_id) order is respected."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 6, 8, m)  # noqa: E731
+    allrows = [
+        (1, 30 + i, t(i), float(v))
+        for i, v in enumerate([4, 8, 1, 6, 6, 9, 2, 7])
+    ]
+    one = _run_topk_stream(spark, [allrows], tmp_path, "topk_one", k=3)
+    split = _run_topk_stream(
+        spark, [allrows[:3], allrows[3:5], allrows[5:]], tmp_path,
+        "topk_split", k=3,
+    )
+    key = lambda r: (r.event_id, r.admitted, r.kth_value, r.n_seen)  # noqa: E731
+    assert sorted(map(key, one)) == sorted(map(key, split))
+
+
+def test_topk_stream_null_value_counts_but_never_admits(spark, tmp_path):
+    """A NULL value row is observed (n_seen advances) but cannot admit,
+    and must not crash the updater."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 7, 7, m)  # noqa: E731
+    e1 = [(1, 40, t(0), 5.0), (1, 41, t(1), None), (1, 42, t(2), 6.0)]
+    rows = _run_topk_stream(spark, [e1], tmp_path, "topk_null", k=2)
+    by_eid = {r.event_id: r for r in rows}
+    assert by_eid[41].admitted is False and by_eid[41].value is None
+    assert [by_eid[i].n_seen for i in (40, 41, 42)] == [1, 2, 3]
+    assert by_eid[42].kth_value == 5.0  # board (6, 5) after eid 42
+
+
+def test_topk_stream_state_survives_query_restart(spark, tmp_path):
+    """The board recovers from the checkpoint across a restart: a value
+    below the recovered kth is rejected, one above is admitted."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import (
+        topk_per_key_stream,
+    )
+
+    t = lambda m: datetime(2024, 1, 8, 6, m)  # noqa: E731
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    src = tmp_path / "topk_restart_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 50, t(0), 9.0), (1, 51, t(1), 7.0)], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    emitted: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            topk_per_key_stream(stream, k=2)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "topk_restart_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()  # board = (9, 7)
+    spark.createDataFrame(
+        [(1, 52, t(9), 6.0), (1, 53, t(10), 8.0)], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run()  # recovered board rejects 6.0, admits 8.0
+    by_eid = {r.event_id: r for r in emitted}
+    assert by_eid[52].admitted is False
+    assert by_eid[53].admitted is True and by_eid[53].kth_value == 8.0
+    assert by_eid[53].n_seen == 4

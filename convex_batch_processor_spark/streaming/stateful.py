@@ -464,7 +464,11 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
     -1 — the same "no uid" sentinel the empty state uses — and sorts
     FIRST, matching the repo's pinned NULLS FIRST window ordering
     (pandas surfaces NULL as NaN; int(NaN) would otherwise crash the
-    whole query, ADVICE r9).
+    whole query, ADVICE r9). Contract caveat: the sentinel assumes a
+    NON-NEGATIVE user_id domain (the testdata's ids are >= 1) — a
+    legitimate -1 id would alias the sentinel, and negative ids would
+    sort before it; domains with negative ids need a nullable
+    first_user_id column instead.
     """
 
     def update_audit(key, pdfs, state):
@@ -530,16 +534,20 @@ def topk_per_key_stream(
     the token bucket. Ties on value: the board prefers the EARLIER
     arrival (admission requires strictly beating the kth), and board
     ordering tie-breaks on event_id ascending so eviction order is
-    total. NULL values never admit (comparisons with NULL are False;
-    pandas NaN fails the strict > test) and count only in n_seen.
+    total. NULL values never admit (mapped to None before any compare)
+    and count only in n_seen. NULL timestamps sort FIRST (the pinned
+    NULLS FIRST ordering, via a min-timestamp sentinel — a raw tuple
+    sort would leave NaT rows in partition order, silently breaking the
+    split invariance); a NULL key's rows process as their own group and
+    emit a NULL user_id.
     """
 
     def update_topk(key, pdfs, state):
-        import math
-
         import pandas as pd
 
         (user_id,) = key
+        # a NULL key surfaces as None OR NaN depending on the Arrow path
+        uid_out = None if pd.isna(user_id) else int(user_id)
         vals, ids, n_seen = (
             state.get if state.exists else ([], [], 0)
         )
@@ -552,18 +560,25 @@ def topk_per_key_stream(
             "user_id": [], "event_id": [], "value": [],
             "admitted": [], "kth_value": [], "n_seen": [],
         }
-        arrivals = sorted(
-            (
-                (r.ts, int(r.event_id),
-                 None if pd.isna(r.value) else float(r.value))
-                for pdf in pdfs
-                for r in pdf.itertuples(index=False)
-            ),
+        arrivals = [
+            (r.ts, int(r.event_id),
+             None if pd.isna(r.value) else float(r.value))
+            for pdf in pdfs
+            for r in pdf.itertuples(index=False)
+        ]
+        # sort on (ts NULLS FIRST, event_id) ONLY — event_id is unique,
+        # so value never participates (a None value in a tie would
+        # TypeError; a raw NaT compares False both ways and would keep
+        # partition order)
+        arrivals.sort(
+            key=lambda a: (
+                pd.Timestamp.min if pd.isna(a[0]) else a[0], a[1],
+            )
         )
         for _ts, eid, val in arrivals:
             n_seen += 1
             admitted = False
-            if val is not None and not math.isnan(val):
+            if val is not None:
                 if len(board) < k:
                     board.append((val, eid))
                     admitted = True
@@ -574,7 +589,7 @@ def topk_per_key_stream(
                     board.sort(key=lambda t: (-t[0], t[1]))
                     del board[k:]
             kth = board[-1][0] if len(board) == k else None
-            rows["user_id"].append(int(user_id))
+            rows["user_id"].append(uid_out)
             rows["event_id"].append(eid)
             rows["value"].append(val)
             rows["admitted"].append(admitted)

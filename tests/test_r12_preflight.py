@@ -162,9 +162,10 @@ def test_preflight_boundary_values(spark, adv_r12_dir):
     total = sum(r.n_tokens for r in mix.values())
     assert abs(sum(r.share for r in mix.values()) - 1.0) < 1e-12
     assert mix["web"].n_tokens > mix["solo"].n_tokens
-    assert total == sum(
-        (r.n_tokens for r in mix.values())
-    )  # shares over the tokenized corpus only
+    # shares cover the TOKENIZED corpus only: the hand-counted fixture
+    # total (docs 1-9; the NULL-text doc contributes nothing) is
+    # 0+1+3+8+8+11+10+9+2 = 52
+    assert total == 52
 
     fn, _ = CANDIDATES["hashed_linear_quality_score"]
     q = {r.doc_id: r for r in fn(spark, adv_r12_dir).collect()}

@@ -786,3 +786,35 @@ def test_topk_stream_state_survives_query_restart(spark, tmp_path):
     assert by_eid[52].admitted is False
     assert by_eid[53].admitted is True and by_eid[53].kth_value == 8.0
     assert by_eid[53].n_seen == 4
+
+
+def test_topk_stream_null_ts_sorts_first_deterministically(spark, tmp_path):
+    """A NULL-ts arrival must process FIRST within its epoch regardless
+    of partition order (a raw tuple sort leaves NaT in place), and a
+    (ts, event_id)-unique stream with NULL values must never reach a
+    None-vs-float comparison."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 9, 5, m)  # noqa: E731
+    # NULL-ts row carries the highest value: processed first -> it seeds
+    # the board, so the later 4.0 row sees kth after it
+    e1 = [(1, 61, t(1), 4.0), (1, 60, None, 9.0), (1, 62, t(2), None)]
+    rows = _run_topk_stream(spark, [e1], tmp_path, "topk_nullts", k=2)
+    by_eid = {r.event_id: r for r in rows}
+    assert by_eid[60].n_seen == 1  # NULLS FIRST
+    assert by_eid[61].n_seen == 2 and by_eid[61].admitted is True
+    assert by_eid[62].n_seen == 3 and by_eid[62].admitted is False
+    assert by_eid[61].kth_value == 4.0  # board (9, 4) once 61 lands
+
+
+def test_topk_stream_null_key_group_emits_null_user_id(spark, tmp_path):
+    """NULL-key rows form their own group and must not crash int(None);
+    the emitted user_id is NULL."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 10, 4, m)  # noqa: E731
+    e1 = [(None, 70, t(0), 5.0), (1, 71, t(1), 6.0)]
+    rows = _run_topk_stream(spark, [e1], tmp_path, "topk_nullkey", k=2)
+    by_eid = {r.event_id: r for r in rows}
+    assert by_eid[70].user_id is None and by_eid[70].admitted is True
+    assert by_eid[71].user_id == 1

@@ -8,7 +8,8 @@ operators the llm72 pack didn't cover: Gopher-style repetition signals,
 substring-dedup SCRUBBING (spans -> token removal accounting), source-
 mix divergence, a hashed linear quality scorer (the fastText-class
 model-scoring plumbing), packed-sequence attention-waste accounting,
-tokenizer fertility, and an isotonic (PAVA) calibration fit.
+tokenizer fertility, an isotonic (PAVA) calibration fit, and
+deterministic span-corruption mask planning (T5-style denoising).
 
 This module is deliberately NOT imported by ``queries/__init__.py``;
 nothing here can reach the driver window or add stale-green debt.
@@ -615,4 +616,121 @@ def isotonic_calibration_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist.withColumn("_g", F.lit(1))
         .groupBy("_g")
         .applyInPandas(pava, schema=schema)
+    )
+
+
+# --- 8. span-corruption mask planning (T5-style denoising) ---------------------
+
+_MASK_PCT = 15   # target masked-token percentage
+_SPAN_LEN = 3    # mean/target span length (tokens)
+
+
+@_candidate(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL),
+    planned AS (
+        SELECT doc_id, n_tokens,
+               (n_tokens * {_MASK_PCT}) // 100 AS n_target,
+               ((n_tokens * {_MASK_PCT}) // 100 + {_SPAN_LEN - 1})
+                   // {_SPAN_LEN} AS n_spans
+        FROM sized
+        WHERE (n_tokens * {_MASK_PCT}) // 100 >= 1),
+    spans AS (
+        SELECT doc_id, n_tokens, n_spans,
+               CAST(i AS BIGINT) AS span_idx,
+               n_tokens // n_spans AS stratum_len
+        FROM planned, unnest(range(0, n_spans)) AS r(i)),
+    placed AS (
+        SELECT doc_id, n_tokens, span_idx,
+               least({_SPAN_LEN}, stratum_len) AS span_len,
+               span_idx * stratum_len + 1
+                 + (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                                            || CAST(span_idx AS VARCHAR)),
+                                        1, 15) AS BIGINT)
+                    % (stratum_len - least({_SPAN_LEN}, stratum_len) + 1))
+                   AS start_pos
+        FROM spans)
+    SELECT doc_id, n_tokens, span_idx,
+           CAST(start_pos AS BIGINT) AS start_pos,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM placed
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption mask plan (the T5/UL2 denoising
+    pre-processing step): per document, target 15% (_MASK_PCT) of tokens
+    masked in spans of 3 (_SPAN_LEN) — n_spans = ceil(floor(0.15 n)/3)
+    strata of equal length, one span per stratum at an md5-derived
+    offset, so spans NEVER overlap by construction and the plan is
+    reproducible across engines, retries, and partitions (rand() is
+    none of those). Docs too short to mask a single token (n < 7) emit
+    no rows. start_pos is a 1-based token index; a stratum shorter than
+    the span length truncates its span.
+
+    Determinism: exact integer arithmetic end to end — sizes, strata,
+    and offsets (60-bit md5 prefix mod available positions); no floats
+    anywhere.
+
+    Scale: map-side size + a bounded explode (one row per planned span,
+    ~n_tokens/20 per doc) — no shuffle at all until a consumer
+    aggregates; the hash placement is a pure column expression."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    sized = docs.select(
+        "doc_id", F.size(tokens_col("text")).cast("long").alias("n_tokens")
+    )
+    planned = (
+        sized.withColumn(
+            "n_target",
+            ((F.col("n_tokens") * _MASK_PCT) / F.lit(100)).cast("long"),
+        )
+        .filter(F.col("n_target") >= 1)
+        .withColumn(
+            "n_spans",
+            ((F.col("n_target") + F.lit(_SPAN_LEN - 1)) / F.lit(_SPAN_LEN))
+            .cast("long"),
+        )
+    )
+    spans = planned.select(
+        "doc_id",
+        "n_tokens",
+        "n_spans",
+        F.explode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_i"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.col("_i").cast("long").alias("span_idx"),
+        (F.col("n_tokens") / F.col("n_spans")).cast("long").alias("stratum_len"),
+    )
+    span_len = F.least(F.lit(_SPAN_LEN), F.col("stratum_len"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("span_idx").cast("string"),
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    start = (
+        F.col("span_idx") * F.col("stratum_len")
+        + F.lit(1)
+        + (h % (F.col("stratum_len") - span_len + 1))
+    )
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "span_idx",
+        start.cast("long").alias("start_pos"),
+        span_len.cast("long").alias("span_len"),
     )

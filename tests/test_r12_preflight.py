@@ -174,6 +174,28 @@ def test_preflight_boundary_values(spark, adv_r12_dir):
     assert all(0.0 < r.quality_p < 1.0 for r in q.values())
     assert all(-1.0 <= r.mean_w <= 1.0 for r in q.values())
 
+    fn, _ = CANDIDATES["span_corruption_plan"]
+    plan: dict = {}
+    for r in fn(spark, adv_r12_dir).collect():
+        plan.setdefault(r.doc_id, []).append(r)
+    # docs with floor(0.15 n) = 0 (n < 7) emit nothing: 1,2,3,9 absent
+    assert set(plan) == {4, 5, 6, 7, 8}
+    for doc_id, spans in plan.items():
+        spans.sort(key=lambda r: r.span_idx)
+        n = spans[0].n_tokens
+        # span count matches the plan arithmetic
+        assert len(spans) == ((n * 15) // 100 + 2) // 3
+        covered: set = set()
+        for r in spans:
+            # within bounds, 1-based
+            assert 1 <= r.start_pos and r.start_pos + r.span_len - 1 <= n
+            span = set(range(r.start_pos, r.start_pos + r.span_len))
+            assert not (covered & span)  # strata make spans disjoint
+            covered |= span
+    # identical texts yield identical span GEOMETRY only if doc_ids
+    # match — the hash is keyed by doc_id, so docs 4 and 5 may differ
+    assert plan[4][0].span_len == plan[5][0].span_len == 3
+
     fn, _ = CANDIDATES["chunked_attention_waste"]
     caw = fn(spark, adv_r12_dir).collect()
     # a single-doc bin has zero cross-doc pairs; multi-doc bins positive

@@ -8,8 +8,9 @@ operators the llm72 pack didn't cover: Gopher-style repetition signals,
 substring-dedup SCRUBBING (spans -> token removal accounting), source-
 mix divergence, a hashed linear quality scorer (the fastText-class
 model-scoring plumbing), packed-sequence attention-waste accounting,
-tokenizer fertility, an isotonic (PAVA) calibration fit, and
-deterministic span-corruption mask planning (T5-style denoising).
+tokenizer fertility, an isotonic (PAVA) calibration fit, deterministic
+span-corruption mask planning (T5-style denoising), a matryoshka
+embedding energy profile, and corpus bigram conditional entropy.
 
 This module is deliberately NOT imported by ``queries/__init__.py``;
 nothing here can reach the driver window or add stale-green debt.
@@ -733,4 +734,164 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_idx",
         start.cast("long").alias("start_pos"),
         span_len.cast("long").alias("span_len"),
+    )
+
+
+# --- 9. matryoshka embedding energy profile ------------------------------------
+
+_ENERGY_KS = (16, 32, 48)
+
+
+@_candidate(
+    "embedding_energy_profile",
+    oracle=f"""
+    WITH el AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                          * CAST(unnest(embedding) AS DOUBLE), 6)
+                    AS DECIMAL(18,6)) AS sq
+        FROM embeddings WHERE embedding IS NOT NULL),
+    per_dim AS (
+        SELECT dim, SUM(sq) AS ssq FROM el GROUP BY dim),
+    tot AS (SELECT SUM(ssq) AS total FROM per_dim)
+    SELECT CAST(k.k AS INTEGER) AS k,
+           CAST(SUM(p.ssq) AS DOUBLE) AS energy,
+           CAST(tot.total AS DOUBLE) AS total_energy,
+           CAST(SUM(p.ssq) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+               AS energy_ratio
+    FROM (SELECT unnest({list(_ENERGY_KS)}) AS k) k
+    JOIN per_dim p ON p.dim <= k.k
+    CROSS JOIN tot
+    GROUP BY k.k, tot.total
+    """,
+)
+def embedding_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation diagnostic: the fraction of total embedding
+    energy (sum of squared components over the corpus) captured by the
+    first k dims, for k in (16, 32, 48) (_ENERGY_KS) — the measurement
+    that says whether truncated vectors are safe for coarse ANN stages
+    (Kusupati et al., Matryoshka Representation Learning). NULL vectors
+    contribute nothing.
+
+    Determinism: each squared component is leaf-rounded at 6 dp and
+    accumulated in DECIMAL(18,6) (order-independent; the unscaled sum
+    stays far below 2^52, rule 15b, so the double conversion is
+    bit-identical in both engines); the ratio is one raw double division
+    of exact decimals (rule 14 — unrounded). total_energy > 0 whenever
+    any non-NULL vector has a nonzero component; an all-NULL corpus
+    emits no rows (the join has nothing to match).
+
+    Scale: posexplode is map-side; ONE shuffle on the 64-value dim key
+    collapses the corpus to |dims| rows; everything after (the k-table
+    join, the total) is constant-size."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    e = F.col("e").cast("double")
+    el = emb.select(F.posexplode("embedding").alias("pos", "e")).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.round(e * e, 6).cast("decimal(18,6)").alias("sq"),
+    )
+    per_dim = el.groupBy("dim").agg(F.sum("sq").alias("ssq"))
+    tot = F.broadcast(per_dim.agg(F.sum("ssq").alias("total")))
+    ks = F.broadcast(
+        spark.createDataFrame([(k,) for k in _ENERGY_KS], "k int")
+    )
+    return (
+        per_dim.join(ks, per_dim.dim <= ks.k)
+        .crossJoin(tot)
+        .groupBy("k", "total")
+        .agg(F.sum("ssq").alias("energy_dec"))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("energy_dec").cast("double").alias("energy"),
+            F.col("total").cast("double").alias("total_energy"),
+            (
+                F.col("energy_dec").cast("double")
+                / F.col("total").cast("double")
+            ).alias("energy_ratio"),
+        )
+    )
+
+
+# --- 10. corpus bigram conditional entropy --------------------------------------
+
+
+@_candidate(
+    "bigram_conditional_entropy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents WHERE text IS NOT NULL),
+    bg AS (
+        SELECT t[i] AS w1, t[i + 1] AS w2
+        FROM toks, unnest(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2),
+    cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_types FROM cb),
+    terms AS (
+        SELECT n.n, n.n_types,
+               CAST(round((CAST(cb.c AS DOUBLE) / CAST(n.n AS DOUBLE))
+                          * round(ln(CAST(c1.c1 AS DOUBLE)
+                                     / CAST(cb.c AS DOUBLE)), 9), 9)
+                    AS DECIMAL(18,9)) AS term
+        FROM cb JOIN c1 ON c1.w1 = cb.w1 CROSS JOIN n)
+    SELECT n AS n_bigrams, n_types AS n_bigram_types,
+           CAST(SUM(term) AS DOUBLE) AS cond_entropy_nats
+    FROM terms GROUP BY n, n_types
+    """,
+)
+def bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram conditional entropy H(W2|W1) =
+    Sum p(w1,w2) ln(c(w1)/c(w1,w2)) in nats — the sequence-predictability
+    measure (how much a token constrains its successor) that complements
+    vocab_entropy_by_source's unigram diversity; low values flag
+    templated/boilerplate corpora even when the vocabulary looks rich.
+    One corpus-level row: bigram count, type count, entropy.
+
+    Determinism: counts are exact integers; ln is a leaf-rounded
+    transcendental at 9 dp; each term re-rounds at 9 dp (its bits contain
+    the ln's — tie measure-zero) into DECIMAL(18,9) so the global sum is
+    an exact, order-independent fold whose unscaled value (<= ln V x 1e9)
+    sits far below 2^52 (rule 15b).
+
+    Scale: bigram explode (map-side) -> ONE (w1,w2) shuffle for the type
+    table; c1 is an aggregate OF that vocabulary-bounded table; N joins
+    as a one-row broadcast; the term stream is |bigram types|, not
+    corpus occurrences."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(tokens_col("text").alias("t")).filter(F.size("t") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 1),
+        lambda i: F.struct(
+            F.element_at("t", i).alias("w1"),
+            F.element_at("t", i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = toks.select(F.explode(pairs).alias("b")).select("b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = cb.groupBy("w1").agg(F.sum("c").alias("c1"))
+    n = F.broadcast(
+        cb.agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+        )
+    )
+    ln9 = F.round(
+        F.log(F.col("c1").cast("double") / F.col("c").cast("double")), 9
+    )
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n").cast("double")) * ln9, 9
+    ).cast("decimal(18,9)")
+    return (
+        cb.join(c1, "w1")
+        .crossJoin(n)
+        .select("n", "n_types", term.alias("term"))
+        .groupBy("n", "n_types")
+        .agg(F.sum("term").cast("double").alias("cond_entropy_nats"))
+        .select(
+            F.col("n").alias("n_bigrams"),
+            F.col("n_types").alias("n_bigram_types"),
+            "cond_entropy_nats",
+        )
     )

@@ -85,6 +85,13 @@ def adv_r12_dir(tmp_path_factory):
             (8, 'the the the the the the the the the', 'en', 'news', 35),
             (9, 'alpha beta', 'zz', 'solo', 10)
         ) t(doc_id, text, lang, source, n_chars)""")
+    copy("embeddings", """
+        SELECT * FROM (VALUES
+            (CAST(0 AS BIGINT), CAST([0.0, 0.0, 0.0, 0.0] AS FLOAT[]), 1),
+            (1, CAST([1.0, -2.0, 0.5, 0.25] AS FLOAT[]), 1),
+            (2, CAST([3.0, 0.0, -1.5, 2.0] AS FLOAT[]), 2),
+            (3, CAST(NULL AS FLOAT[]), 2)
+        ) t(vec_id, embedding, label)""")
     copy("lineitem", """
         SELECT CAST(ROW_NUMBER() OVER () AS BIGINT) AS l_orderkey,
                CAST(1 AS BIGINT) AS l_partkey,
@@ -195,6 +202,25 @@ def test_preflight_boundary_values(spark, adv_r12_dir):
     # identical texts yield identical span GEOMETRY only if doc_ids
     # match — the hash is keyed by doc_id, so docs 4 and 5 may differ
     assert plan[4][0].span_len == plan[5][0].span_len == 3
+
+    fn, _ = CANDIDATES["embedding_energy_profile"]
+    prof = {r.k: r for r in fn(spark, adv_r12_dir).collect()}
+    # 4-dim vectors: every k in (16,32,48) captures ALL dims -> ratio 1.0
+    # exactly (same decimal sums on both sides of the division); the
+    # NULL vector contributes nothing, the zero vector adds no energy
+    assert set(prof) == {16, 32, 48}
+    for r in prof.values():
+        assert r.energy == r.total_energy and r.energy_ratio == 1.0
+    assert abs(prof[16].total_energy - (5.3125 + 15.25)) < 1e-9
+
+    fn, _ = CANDIDATES["bigram_conditional_entropy"]
+    (ent,) = fn(spark, adv_r12_dir).collect()
+    # doc 8 contributes 8 'the the' bigrams (fully predictable); the
+    # entropy is finite, non-negative, and bounded by ln(n_types)
+    import math
+
+    assert ent.n_bigrams > ent.n_bigram_types
+    assert 0.0 <= ent.cond_entropy_nats <= math.log(ent.n_bigram_types)
 
     fn, _ = CANDIDATES["chunked_attention_waste"]
     caw = fn(spark, adv_r12_dir).collect()

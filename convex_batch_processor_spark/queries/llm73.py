@@ -97,7 +97,10 @@ def top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence_count x gram_char_length, as a fraction of the doc's
     normalized text length (tokens joined by single spaces). High values
     flag boilerplate/repetitive docs the quality filter should drop
-    (Rae et al., Gopher, repetition heuristics). The MAX formulation is
+    (Rae et al., Gopher, repetition heuristics). Generalizes
+    repetition_top_bigram (llm3) from count-of-top-bigram to the
+    character-mass formulation across three gram widths — the form the
+    Gopher thresholds are stated in. The MAX formulation is
     tie-free by construction: equal-coverage grams yield the same value,
     so no "which gram" tiebreak exists to diverge on.
 

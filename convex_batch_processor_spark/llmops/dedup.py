@@ -43,6 +43,61 @@ def shingles_from_tokens(toks, n: int = 3):
     return F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
 
 
+def positional_gram_array(toks, n: int):
+    """ORDERED (non-distinct) word n-gram strings from a TOKEN ARRAY
+    COLUMN — one gram per position, for positional consumers (span
+    islands, coverage scrubbing, phrase positions, repetition counts);
+    :func:`shingles_from_tokens` is the DISTINCT variant for set-style
+    consumers. Same perf contract: pass a materialized column, not an
+    inline split().
+
+    The lambda is a plain 1-ary closure on purpose: F.transform
+    dispatches on the lambda's ARITY, so a binary lambda (e.g. the
+    ``_n=n`` default-arg trick) silently receives (element, array_index)
+    and the index OVERWRITES the bound width — garbage grams, no error
+    (the phrase_tag_spans footgun, NOTES r9). Callers binding loop
+    variables must go through this helper, never copy the transform.
+    """
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    return F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+def positional_gram_index(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+):
+    """(gram stream, duplicated-gram set) for positional substring dedup:
+    ``g`` = (id, pos, gram) for every position of every tokenizable doc
+    with >= n tokens (0-based pos), PERSISTED — by contract it feeds both
+    the document-frequency aggregate and a join-back (deliberate
+    session-lifetime cache, LRU-evictable; the plan is lazy so the
+    unpersist point is the caller's last action); ``dup`` = the grams
+    occurring in >= 2 DISTINCT docs. Shared by the span detector
+    (queries/llm72.substring_dedup_spans) and the scrub accounting
+    (queries/llm73.substring_dedup_scrub) so the two stay one policy by
+    construction.
+
+    Scale: gram explode is map-side; ``dup`` is ONE gram-keyed shuffle;
+    candidate volume is sum-of-positions, never doc x doc."""
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(id_col, tokens_col(text_col).alias("t"))
+        .filter(F.size("t") >= n)
+    )
+    g = toks.select(
+        id_col, F.posexplode(positional_gram_array("t", n)).alias("pos", "gram")
+    ).persist()
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    return g, dup
+
+
 def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                   n: int = 3, out: str = "sh") -> DataFrame:
     """(id, shingle-array) projection with the tokens materialized first

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..llmops.dedup import tokens_col
+from ..llmops.dedup import positional_gram_array, positional_gram_index, tokens_col
 from .registry import register
 
 
@@ -96,25 +96,11 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions, never doc x doc; the islands window partitions by doc_id
     (uniform keys). Spark pos is 0-based vs the oracle's 1-based unnest,
     but the islands key pos - row_number() is translation-invariant."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = docs.select("doc_id", tokens_col("text").alias("t")).filter(
-        F.size("t") >= _SPAN_N
-    )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (_SPAN_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice("t", i, _SPAN_N)),
-    )
-    # Deliberate session-lifetime cache: g feeds BOTH the document-
-    # frequency aggregate and the join-back (the plan is returned lazily,
-    # so the unpersist point is the caller's last action; LRU-evictable —
-    # the dup_span_coverage/ngram_novelty recipe, ADVICE r9)
-    g = toks.select("doc_id", F.posexplode(grams).alias("pos", "gram")).persist()
-    nd = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
+    docs = _t(spark, sf_dir, "documents")
+    # shared gram stream + cross-doc duplicated-gram set (persisted by
+    # the helper's two-consumer contract); llm73's scrub accounting
+    # reads the SAME helper so the two queries stay one policy
+    g, nd = positional_gram_index(docs, _SPAN_N)
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = (
         g.join(nd, "gram")
@@ -931,19 +917,11 @@ def phrase_tag_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             [(p, len(p.split())) for p in _PHRASES], "phrase string, plen int"
         )
     )
-    def grams_of(plen: int):
-        # a plain 1-ary lambda on purpose: F.transform dispatches on the
-        # lambda's ARITY, and a binary lambda (e.g. the `L=plen` default-
-        # arg closure trick) silently receives (element, array_index) —
-        # the index overwrote the bound length and produced garbage grams
-        return F.transform(
-            F.sequence(F.lit(1), F.size("t") - (plen - 1)),
-            lambda i: F.concat_ws(" ", F.slice("t", i, plen)),
-        )
-
     streams = []
     for plen in lengths:
-        grams = grams_of(plen)
+        # the shared helper owns the F.transform lambda-arity footgun
+        # (a binary default-arg lambda silently gets the array index)
+        grams = positional_gram_array("t", plen)
         streams.append(
             toks.filter(F.size("t") >= plen)
             .select(

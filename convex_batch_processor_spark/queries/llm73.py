@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..llmops.dedup import tokens_col
+from ..llmops.dedup import (
+    positional_gram_array,
+    positional_gram_index,
+    tokens_col,
+)
+from .llm72 import _SPAN_N
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -122,19 +127,10 @@ def top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "t",
         F.length(F.array_join("t", " ")).cast("long").alias("total_chars"),
     )
-    def grams_of(n: int):
-        # a plain 1-ary lambda on purpose: F.transform dispatches on the
-        # lambda's ARITY — a binary lambda (the `_n=n` default-arg trick)
-        # silently receives (element, array_index) and the index
-        # OVERWRITES the bound width (the phrase_tag_spans footgun)
-        return F.transform(
-            F.sequence(F.lit(1), F.size("t") - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice("t", i, n)),
-        )
-
     streams = []
     for n in _REP_NS:
-        grams = grams_of(n)
+        # the shared helper owns the F.transform lambda-arity footgun
+        grams = positional_gram_array("t", n)
         streams.append(
             base.filter(F.size("t") >= n).select(
                 "doc_id",
@@ -163,7 +159,9 @@ def top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- 2. substring-dedup scrub accounting --------------------------------------
 
-_SCRUB_N = 8  # gram width: a duplicated gram marks its 8 covered tokens
+# gram width = the span detector's width BY IMPORT, so the scrub always
+# accounts for exactly the policy substring_dedup_spans detects
+_SCRUB_N = _SPAN_N
 
 
 @_candidate(
@@ -214,23 +212,11 @@ def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back to per-doc sizes is doc-keyed."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sized = docs.select("doc_id", tokens_col("text").alias("t")).select(
-        "doc_id", "t", F.size("t").cast("long").alias("n_tokens")
+        "doc_id", F.size("t").cast("long").alias("n_tokens")
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size("t") - (_SCRUB_N - 1)),
-        lambda i: F.concat_ws(" ", F.slice("t", i, _SCRUB_N)),
-    )
-    # Deliberate session-lifetime cache: g feeds the document-frequency
-    # aggregate AND the join-back (ADVICE r9 / the llm72 recipe)
-    g = sized.filter(F.size("t") >= _SCRUB_N).select(
-        "doc_id", F.posexplode(grams).alias("pos", "gram")
-    ).persist()
-    nd = (
-        g.groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
-    )
+    # the SAME shared gram stream + duplicated-gram set the span
+    # detector builds (persisted by the helper's two-consumer contract)
+    g, nd = positional_gram_index(docs, _SCRUB_N)
     covered = (
         g.join(nd, "gram")
         .select(
@@ -323,7 +309,6 @@ def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is deterministic, portable, and needs no sidecar state.
 _W_MOD = 2000001
 _W_OFF = 1000000
-_TWO60 = float(1 << 60)
 
 
 @_candidate(
@@ -528,12 +513,12 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: map-side size/length -> one |langs|-keyed reduce."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    d = docs.select(
+    # materialize the token array once: two inline tokens_col() calls
+    # would run the split+filter twice per row (the shingle perf contract)
+    d = docs.select("lang", tokens_col("text").alias("t")).select(
         "lang",
-        F.size(tokens_col("text")).cast("long").alias("n_tokens"),
-        F.length(F.array_join(tokens_col("text"), " "))
-        .cast("long")
-        .alias("n_chars"),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.length(F.array_join("t", " ")).cast("long").alias("n_chars"),
     )
     g = d.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),

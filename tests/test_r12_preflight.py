@@ -316,3 +316,147 @@ def test_preflight_parity_bench_scale(spark, name):
     fn, oracle = CANDIDATES[name]
     ok, detail = compare(spark, "/root/testdata/sf0.1", name, fn, oracle)
     assert ok, f"{name}: {detail}"
+
+
+# --- property tests (random shapes the fixed testdata never produces) --------
+
+
+def _write_documents(tmpdir, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    con.register("pdf", pdf)
+    con.execute(
+        f"COPY (SELECT CAST(doc_id AS BIGINT) doc_id, text, lang, source, "
+        f"CAST(n_chars AS BIGINT) n_chars FROM pdf) "
+        f"TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def test_scrub_matches_python_reference_property(spark, tmp_path):
+    """Random tiny-vocab corpora (heavy 8-gram collisions): the
+    distributed distinct-covered-position count == a direct python
+    computation of the union of covered token ranges."""
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm73 import (
+        _SCRUB_N,
+        substring_dedup_scrub,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from("ab"), min_size=1, max_size=24),
+            min_size=2, max_size=8,
+        )
+    )
+    def run(texts):
+        counter[0] += 1
+        d = tmp_path / f"scrub{counter[0]}"
+        d.mkdir()
+        toks = [list(t) for t in texts]
+        rows = [(i, " ".join(t), "en", "src") for i, t in enumerate(toks)]
+        _write_documents(d, rows)
+
+        from collections import defaultdict
+
+        owners = defaultdict(set)
+        for i, t in enumerate(toks):
+            for p in range(len(t) - _SCRUB_N + 1):
+                owners[tuple(t[p:p + _SCRUB_N])].add(i)
+        expect = {}
+        for i, t in enumerate(toks):
+            covered: set = set()
+            for p in range(len(t) - _SCRUB_N + 1):
+                if len(owners[tuple(t[p:p + _SCRUB_N])]) >= 2:
+                    covered |= set(range(p, p + _SCRUB_N))
+            expect[i] = (len(t), len(covered), len(t) - len(covered))
+
+        got = {
+            r.doc_id: (r.n_tokens, r.n_removed_tokens, r.n_kept_tokens)
+            for r in substring_dedup_scrub(spark, str(d)).collect()
+        }
+        assert got == expect
+
+    run()
+
+
+def test_pava_matches_python_reference_property(spark, tmp_path):
+    """Random (rate-shuffled) histograms: the distributed PAVA == a pure
+    python PAVA, and the fit is always monotone and mean-preserving."""
+    import duckdb as _duck
+
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm73 import (
+        isotonic_calibration_pava,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=9),   # c per value
+                st.integers(min_value=0, max_value=9),   # p <= c enforced below
+            ),
+            min_size=1, max_size=12,
+        )
+    )
+    def run(hist_shape):
+        counter[0] += 1
+        d = tmp_path / f"pava{counter[0]}"
+        d.mkdir()
+        hist = [(float(v + 1), c, min(p, c)) for v, (c, p) in enumerate(hist_shape)]
+        con = _duck.connect()
+        rows = []
+        k = 0
+        for v, c, p in hist:
+            for j in range(c):
+                k += 1
+                rows.append((k, v, "R" if j < p else "N"))
+        con.execute(
+            "CREATE TABLE t (l_orderkey BIGINT, l_quantity DOUBLE, l_returnflag VARCHAR)"
+        )
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        con.execute(
+            f"COPY (SELECT l_orderkey, CAST(1 AS BIGINT) l_partkey, "
+            f"CAST(1 AS BIGINT) l_suppkey, 1 l_linenumber, l_quantity, "
+            f"l_returnflag FROM t) TO '{d}/lineitem.parquet' (FORMAT PARQUET)"
+        )
+        con.close()
+
+        pools = []
+        for v, c, p in hist:
+            pools.append([v, v, p, c])
+            while (
+                len(pools) >= 2
+                and pools[-2][2] * pools[-1][3] > pools[-1][2] * pools[-2][3]
+            ):
+                a = pools.pop()
+                pools[-1][1] = a[1]
+                pools[-1][2] += a[2]
+                pools[-1][3] += a[3]
+        expect = {}
+        for vs, ve, sp, sc in pools:
+            for v, c, p in hist:
+                if vs <= v <= ve:
+                    expect[v] = (c, p, sp / sc)
+
+        got = {
+            r.v: (r.c, r.p, r.rate_fit)
+            for r in isotonic_calibration_pava(spark, str(d)).collect()
+        }
+        assert got == expect
+        fits = [got[v][2] for v in sorted(got)]
+        assert all(a <= b for a, b in zip(fits, fits[1:]))
+
+    run()

@@ -196,3 +196,98 @@ def streaming_minhash_signatures(
     from ..llmops.dedup import minhash_group_signatures
 
     return minhash_group_signatures(stream, group_cols, text_col, num_perm)
+
+
+QUANTILE_OUTPUT_SCHEMA = (
+    "grp string, n_total long, n_bins long, p50 double, p90 double, p99 double"
+)
+QUANTILE_STATE_SCHEMA = "bin_ids array<long>, counts array<long>"
+
+
+def streaming_quantile_bins(
+    stream: DataFrame,
+    bin_width: float,
+    key_col: str = "grp",
+    value_col: str = "value",
+    quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Streaming quantile estimation per key via a MERGEABLE fixed-width
+    bin histogram — the streaming twin of the batch histogram-quantile
+    queries (histogram_median_price / histogram_quantile_accuracy) and
+    the percentile primitive an exact streaming sort cannot provide with
+    bounded state. Each epoch emits the key's current (p50, p90, p99):
+    the LOWER EDGE of the first bin whose cumulative count reaches
+    ceil(q * n) — deterministic (exact integer bins, the quantile is a
+    bin boundary), mergeable (bins are additive, so micro-batch split
+    and shuffle order cannot change the state), and within one
+    ``bin_width`` of the true value by construction.
+
+    Bounded-state contract: state size is the number of DISTINCT bins a
+    key's values span — the caller picks ``bin_width`` to bound
+    value_range / bin_width (the CMS/HLL sizing discipline); a
+    production variant swaps the fixed grid for KLL/t-digest, same
+    plumbing. NULL values are ignored (a NULL has no bin); emitted
+    quantiles are NULL until the key has data.
+    """
+
+    qs = tuple(quantiles)
+    if len(qs) != 3:
+        # the output schema names exactly three columns (p50/p90/p99);
+        # a different arity would silently misalign them
+        raise ValueError(f"quantiles must have exactly 3 entries, got {qs}")
+
+    def update_bins(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (grp,) = key
+        if state.exists:
+            ids_raw, counts_raw = state.get
+            bins = dict(zip((int(b) for b in ids_raw), (int(c) for c in counts_raw)))
+        else:
+            bins = {}
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                if pd.isna(v):
+                    continue
+                bins[int(math.floor(float(v) / bin_width))] = (
+                    bins.get(int(math.floor(float(v) / bin_width)), 0) + 1
+                )
+        items = sorted(bins.items())
+        n = sum(c for _, c in items)
+        out_q = []
+        for q in qs:
+            target = math.ceil(q * n)
+            cum = 0
+            val = None
+            for b, c in items:
+                cum += c
+                if cum >= target:
+                    val = b * bin_width
+                    break
+            out_q.append(val)
+        state.update(([b for b, _ in items], [c for _, c in items]))
+        yield pd.DataFrame(
+            {
+                "grp": [None if pd.isna(grp) else str(grp)],
+                "n_total": [n],
+                "n_bins": [len(items)],
+                "p50": [out_q[0]],
+                "p90": [out_q[1]],
+                "p99": [out_q[2]],
+            }
+        )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        stream.groupBy(F.col(key_col).alias("grp"))
+        .applyInPandasWithState(
+            update_bins,
+            outputStructType=QUANTILE_OUTPUT_SCHEMA,
+            stateStructType=QUANTILE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

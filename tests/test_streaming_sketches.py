@@ -363,3 +363,136 @@ def test_group_signature_agreement_tracks_overlap(spark):
     agree_ac = sum(x == y for x, y in zip(sigs["a"], sigs["c"]))
     assert agree_ab > agree_ac
     assert agree_ac <= 2
+
+
+def _run_quantile_stream(spark, batches, tmp_path, name, bin_width=1.0):
+    """One parquet file per batch, one micro-batch per trigger."""
+    from convex_batch_processor_spark.streaming.sketches import (
+        streaming_quantile_bins,
+    )
+
+    src = tmp_path / f"src_{name}"
+    schema = "grp string, value double"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_quantile_bins(stream, bin_width=bin_width)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _bin_quantiles(values, bin_width, qs=(0.5, 0.9, 0.99)):
+    """Batch twin: lower edge of the first bin whose cumcount hits
+    ceil(q*n) over the same fixed-width grid."""
+    import math
+
+    bins: dict = {}
+    for v in values:
+        if v is None:
+            continue
+        b = int(math.floor(v / bin_width))
+        bins[b] = bins.get(b, 0) + 1
+    items = sorted(bins.items())
+    n = sum(c for _, c in items)
+    out = []
+    for q in qs:
+        target = math.ceil(q * n)
+        cum = 0
+        val = None
+        for b, c in items:
+            cum += c
+            if cum >= target:
+                val = b * bin_width
+                break
+        out.append(val)
+    return n, len(items), tuple(out)
+
+
+def test_streaming_quantile_bins_equal_batch(spark, tmp_path):
+    """The final epoch's per-key quantiles equal the batch bin-histogram
+    quantiles over all arrivals; NULL values are ignored."""
+    vals_a = [1.2, 3.7, 0.4, 9.9, 2.1, 2.3, 5.5, None]
+    vals_b = [100.0, 101.5]
+    e1 = [("a", v) for v in vals_a[:4]] + [("b", vals_b[0])]
+    e2 = [("a", v) for v in vals_a[4:]] + [("b", vals_b[1])]
+    rows = _run_quantile_stream(spark, [e1, e2], tmp_path, "qb_eq")
+    last = {}
+    for r in rows:  # append stream: the LAST row per key is the newest
+        last[r.grp] = r
+    n, nb, (p50, p90, p99) = _bin_quantiles([v for v in vals_a], 1.0)
+    assert (last["a"].n_total, last["a"].n_bins) == (n, nb)
+    assert (last["a"].p50, last["a"].p90, last["a"].p99) == (p50, p90, p99)
+    n, nb, qs = _bin_quantiles(vals_b, 1.0)
+    assert (last["b"].n_total, last["b"].p99) == (n, qs[2])
+
+
+def test_streaming_quantile_bins_split_invariance(spark, tmp_path):
+    """Bins are additive, so the FINAL state must not depend on how the
+    arrivals split across micro-batches."""
+    vals = [0.1, 0.9, 1.1, 4.4, 4.6, 7.7, 7.8, 7.9, 12.0, 3.3]
+    rows_all = [("k", v) for v in vals]
+    one = _run_quantile_stream(spark, [rows_all], tmp_path, "qb_one")
+    split = _run_quantile_stream(
+        spark, [rows_all[:3], rows_all[3:7], rows_all[7:]], tmp_path, "qb_split"
+    )
+    final_one = max(one, key=lambda r: r.n_total)
+    final_split = max(split, key=lambda r: r.n_total)
+    key = lambda r: (r.n_total, r.n_bins, r.p50, r.p90, r.p99)  # noqa: E731
+    assert key(final_one) == key(final_split)
+
+
+def test_streaming_quantile_bins_state_survives_restart(spark, tmp_path):
+    """The bin histogram recovers from the checkpoint: quantiles after a
+    restart reflect ALL arrivals, not just the new epoch's."""
+    from convex_batch_processor_spark.streaming.sketches import (
+        streaming_quantile_bins,
+    )
+
+    schema = "grp string, value double"
+    src = tmp_path / "qb_restart_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [("k", float(v)) for v in (1, 2, 3, 4, 5, 6, 7, 8)], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+
+    emitted: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            streaming_quantile_bins(stream, bin_width=1.0)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "qb_restart_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    spark.createDataFrame(
+        [("k", float(v)) for v in (9, 10)], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run()
+    final = max(emitted, key=lambda r: r.n_total)
+    n, nb, (p50, p90, p99) = _bin_quantiles(
+        [float(v) for v in range(1, 11)], 1.0
+    )
+    assert (final.n_total, final.n_bins) == (n, nb)
+    assert (final.p50, final.p90, final.p99) == (p50, p90, p99)

@@ -519,6 +519,9 @@ def topk_per_key_stream(
     the board not yet full) and the kth value after processing it — the
     alerting primitive ("new record entered the top 3") that a batch
     top-k (o2_topk_orders / topk_per_group) cannot express incrementally.
+    Sibling: streaming/sketches.spacesaving_topk_per_key tracks the most
+    FREQUENT items (approximate, count-based); this operator tracks the
+    LARGEST values (exact, k-slot).
 
     Exactness: maintaining a k-slot board under inserts is exact — any
     row in the TRUE final top-k beats everything below the board's kth

@@ -311,6 +311,28 @@ _W_MOD = 2000001
 _W_OFF = 1000000
 
 
+def hashed_token_weight(tok_col="tok"):
+    """Exact BIGINT pseudo-weight in [-1e6, 1e6] (read at scale 1e-6)
+    from a token's 60-bit md5 prefix — the deterministic weight table
+    shared by the scorer and its retention report (llm74). The sign of
+    the per-doc SUM is the 0.5-probability decision boundary (sigmoid is
+    monotone), so thresholding needs no float at all."""
+    col = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    return (
+        F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10)
+        .cast("long") % F.lit(_W_MOD)
+        - F.lit(_W_OFF)
+    )
+
+
+def hashed_token_weight_sql(tok_sql: str) -> str:
+    """The DuckDB twin of :func:`hashed_token_weight`."""
+    return (
+        f"(CAST('0x' || substr(md5({tok_sql}), 1, 15) AS BIGINT) "
+        f"% {_W_MOD}) - {_W_OFF}"
+    )
+
+
 @_candidate(
     "hashed_linear_quality_score",
     oracle=f"""
@@ -319,9 +341,7 @@ _W_OFF = 1000000
                                           x -> x <> '')) AS tok
         FROM documents WHERE text IS NOT NULL),
     w AS (
-        SELECT doc_id,
-               (CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % {_W_MOD})
-                   - {_W_OFF} AS wi
+        SELECT doc_id, {hashed_token_weight_sql("tok")} AS wi
         FROM tok),
     s AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -355,11 +375,7 @@ def hashed_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB plan is a single map + reduce."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("tok"))
-    wi = (
-        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10)
-        .cast("long") % F.lit(_W_MOD)
-        - F.lit(_W_OFF)
-    )
+    wi = hashed_token_weight("tok")
     s = tok.select("doc_id", wi.alias("wi")).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("wi").cast("long").alias("w_sum"),

@@ -69,6 +69,9 @@ DEFAULT_QUERIES = [
     # families (queries/llm73.py) — pinned before registration, as above
     "top_ngram_char_fraction",     # 3x positional gram explode + gram reduce
     "substring_dedup_scrub",       # gram index + 8x coverage explode + distinct
+    # the round-13 pack's expensive families (queries/llm74.py)
+    "cross_source_contamination_matrix",  # distinct grams + |sources|^2-fanout join
+    "dedup_impact_report",         # text-keyed window + the shared gram index
 ]
 
 #: second-decade exponent above this fails the sweep
@@ -84,9 +87,12 @@ def main() -> None:
     from convex_batch_processor_spark.queries.llm73 import (
         CANDIDATES as _C73,
     )
+    from convex_batch_processor_spark.queries.llm74 import (
+        CANDIDATES as _C74,
+    )
     from convex_batch_processor_spark.session import get_spark
 
-    CANDIDATES = {**_C72, **_C73}
+    CANDIDATES = {**_C72, **_C73, **_C74}
     names = sys.argv[1:] or DEFAULT_QUERIES
     unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]
     if unknown:

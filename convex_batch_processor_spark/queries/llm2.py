@@ -436,10 +436,19 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0') e USING (gram)
     ),
     per_doc AS (
+        -- TRUNCATE (not round) the per-doc mean to scale 12: avg_logp is
+        -- a bit-identical raw ratio in both engines, and truncating the
+        -- SAME double is the same integer everywhere — whereas round(x,9)
+        -- uses different algorithms (Spark BigDecimal HALF_UP vs DuckDB
+        -- float-multiply) and diverged on an exact .5e-9 tie at sf0.1
+        -- (the rule-14 class, hidden from the round(CAST(SUM grep by the
+        -- helper indirection). The BIGINT forms an exact order-
+        -- independent sum; Spark's long cast truncates, so DuckDB needs
+        -- the explicit trunc() (its bare cast ROUNDS)
         SELECT d.source, d.doc_id,
                len(list_filter(string_split(d.text,' '), x -> x <> '')) AS n_tokens,
                md5(d.text) AS h,
-               round(lm.avg_logp, 9) AS lp9,
+               CAST(trunc(lm.avg_logp * 1e12) AS BIGINT) AS lp12u,
                CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
         FROM documents d
         LEFT JOIN lm ON lm.doc_id = d.doc_id
@@ -450,7 +459,7 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
            CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
-           CAST(SUM(CAST(lp9 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(lp9) AS avg_lm_logp
+           CAST(SUM(lp12u) AS DOUBLE) / (COUNT(lp12u) * 1e12) AS avg_lm_logp
     FROM per_doc
     GROUP BY source
     """,
@@ -462,12 +471,15 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the per-doc table is one pass over documents joined to
     the (vocabulary-bounded) LM scores and the (tiny) contaminated-id
-    set, then ONE aggregation shuffle on source. The LM mean rounds each
-    per-doc score to 9 dp and decimal-accumulates so the per-source mean
-    is order-independent and oracle-exact."""
+    set, then ONE aggregation shuffle on source. The LM mean TRUNCATES
+    each per-doc score to an integer at scale 1e-12 (truncating a
+    bit-identical double yields the same integer in both engines, unlike
+    decimal rounding — see the oracle comment) and integer-accumulates,
+    so the per-source mean is order-independent and oracle-exact."""
     docs = _t(spark, sf_dir, "documents")
     lm = R.bigram_logprob_scores(docs).select(
-        "doc_id", F.round("avg_logp", 9).alias("lp9")
+        "doc_id",
+        (F.col("avg_logp") * F.lit(1e12)).cast("long").alias("lp12u"),
     )
     contam = R.ngram_contamination(
         docs.filter(F.col("source") != "src0"),
@@ -491,8 +503,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
         F.sum("contaminated").alias("n_contaminated"),
         (
-            F.sum(F.col("lp9").cast("decimal(18,9)")).cast("double")
-            / F.count("lp9")
+            F.sum("lp12u").cast("double")
+            / (F.count("lp12u") * F.lit(1e12))
         ).alias("avg_lm_logp"),
     )
 

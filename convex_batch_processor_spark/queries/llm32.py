@@ -146,11 +146,16 @@ def _entropy_sql(n: str, p: str) -> str:
         FROM hist WINDOW wv AS (ORDER BY split_value
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
     ig AS (
+        -- + 0.0 normalizes the SIGN OF ZERO: a gain whose true value is
+        -- within 0.5e-9 of 0 rounds to -0.0 or +0.0 depending on each
+        -- engine's ulp noise, and the comparator hashes them differently
+        -- (fired at sf0.1, split 8.0; IEEE -0.0 + 0.0 = +0.0)
         SELECT split_value, nl, pl,
                round({_entropy_sql('n', 'pp')}
                      - (CAST(nl AS DOUBLE) / n) * {_entropy_sql('nl', 'pl')}
                      - (CAST(n - nl AS DOUBLE) / n)
-                       * {_entropy_sql('(n - nl)', '(pp - pl)')}, 9) AS info_gain
+                       * {_entropy_sql('(n - nl)', '(pp - pl)')}, 9) + 0.0
+                   AS info_gain
         FROM cum WHERE nl < n)
     SELECT split_value, nl AS n_left, pl AS pos_left, info_gain FROM ig
     """,
@@ -210,5 +215,6 @@ def best_split_information_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split_value",
         nl.alias("n_left"),
         pl.alias("pos_left"),
-        F.round(gain, 9).alias("info_gain"),
+        # + 0.0 normalizes the sign of zero (mirrors the oracle comment)
+        (F.round(gain, 9) + F.lit(0.0)).alias("info_gain"),
     )

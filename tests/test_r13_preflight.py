@@ -171,3 +171,80 @@ def test_preflight_parity_bench_scale(spark, name):
     fn, oracle = CANDIDATES[name]
     ok, detail = compare(spark, "/root/testdata/sf0.1", name, fn, oracle)
     assert ok, f"{name}: {detail}"
+
+
+def _write_documents(tmpdir, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    con.register("pdf", pdf)
+    con.execute(
+        f"COPY (SELECT CAST(doc_id AS BIGINT) doc_id, text, lang, source, "
+        f"CAST(n_chars AS BIGINT) n_chars FROM pdf) "
+        f"TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def test_contamination_matrix_matches_python_reference_property(spark, tmp_path):
+    """Random tiny-vocab corpora spread over random sources (heavy 8-gram
+    collisions): the distributed pairwise shared-gram counts and Jaccard
+    equal a direct python set computation."""
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm74 import (
+        CANDIDATES,
+    )
+    from convex_batch_processor_spark.queries.llm72 import _SPAN_N
+
+    fn, _ = CANDIDATES["cross_source_contamination_matrix"]
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(st.sampled_from("ab"), min_size=1, max_size=20),
+                st.sampled_from(["s1", "s2", "s3"]),
+            ),
+            min_size=2, max_size=10,
+        )
+    )
+    def run(docs):
+        counter[0] += 1
+        d = tmp_path / f"cx{counter[0]}"
+        d.mkdir()
+        rows = [
+            (i, " ".join(t), "en", src) for i, (t, src) in enumerate(docs)
+        ]
+        _write_documents(d, rows)
+
+        grams: dict = {}
+        for t, src in docs:
+            toks = list(t)
+            for p in range(len(toks) - _SPAN_N + 1):
+                grams.setdefault(src, set()).add(tuple(toks[p:p + _SPAN_N]))
+        expect = {}
+        srcs = sorted(grams)
+        for i, a in enumerate(srcs):
+            for b in srcs[i + 1:]:
+                shared = grams[a] & grams[b]
+                if shared:
+                    union = len(grams[a] | grams[b])
+                    expect[(a, b)] = (
+                        len(shared), len(grams[a]), len(grams[b]),
+                        len(shared) / union,
+                    )
+
+        got = {
+            (r.source_a, r.source_b): (
+                r.n_shared, r.n_grams_a, r.n_grams_b, r.jaccard,
+            )
+            for r in fn(spark, str(d)).collect()
+        }
+        assert got == expect
+
+    run()

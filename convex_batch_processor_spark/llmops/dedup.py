@@ -51,6 +51,16 @@ def positional_gram_array(toks, n: int):
     consumers. Same perf contract: pass a materialized column, not an
     inline split().
 
+    PRECONDITION: callers must filter ``size(toks) >= n`` first —
+    Spark's sequence(1, size - n + 1) is DESCENDING (not empty) for
+    shorter arrays, and slice(toks, 0, n) then crashes the job
+    ("array indices start at 1"). :func:`shingles_from_tokens` embeds
+    the guard because its callers don't pre-filter; this helper leaves
+    it out so the pushed-down size filter stays a plain scan predicate
+    (a when() wrapper here would re-enter the InferFiltersFromGenerate
+    pathology the exploded_shingles docstring documents). Every current
+    caller filters; :func:`positional_gram_index` does it internally.
+
     The lambda is a plain 1-ary closure on purpose: F.transform
     dispatches on the lambda's ARITY, so a binary lambda (e.g. the
     ``_n=n`` default-arg trick) silently receives (element, array_index)
@@ -96,6 +106,33 @@ def positional_gram_index(
         .select("gram")
     )
     return g, dup
+
+
+def scrub_covered_positions(
+    docs: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """DISTINCT (id, tok_idx) token positions covered by ANY cross-doc
+    duplicated n-gram — the REMOVAL SET of substring scrubbing (a gram
+    at 0-based position p covers tokens p..p+n-1; adjacent duplicated
+    runs closer than the gram width overlap, so the distinct is
+    load-bearing). Built on :func:`positional_gram_index` so the span
+    detector (queries/llm72), the scrub accounting (queries/llm73), and
+    the dedup impact report (queries/llm74) stay ONE policy.
+
+    Scale: the coverage explode is n x the DUPLICATED-position count
+    (duplication-bounded, not corpus-bounded), then one id-keyed
+    distinct."""
+    g, dup = positional_gram_index(docs, n, text_col, id_col)
+    return (
+        g.join(dup, "gram")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("tok_idx"),
+        )
+        .distinct()
+    )
 
 
 def with_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",

@@ -436,19 +436,22 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0') e USING (gram)
     ),
     per_doc AS (
-        -- TRUNCATE (not round) the per-doc mean to scale 12: avg_logp is
+        -- TRUNCATE (not round) the per-doc mean to scale 9: avg_logp is
         -- a bit-identical raw ratio in both engines, and truncating the
         -- SAME double is the same integer everywhere — whereas round(x,9)
         -- uses different algorithms (Spark BigDecimal HALF_UP vs DuckDB
         -- float-multiply) and diverged on an exact .5e-9 tie at sf0.1
         -- (the rule-14 class, hidden from the round(CAST(SUM grep by the
-        -- helper indirection). The BIGINT forms an exact order-
-        -- independent sum; Spark's long cast truncates, so DuckDB needs
-        -- the explicit trunc() (its bare cast ROUNDS)
+        -- helper indirection). Spark's long cast truncates, so DuckDB
+        -- needs the explicit trunc() (its bare cast ROUNDS). The sum
+        -- accumulates in DECIMAL(38,0) — a BIGINT sum would overflow
+        -- near 1e9 docs/source — and stays double-conversion-exact
+        -- while |SUM| < 2^52 (holds far past sf10; rule 15b)
         SELECT d.source, d.doc_id,
                len(list_filter(string_split(d.text,' '), x -> x <> '')) AS n_tokens,
                md5(d.text) AS h,
-               CAST(trunc(lm.avg_logp * 1e12) AS BIGINT) AS lp12u,
+               CAST(CAST(trunc(lm.avg_logp * 1e9) AS BIGINT) AS DECIMAL(38,0))
+                   AS lp9u,
                CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated
         FROM documents d
         LEFT JOIN lm ON lm.doc_id = d.doc_id
@@ -459,7 +462,7 @@ def training_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
            CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dup_docs,
            CAST(SUM(contaminated) AS BIGINT) AS n_contaminated,
-           CAST(SUM(lp12u) AS DOUBLE) / (COUNT(lp12u) * 1e12) AS avg_lm_logp
+           CAST(SUM(lp9u) AS DOUBLE) / (COUNT(lp9u) * 1e9) AS avg_lm_logp
     FROM per_doc
     GROUP BY source
     """,
@@ -472,14 +475,18 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-doc table is one pass over documents joined to
     the (vocabulary-bounded) LM scores and the (tiny) contaminated-id
     set, then ONE aggregation shuffle on source. The LM mean TRUNCATES
-    each per-doc score to an integer at scale 1e-12 (truncating a
+    each per-doc score to an integer at scale 1e-9 (truncating a
     bit-identical double yields the same integer in both engines, unlike
-    decimal rounding — see the oracle comment) and integer-accumulates,
-    so the per-source mean is order-independent and oracle-exact."""
+    decimal rounding — see the oracle comment) and accumulates in
+    DECIMAL(38,0) (BIGINT would overflow near 1e9 docs/source), so the
+    per-source mean is order-independent and oracle-exact."""
     docs = _t(spark, sf_dir, "documents")
     lm = R.bigram_logprob_scores(docs).select(
         "doc_id",
-        (F.col("avg_logp") * F.lit(1e12)).cast("long").alias("lp12u"),
+        (F.col("avg_logp") * F.lit(1e9))
+        .cast("long")
+        .cast("decimal(38,0)")
+        .alias("lp9u"),
     )
     contam = R.ngram_contamination(
         docs.filter(F.col("source") != "src0"),
@@ -503,8 +510,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup_docs"),
         F.sum("contaminated").alias("n_contaminated"),
         (
-            F.sum("lp12u").cast("double")
-            / (F.count("lp12u") * F.lit(1e12))
+            F.sum("lp9u").cast("double")
+            / (F.count("lp9u") * F.lit(1e9))
         ).alias("avg_lm_logp"),
     )
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..llmops.dedup import (
     positional_gram_array,
-    positional_gram_index,
+    scrub_covered_positions,
     tokens_col,
 )
 from .llm72 import _SPAN_N
@@ -163,24 +163,30 @@ def top_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # accounts for exactly the policy substring_dedup_spans detects
 _SCRUB_N = _SPAN_N
 
-
-@_candidate(
-    "substring_dedup_scrub",
-    oracle=f"""
-    WITH toks AS (
+# The toks -> positional grams -> cross-doc duplicates -> DISTINCT
+# covered token positions CTE chain — the DuckDB twin of
+# llmops.dedup.scrub_covered_positions, shared by this oracle and the
+# dedup impact report's (llm74) so the scrub policy is ONE text.
+SCRUB_COVERED_CTES = f"""toks AS (
         SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
         FROM documents WHERE text IS NOT NULL),
-    sized AS (
-        SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
     g AS (
         SELECT doc_id, i AS pos, array_to_string(t[i:i + {_SCRUB_N - 1}], ' ') AS gram
-        FROM sized, unnest(range(1, len(t) - {_SCRUB_N - 2})) AS r(i)
+        FROM toks, unnest(range(1, len(t) - {_SCRUB_N - 2})) AS r(i)
         WHERE len(t) >= {_SCRUB_N}),
     nd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
     covered AS (
         SELECT DISTINCT g.doc_id, c.tok_idx
         FROM g JOIN nd USING (gram)
-        , unnest(range(g.pos, g.pos + {_SCRUB_N})) AS c(tok_idx)),
+        , unnest(range(g.pos, g.pos + {_SCRUB_N})) AS c(tok_idx))"""
+
+
+@_candidate(
+    "substring_dedup_scrub",
+    oracle=f"""
+    WITH {SCRUB_COVERED_CTES},
+    sized AS (
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
     removed AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed
         FROM covered GROUP BY doc_id)
@@ -214,19 +220,9 @@ def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("doc_id", tokens_col("text").alias("t")).select(
         "doc_id", F.size("t").cast("long").alias("n_tokens")
     )
-    # the SAME shared gram stream + duplicated-gram set the span
-    # detector builds (persisted by the helper's two-consumer contract)
-    g, nd = positional_gram_index(docs, _SCRUB_N)
-    covered = (
-        g.join(nd, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SCRUB_N - 1))
-            ).alias("tok_idx"),
-        )
-        .distinct()
-    )
+    # the shared removal set (llmops.dedup.scrub_covered_positions):
+    # one policy with the span detector and the dedup impact report
+    covered = scrub_covered_positions(docs, _SCRUB_N)
     removed = covered.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_removed")
     )
@@ -250,10 +246,16 @@ def substring_dedup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_mix_divergence",
     oracle="""
     WITH c AS (
+        -- HAVING > 0: a source whose docs are all empty/whitespace text
+        -- has share 0 and no defined log-ratio (DuckDB ln(0) ERRORS,
+        -- Spark F.log(0) is NULL — divergent); it carries no mix weight,
+        -- so it emits no row on both sides
         SELECT source,
                CAST(SUM(len(list_filter(string_split(text, ' '),
                                         x -> x <> ''))) AS BIGINT) AS n_tokens
-        FROM documents WHERE text IS NOT NULL GROUP BY source),
+        FROM documents WHERE text IS NOT NULL GROUP BY source
+        HAVING SUM(len(list_filter(string_split(text, ' '),
+                                   x -> x <> ''))) > 0),
     t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
                  CAST(COUNT(*) AS BIGINT) AS k FROM c)
     SELECT source, n_tokens,
@@ -271,8 +273,11 @@ def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     token share p_i, ln(p_i / (1/k)) and the KL contribution
     p_i ln(p_i k) — the mixing diagnostic that says which sources a
     rebalancing (temperature_mix_weights, llm72) would move most.
-    Sources with tokens have p_i > 0, so the log argument is positive by
-    construction; summing kl_term over the rows gives KL(p || uniform).
+    Zero-token sources (all-empty/whitespace text) are EXCLUDED on both
+    sides — share 0 has no log-ratio (DuckDB ln(0) errors, Spark yields
+    NULL), and a source with no tokens carries no mix weight — so every
+    emitted row has p_i > 0; summing kl_term gives KL(p || uniform)
+    over the token-bearing sources.
 
     Determinism: shares are raw exact-integer ratios (rule 14 —
     unrounded); ln is a leaf-rounded transcendental at 9 dp; kl_term
@@ -282,9 +287,10 @@ def source_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one |sources|-keyed shuffle; the total joins back as a
     one-row broadcast; token counting is map-side size(split())."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # zero-token sources excluded on both sides (see the oracle comment)
     c = docs.groupBy("source").agg(
         F.sum(F.size(tokens_col("text"))).cast("long").alias("n_tokens")
-    )
+    ).filter(F.col("n_tokens") > 0)
     t = F.broadcast(
         c.agg(
             F.sum("n_tokens").cast("long").alias("tot"),
@@ -761,8 +767,12 @@ _ENERGY_KS = (16, 32, 48)
     SELECT CAST(k.k AS INTEGER) AS k,
            CAST(SUM(p.ssq) AS DOUBLE) AS energy,
            CAST(tot.total AS DOUBLE) AS total_energy,
-           CAST(SUM(p.ssq) AS DOUBLE) / CAST(tot.total AS DOUBLE)
-               AS energy_ratio
+           -- NULL-guard an all-zero-vector corpus (total = 0) with a
+           -- DIVISION-FREE condition: ANSI Spark throws on 0/0 where
+           -- DuckDB yields NULL
+           CASE WHEN tot.total > 0
+                THEN CAST(SUM(p.ssq) AS DOUBLE) / CAST(tot.total AS DOUBLE)
+                ELSE NULL END AS energy_ratio
     FROM (SELECT unnest({list(_ENERGY_KS)}) AS k) k
     JOIN per_dim p ON p.dim <= k.k
     CROSS JOIN tot
@@ -781,9 +791,10 @@ def embedding_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     accumulated in DECIMAL(18,6) (order-independent; the unscaled sum
     stays far below 2^52, rule 15b, so the double conversion is
     bit-identical in both engines); the ratio is one raw double division
-    of exact decimals (rule 14 — unrounded). total_energy > 0 whenever
-    any non-NULL vector has a nonzero component; an all-NULL corpus
-    emits no rows (the join has nothing to match).
+    of exact decimals (rule 14 — unrounded), NULL-guarded division-free
+    for the all-zero-vector corpus (total = 0: ANSI Spark would throw
+    where DuckDB yields NULL); an all-NULL corpus emits no rows (the
+    join has nothing to match).
 
     Scale: posexplode is map-side; ONE shuffle on the 64-value dim key
     collapses the corpus to |dims| rows; everything after (the k-table
@@ -808,10 +819,12 @@ def embedding_energy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k").cast("int").alias("k"),
             F.col("energy_dec").cast("double").alias("energy"),
             F.col("total").cast("double").alias("total_energy"),
-            (
+            # NULL-guard an all-zero-vector corpus (oracle comment)
+            F.when(
+                F.col("total") > 0,
                 F.col("energy_dec").cast("double")
-                / F.col("total").cast("double")
-            ).alias("energy_ratio"),
+                / F.col("total").cast("double"),
+            ).otherwise(F.lit(None).cast("double")).alias("energy_ratio"),
         )
     )
 

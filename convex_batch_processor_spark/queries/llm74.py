@@ -32,11 +32,15 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..llmops.dedup import (
     positional_gram_array,
-    positional_gram_index,
+    scrub_covered_positions,
     tokens_col,
 )
 from .llm72 import _SPAN_N
-from .llm73 import hashed_token_weight, hashed_token_weight_sql
+from .llm73 import (
+    SCRUB_COVERED_CTES,
+    hashed_token_weight,
+    hashed_token_weight_sql,
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -182,18 +186,9 @@ def cross_source_contamination_matrix(
                          AS rn
               FROM base)
         WHERE rn > 1),
-    toks AS (
-        SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
-        FROM documents WHERE text IS NOT NULL),
-    g AS (
-        SELECT doc_id, i AS pos, array_to_string(t[i:i + {_SPAN_N - 1}], ' ') AS gram
-        FROM toks, unnest(range(1, len(t) - {_SPAN_N - 2})) AS r(i)
-        WHERE len(t) >= {_SPAN_N}),
-    nd AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
-    covered AS (
-        SELECT DISTINCT g.doc_id, c.tok_idx
-        FROM g JOIN nd USING (gram)
-        , unnest(range(g.pos, g.pos + {_SPAN_N})) AS c(tok_idx)),
+    -- the scrub removal set is the SHARED CTE chain (llm73's
+    -- SCRUB_COVERED_CTES) — one policy with substring_dedup_scrub
+    {SCRUB_COVERED_CTES},
     scrub_flag AS (
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
         FROM covered GROUP BY doc_id),
@@ -208,8 +203,13 @@ def cross_source_contamination_matrix(
                CAST(coalesce(SUM(n_tokens), 0) AS BIGINT) AS n_tokens_flagged
         FROM scrub_flag)
     SELECT r.method, r.n_docs_flagged, r.n_tokens_flagged,
-           CAST(r.n_docs_flagged AS DOUBLE) / CAST(c.n_docs AS DOUBLE)
-               AS frac_docs,
+           -- both fractions NULL-guard the empty corpus DIVISION-FREE:
+           -- the report rows always emit (global aggregates), so an
+           -- all-NULL-text corpus reaches this select with n_docs = 0
+           CASE WHEN c.n_docs > 0
+                THEN CAST(r.n_docs_flagged AS DOUBLE)
+                     / CAST(c.n_docs AS DOUBLE)
+                ELSE NULL END AS frac_docs,
            CASE WHEN c.n_tokens > 0
                 THEN CAST(r.n_tokens_flagged AS DOUBLE)
                      / CAST(c.n_tokens AS DOUBLE)
@@ -228,11 +228,11 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy over components, not a per-doc predicate.
 
     Determinism: exact integers; the fractions are raw double divisions
-    of exact integers (rule 14 — unrounded); n_docs >= 1 whenever a
-    report row computes (the corpus CTE always emits one row, and an
-    empty corpus makes frac_docs 0/0 — guarded by the tokenizable-docs
-    filter upstream of both flags; frac_tokens NULL-guards the all-empty
-    corpus division-free).
+    of exact integers (rule 14 — unrounded). The report rows ALWAYS emit
+    (global aggregates emit one row even over an empty input), so an
+    all-NULL-text corpus reaches the division with n_docs = 0 — both
+    fractions NULL-guard it with DIVISION-FREE conditions on both
+    engines (ANSI Spark would otherwise throw where DuckDB yields NULL).
 
     Scale: exact dedup is one text-keyed window (the dedup_exact shape);
     the scrub reuses the shared positional-gram index (one gram-keyed
@@ -270,17 +270,8 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_flagged",
         )
     )
-    g, nd = positional_gram_index(docs, _SPAN_N)
-    covered = (
-        g.join(nd, "gram")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(_SPAN_N - 1))
-            ).alias("tok_idx"),
-        )
-        .distinct()
-    )
+    # the shared removal set — one policy with substring_dedup_scrub
+    covered = scrub_covered_positions(docs, _SPAN_N)
     scrub_flag = (
         covered.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_removed"))
@@ -301,10 +292,12 @@ def dedup_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method",
         "n_docs_flagged",
         "n_tokens_flagged",
-        (
+        # both fractions NULL-guard the empty corpus (oracle comment)
+        F.when(
+            F.col("n_docs") > 0,
             F.col("n_docs_flagged").cast("double")
-            / F.col("n_docs").cast("double")
-        ).alias("frac_docs"),
+            / F.col("n_docs").cast("double"),
+        ).otherwise(F.lit(None).cast("double")).alias("frac_docs"),
         F.when(
             F.col("n_tokens_total") > 0,
             F.col("n_tokens_flagged").cast("double")

@@ -209,7 +209,6 @@ def streaming_quantile_bins(
     bin_width: float,
     key_col: str = "grp",
     value_col: str = "value",
-    quantiles: tuple = (0.5, 0.9, 0.99),
 ) -> DataFrame:
     """Streaming quantile estimation per key via a MERGEABLE fixed-width
     bin histogram — the streaming twin of the batch histogram-quantile
@@ -230,11 +229,10 @@ def streaming_quantile_bins(
     quantiles are NULL until the key has data.
     """
 
-    qs = tuple(quantiles)
-    if len(qs) != 3:
-        # the output schema names exactly three columns (p50/p90/p99);
-        # a different arity would silently misalign them
-        raise ValueError(f"quantiles must have exactly 3 entries, got {qs}")
+    # the quantile set is FIXED because the output schema names the
+    # columns (p50/p90/p99) — a parameter here would silently emit
+    # mislabeled quantiles under those names
+    qs = (0.5, 0.9, 0.99)
 
     def update_bins(key, pdfs, state):
         import math

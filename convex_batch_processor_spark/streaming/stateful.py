@@ -515,8 +515,9 @@ def topk_per_key_stream(
 ) -> DataFrame:
     """Streaming exact top-k maintenance per key (leaderboard): for each
     arriving (key, event_id, value) row, emit whether it was ADMITTED to
-    the key's current top-k (value strictly above the current kth, or
-    the board not yet full) and the kth value after processing it — the
+    the key's current top-k (beats the current kth under the board's
+    (value DESC, event_id ASC) total order, or the board not yet full)
+    and the kth value after processing it — the
     alerting primitive ("new record entered the top 3") that a batch
     top-k (o2_topk_orders / topk_per_group) cannot express incrementally.
     Sibling: streaming/sketches.spacesaving_topk_per_key tracks the most
@@ -534,10 +535,13 @@ def topk_per_key_stream(
     (ts, event_id) order (Arrow batch order is partition-order-dependent;
     the admitted/kth sequence must not change when the source is split
     differently); ACROSS epochs, arrival order is the semantic, as in
-    the token bucket. Ties on value: the board prefers the EARLIER
-    arrival (admission requires strictly beating the kth), and board
-    ordering tie-breaks on event_id ascending so eviction order is
-    total. NULL values never admit (mapped to None before any compare)
+    the token bucket. Ties on value: the board's total order is
+    (value DESC, event_id ASC), and admission compares against the kth
+    under THAT order — a later arrival tying the kth's value admits iff
+    its event_id is smaller, so the final board is exactly the batch
+    top-k under the same order (admission by value alone would reject
+    tied smaller-id rows the batch ordering includes). NULL values
+    never admit (mapped to None before any compare)
     and count only in n_seen. NULL timestamps sort FIRST (the pinned
     NULLS FIRST ordering, via a min-timestamp sentinel — a raw tuple
     sort would leave NaT rows in partition order, silently breaking the
@@ -585,9 +589,13 @@ def topk_per_key_stream(
                 if len(board) < k:
                     board.append((val, eid))
                     admitted = True
-                elif val > board[-1][0]:
-                    board.append((val, eid))
-                    admitted = True
+                else:
+                    kv, ke = board[-1]
+                    # beat the kth under the board's (value DESC,
+                    # event_id ASC) total order — not value alone
+                    if val > kv or (val == kv and eid < ke):
+                        board.append((val, eid))
+                        admitted = True
                 if admitted:
                     board.sort(key=lambda t: (-t[0], t[1]))
                     del board[k:]

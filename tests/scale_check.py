@@ -92,6 +92,12 @@ def main() -> None:
     )
     from convex_batch_processor_spark.session import get_spark
 
+    # a name collision across the hand-maintained packs would make the
+    # dict merge silently sweep the wrong implementation
+    _packs = [set(_C72), set(_C73), set(_C74)]
+    for i, a in enumerate(_packs):
+        for b in _packs[i + 1:]:
+            assert not (a & b), f"duplicate pre-flight names: {a & b}"
     CANDIDATES = {**_C72, **_C73, **_C74}
     names = sys.argv[1:] or DEFAULT_QUERIES
     unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]

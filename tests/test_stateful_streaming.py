@@ -818,3 +818,20 @@ def test_topk_stream_null_key_group_emits_null_user_id(spark, tmp_path):
     by_eid = {r.event_id: r for r in rows}
     assert by_eid[70].user_id is None and by_eid[70].admitted is True
     assert by_eid[71].user_id == 1
+
+
+def test_topk_stream_boundary_tie_admits_smaller_event_id(spark, tmp_path):
+    """A later arrival TYING the kth's value admits iff its event_id is
+    smaller (the board's (value DESC, event_id ASC) total order) — so
+    the final board equals the batch top-k even with ties at the
+    boundary (admission by value alone would wrongly reject it)."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 11, 3, m)  # noqa: E731
+    e1 = [(1, 85, t(0), 7.0), (1, 83, t(1), 7.0), (1, 90, t(2), 7.0)]
+    rows = _run_topk_stream(spark, [e1], tmp_path, "topk_tie", k=1)
+    by_eid = {r.event_id: r for r in rows}
+    assert by_eid[85].admitted is True     # board fills
+    assert by_eid[83].admitted is True     # ties value, smaller id wins
+    assert by_eid[90].admitted is False    # ties value, larger id loses
+    assert _replay_board(rows, 1) == {1: [(7.0, 83)]}  # == batch top-1

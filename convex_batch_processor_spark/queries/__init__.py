@@ -96,54 +96,54 @@ from . import llm68  # noqa: E402,F401  (late-r4, post-window — round-5 rotati
 from . import llm69  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm70  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
 from . import llm71  # noqa: E402,F401  (late-r4, post-window — round-5 rotation material)
-from . import llm72  # noqa: E402,F401  (r9-pre-flighted pack, registered late r10 when the freeze lifted; registers at the BACK — fronts the r11 window)
+from . import llm72  # noqa: E402,F401  (r9-pre-flighted pack, registered late r10 when the freeze lifted; moved to the window front at the r11 swap)
+from . import llm73  # noqa: E402,F401  (r10-pre-flighted pack, registered at the r11 close per the one-pack-per-round cadence; registers at the BACK — fronts the r12 window)
 
 
-# Round-10 rotation (NOTES.md "Round-10 rotation plan"): the driver
-# verifies the FIRST 50 registry entries; every window since round 8
-# retires STALE-GREEN verdicts — names whose reachable code changed
-# after their verdict (machine-derived by
-# `tests/stale_green_check.py --next-window`, re-run and matched exactly
-# at the round-10 swap). This is the FINAL backlog window: 42
-# oracle-backed stale names spanning r5/r6/r7 (the r7/r8 fix-campaign
-# tail — incl. this round's rule-14 round-strips on
-# calibration_ece_brier and padding_waste_buckets) + 8 oldest-verdict
-# freshness pads. The 6 permanent rows-only residents (approx_stats,
-# bpe_merges, bpe_tokenize_stats, minhash_neardup,
-# cosine_neardup_bucketed, lsh_ann_probe) record no hash verdict and are
-# re-covered by their hash-green portable twins instead. All 50
-# pre-flighted at sf0.01 on r9 final HEAD (42/42 + 8/8 PASS) and
-# re-verified at this swap. After this window lands the stale ledger is
-# 0 and the registry freeze lifts (NOTES §"Post-freeze surface plan").
+# Round-11 rotation (NOTES.md "Round-11 rotation plan"): the driver
+# verifies the FIRST 50 registry entries. The r10 window retired the
+# stale backlog (ledger 0), so this window carries the 10 oracle-backed
+# llm72 names registered late r10 (never driver-verified — placed by
+# hand, the r7 backlog precedent: `--next-window` only proposes
+# already-verdicted names), then corpus_report (the ONE deliberate
+# stale requeue: its r9 verdict went stale when the r10 sf0.1-sweep
+# rule-14b fix landed; `--next-window` proposes it first), then 39
+# machine-derived freshness pads (oldest-verdict fresh names —
+# `stale_green_check.py --next-window` re-run at this swap matched the
+# NOTES preview exactly; its 40th pad, supplier_triangles, drops to make
+# room for the requeue). All 50 pre-flighted at sf0.01 on r10 final
+# HEAD (50/50 PASS) and re-verified at this swap after the in-window
+# rule-14 strips (chi2_independence_cells, mixture_weights_sqrt,
+# tfidf_topk_terms, benford_order_prices — rounded exact ratios
+# emitted raw, fix free because the names occupy this window). The
+# llm72 rows-only pair (pack_best_fit_decreasing, zca_whitening_matrix)
+# records no hash verdict by contract and stays outside the window.
 prioritize([
-    # r5-verdict stale tier (17), oldest first — stale_green_check order
-    "keyset_page_orders", "km_signup_to_purchase",
-    "label_propagation_communities", "lang_confusion_matrix",
-    "longest_active_streak", "neyman_allocation",
-    "ols_trend_daily_revenue", "pagerank_event_graph", "pii_scrub_stats",
-    "price_quantity_correlation", "rag_chunk_overlap",
-    "repeat_purchase_interval", "scd2_user_state", "token_pack_greedy",
-    "token_pmi_pairs", "url_domain_extract",
-    "winnowing_fingerprint_pairs",
-    # r6-verdict stale tier (22)
-    "auc_quantity_returnflag", "best_split_information_gain",
-    "calibration_ece_brier", "dp_noisy_counts_by_type",
-    "gif_decode_features", "gini_by_segment",
-    "histogram_quantile_accuracy", "hll_accuracy_profile",
-    "html_extract_text", "join_size_estimate_cms", "journey_triples_topk",
-    "kmeans_silhouette", "linear_attribution_credit",
-    "logloss_quantity_model", "mojibake_repair_stats",
-    "padding_waste_buckets", "pareto_front_parts",
-    "sorted_neighborhood_pairs", "warc_extract_stats",
-    "web_curation_pipeline", "welch_ttest_priorities",
-    "zlib_ratio_classes",
-    # r7-verdict stale re-pins (3)
-    "asof_join_latest_order", "window_moving_avg",
-    "window_rank_lag_running",
-    # freshness pads (8): oldest-verdict fresh names
-    "bm25_topk", "cdc_chunks", "doc_embedding_join", "lm_trigram_quality",
-    "stratified_sample_systematic", "vocab_top_terms",
-    "ccnet_perplexity_buckets", "cms_heavy_hitters",
+    # llm72 pack, oracle-backed (10) — never-verified, front of window
+    "substring_dedup_spans", "kneser_ney_doc_logprob",
+    "hits_part_supplier", "rank_gauss_prices", "temperature_mix_weights",
+    "stratified_reservoir_sample", "keyword_tag_counts",
+    "tenure_hazard_table", "embedding_dim_standardize",
+    "phrase_tag_spans",
+    # the one stale oracle-backed requeue (r10 rule-14b fix)
+    "corpus_report",
+    # freshness pads (39): oldest-verdict fresh names, tool order
+    "dedup_exact", "dedup_prefix_groups", "doc_fingerprints",
+    "dsir_importance_weights", "embedding_neardup_pairs",
+    "embedding_quantize_int8", "funnel_conversion",
+    "gopher_quality_filter", "incremental_dedup_delta", "knn_bruteforce",
+    "lang_source_profile", "mixture_weights_sqrt",
+    "multimodal_payload_stats", "new_vs_returning_users",
+    "ngram_jaccard_pairs", "repetition_top_bigram", "retention_cohorts",
+    "rolling_weekly_active_users", "simhash_portable_neardup",
+    "snapshot_state_diff", "source_cap_sample", "tfidf_topk_terms",
+    "value_histogram", "zipf_vocab_fit", "benford_order_prices",
+    "burst_detection_daily", "catalog_stats_profile",
+    "cdc_apply_changelog", "chi2_independence_cells",
+    "ctr_wilson_bounds", "dataset_split_folds", "dq_constraint_report",
+    "gapfill_daily_counts", "hard_negative_mining",
+    "label_balance_undersample", "mad_outliers", "market_basket_rules",
+    "psi_value_drift", "revenue_pareto_bands",
 ])
 
 

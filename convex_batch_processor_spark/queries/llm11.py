@@ -35,8 +35,8 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs,
            CAST(COUNT(*) AS DOUBLE) / CAST(n.total AS DOUBLE) AS obs_share,
            round(log10(1.0 + 1.0 / digit), 9) AS benford_share,
-           round(CAST(COUNT(*) AS DOUBLE) / CAST(n.total AS DOUBLE)
-                 - round(log10(1.0 + 1.0 / digit), 9), 9) AS excess
+           CAST(COUNT(*) AS DOUBLE) / CAST(n.total AS DOUBLE)
+                 - round(log10(1.0 + 1.0 / digit), 9) AS excess
     FROM c CROSS JOIN n
     GROUP BY digit, n.total
     """,
@@ -50,6 +50,10 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     formatting is engine-identical; stringifying the raw double is not —
     the shortest-repr vs %g formatting trap in NOTES). Shares are single
     exact-int divisions; the Benford reference is leaf-rounded log10.
+    The excess is the RAW difference (rule 14: when the exact-ratio
+    share terminates in decimal, share − 9-dp reference is itself a
+    near-grid decimal whose re-round can tie; the unrounded difference
+    of identical doubles is bit-exact across engines).
 
     Scale: map-side digit extraction + a 9-group rollup; the total is a
     broadcast scalar."""
@@ -73,7 +77,7 @@ def benford_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_obs",
             obs.alias("obs_share"),
             benford.alias("benford_share"),
-            F.round(obs - benford, 9).alias("excess"),
+            (obs - benford).alias("excess"),
         )
     )
 

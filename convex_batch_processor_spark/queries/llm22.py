@@ -132,9 +132,9 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tt AS (SELECT CAST(SUM(o) AS BIGINT) AS t FROM obs)
     SELECT obs.event_type, obs.dow, obs.o,
            CAST(rowt.r * colt.c AS DOUBLE) / CAST(tt.t AS DOUBLE) AS expected,
-           round((CAST(obs.o * tt.t - rowt.r * colt.c AS DOUBLE)
-                  * CAST(obs.o * tt.t - rowt.r * colt.c AS DOUBLE))
-                 / (CAST(tt.t AS DOUBLE) * CAST(rowt.r * colt.c AS DOUBLE)), 9)
+           (CAST(obs.o * tt.t - rowt.r * colt.c AS DOUBLE)
+            * CAST(obs.o * tt.t - rowt.r * colt.c AS DOUBLE))
+               / (CAST(tt.t AS DOUBLE) * CAST(rowt.r * colt.c AS DOUBLE))
                AS chi2_term
     FROM obs JOIN rowt USING (event_type) JOIN colt USING (dow) CROSS JOIN tt
     """,
@@ -147,7 +147,10 @@ def chi2_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The term is computed from the EXACT integer residual O·T - R·C
     (products < 2^53) squared in a single multiply, over T·R·C — a fixed
-    IEEE op sequence, rounded once at 9 dp. Day-of-week origin pinned
+    IEEE op sequence emitted UNROUNDED (rule 14: the quotient of exact
+    integers is an exact rational, and round(,9) of such a value is
+    tie-divergent across engines; the raw double division of identical
+    operands is bit-exact everywhere). Day-of-week origin pinned
     Monday=0 (weekday == isodow-1, the ts_feature_matrix rule).
 
     Scale: one (type, dow) rollup; marginals are bounded broadcasts."""
@@ -170,10 +173,9 @@ def chi2_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("r") * F.col("c")).cast("double") / F.col("t").cast("double")).alias(
                 "expected"
             ),
-            F.round(
+            (
                 (resid * resid)
-                / (F.col("t").cast("double") * (F.col("r") * F.col("c")).cast("double")),
-                9,
+                / (F.col("t").cast("double") * (F.col("r") * F.col("c")).cast("double"))
             ).alias("chi2_term"),
         )
     )

@@ -136,7 +136,7 @@ def repetition_top_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1),
     w AS (SELECT lang, n_docs, round(sqrt(n_docs), 6) AS w_raw FROM c),
     t AS (SELECT CAST(SUM(CAST(w_raw AS DECIMAL(18,6))) AS DOUBLE) AS tot FROM w)
-    SELECT lang, n_docs, w_raw, round(w_raw / t.tot, 9) AS weight FROM w, t
+    SELECT lang, n_docs, w_raw, w_raw / t.tot AS weight FROM w, t
     """,
 )
 def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +145,10 @@ def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-resource slices when composing a training mix. sqrt is IEEE
     correctly-rounded (engine-identical, unlike pow); the normalizer is a
     decimal-accumulated sum of the 6-dp-rounded weights so the total is
-    order-independent."""
+    order-independent. The weight is the RAW division w_raw/tot (rule
+    14: both operands are exact 6-dp decimals, so the quotient is an
+    exact rational and round(,9) of it is tie-divergent across engines;
+    the unrounded division of identical doubles is bit-exact)."""
     docs = _t(spark, sf_dir, "documents")
     c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     w = c.withColumn("w_raw", F.round(F.sqrt(F.col("n_docs")), 6))
@@ -156,7 +159,7 @@ def mixture_weights_sqrt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         "w_raw",
-        F.round(F.col("w_raw") / F.col("tot"), 9).alias("weight"),
+        (F.col("w_raw") / F.col("tot")).alias("weight"),
     )
 
 
@@ -250,10 +253,10 @@ def length_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT doc_id, term, tf, score FROM (
         SELECT tf.doc_id, tf.term, tf.tf,
-               round(tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9), 6) AS score,
+               tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9) AS score,
                row_number() OVER (
                    PARTITION BY tf.doc_id
-                   ORDER BY round(tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9), 6) DESC,
+                   ORDER BY tf.tf * round(ln((n.n_docs + 1.0) / (dft.df + 1.0)), 9) DESC,
                             tf.term ASC
                ) AS rn
         FROM tf JOIN dft USING (term) CROSS JOIN n
@@ -264,7 +267,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 TF-IDF terms per document — keyword extraction / indexing
     primitive. The document-frequency table is vocabulary-bounded and
     broadcast; the only corpus-scale shuffle is the (doc, term) count.
-    ln() rounded to 9 dp at the leaf (the BM25 parity discipline)."""
+    ln() rounded to 9 dp at the leaf (the BM25 parity discipline); the
+    score tf·idf9 is emitted UNROUNDED (rule 14: an integer times a
+    ~9-dp decimal can land exactly on a 6-dp half, and re-rounding that
+    tie diverges across engines — the raw product of identical doubles
+    is bit-exact)."""
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -276,7 +283,7 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         tf.join(F.broadcast(dft), "term")
         .crossJoin(F.broadcast(n))
-        .withColumn("score", F.round(F.col("tf") * idf, 6))
+        .withColumn("score", F.col("tf") * idf)
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()

@@ -370,6 +370,14 @@ def zipf_vocab_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: each ln is leaf-rounded to 9 dp (the engine-parity
     discipline) and the regression moments Σx, Σy, Σxy, Σx² accumulate in
     DECIMAL — exact and order-independent — before one double division.
+    The final round(,6) here is LEAF-ABSORPTION, not a rule-14 tie bomb
+    (measured at the r11 swap: stripping it FAILS parity at sf0.1):
+    DuckDB's DECIMAL(38,18)→DOUBLE cast double-rounds (int128→double,
+    then /1e18) once the unscaled sum exceeds 2^53, while Spark's
+    BigDecimal cast is correctly rounded — the pre-round doubles differ
+    by an ulp, exactly the skew class round() exists to absorb. A 6-dp
+    tie is measure-zero because the operand noise keeps the true value
+    off-grid (unlike an exact-decimal ratio).
     The rank is operators/rank.histogram_rank — exact two-phase ranking
     whose only unpartitioned window runs over the FREQUENCY HISTOGRAM
     (~O(√tokens) rows under Zipf), never the vocabulary itself: at 10⁸+

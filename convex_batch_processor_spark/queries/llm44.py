@@ -268,6 +268,16 @@ def calibration_ece_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding an exact-decimal ratio lands on .5e-9 ties the engines break
     differently; the raw division of deterministic operands is bit-exact).
 
+    Rule-15b headroom bound (holds to ~4.5e6): the brier accumulator
+    sums scale-9 DECIMAL(24,9) terms, so its unscaled value passes 2^52
+    once the squared-error mass sq exceeds ~4.5e6 — roughly sf1
+    lineitem volume — after which the exact-decimal-to-double
+    conversion can differ by an ulp between engines (Java parseDouble
+    vs DuckDB (double)int/10^scale) and the hash gate can fail. To buy
+    headroom at larger corpora, narrow the per-row terms to a coarser
+    scale (6 dp ~= 4.5e9) on BOTH sides in the same window this name
+    occupies.
+
     Scale: identical to calibration_bins — histogram-sized after one
     shuffle."""
     li = _t(spark, sf_dir, "lineitem")

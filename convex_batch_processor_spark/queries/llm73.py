@@ -43,6 +43,7 @@ from ..llmops.dedup import (
     tokens_col,
 )
 from .llm72 import _SPAN_N
+from .registry import register
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -912,3 +913,18 @@ def bigram_conditional_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cond_entropy_nats",
         )
     )
+
+
+# --- registration (round-11 close, per the one-pack-per-round cadence) --------
+# Every candidate above shipped TWO rounds of pre-flight green before
+# this loop ran (built late r10): DuckDB parity at sf0.001 + sf0.01 +
+# sf0.1, the crafted boundary fixture in tests/test_r12_preflight.py,
+# a 200-partition/64KB-split partition-invariance probe at two scales,
+# plan shapes (zero cartesians, zero global windows — the PAVA
+# sequential step runs over the collapsed histogram only), and the
+# scale sweep (worst second-decade alpha 0.836). Registers at the BACK
+# of the registry — outside the round-11 driver window — and fronts
+# the round-12 window per NOTES "Round-12 rotation plan".
+for _name, (_fn, _oracle) in CANDIDATES.items():
+    register(_name, _oracle)(_fn)
+del _name, _fn, _oracle

@@ -122,6 +122,11 @@ def cross_source_contamination_matrix(
         "source",
         F.explode(positional_gram_array("t", _SPAN_N)).alias("gram"),
     ).distinct()
+    # three consumers below (totals + both self-join sides) — without
+    # persist each re-runs the tokenize + gram explode + distinct
+    # (the 4-6x multi-consumer recompute class; session-lifetime cache
+    # per the positional_gram_index / kneser_ney contract)
+    sg = sg.persist()
     totals = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n_grams"))
     a = sg.alias("a")
     b = sg.alias("b")
@@ -508,7 +513,8 @@ _OUT_K = 50
     m AS (
         SELECT dim,
                CAST(SUM(e) AS DOUBLE) AS s,
-               CAST(SUM(CAST(e * e AS DECIMAL(25,12))) AS DOUBLE) AS sq,
+               CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   AS sq,
                CAST(COUNT(*) AS DOUBLE) AS nd
         FROM el GROUP BY dim),
     stats AS (
@@ -542,11 +548,19 @@ def mahalanobis_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims (var = 0) contribute 0 through a guard whose condition divides
     only by n >= 1 (never crashes).
 
-    Determinism: elements leaf-round at 6 dp into exact decimals; mu/var
-    are fixed-shape double expressions of exact decimal sums; each z^2
+    Determinism: elements leaf-round at 6 dp into exact decimals; the
+    per-dim square rounds decimal->decimal to scale 6 BEFORE summing
+    (rule 15b: the scale-6 accumulator keeps the unscaled sum under
+    2^52 to ~4.5e9 of summed e^2 vs ~4.5e3 at scale 12); mu/var are
+    fixed-shape double expressions of exact decimal sums; each z^2
     term re-rounds at 6 dp into DECIMAL(20,6) (variance-contaminated —
-    tie measure-zero) so the per-vector sum is an exact fold; the top-k
-    orders by (m2 DESC, vec_id) — a total order.
+    tie measure-zero) so the per-vector sum is an exact fold. Rule-15b
+    residual: a single z^2 term above ~4.5e9 (a >67000-sigma outlier
+    under a near-zero variance dim) would push the per-vector DECIMAL
+    (20,6) sum past 2^52 in its double cast — document-level screening
+    data doesn't produce that, but a constant-except-one-vector dim
+    could; if that corpus shape matters, coarsen z2 to scale 3 first.
+    The top-k orders by (m2 DESC, vec_id) — a total order.
 
     Scale: posexplode -> ONE shuffle on the 64-value dim key for the
     moments (|dims| rows, broadcast back) -> per-vector reduce ->
@@ -558,7 +572,14 @@ def mahalanobis_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", (F.col("pos") + 1).alias("dim"), e6.alias("e"))
     m = el.groupBy("dim").agg(
         F.sum("e").cast("double").alias("s"),
-        F.sum((F.col("e") * F.col("e")).cast("decimal(25,12)"))
+        # round the exact scale-12 square to scale 6 BEFORE summing
+        # (rule 15b headroom: at scale 12 the unscaled per-dim sum of
+        # e^2 exceeds 2^52 once SUM(e^2) passes ~4.5e3 — a few hundred
+        # thousand vectors; at scale 6 the bound is ~4.5e9. Decimal->
+        # decimal rescale of a nonnegative exact value rounds half-up
+        # identically in both engines — no float tie surface; the
+        # embedding_energy_profile pattern)
+        F.sum(F.round(F.col("e") * F.col("e"), 6).cast("decimal(18,6)"))
         .cast("double")
         .alias("sq"),
         F.count(F.lit(1)).cast("double").alias("nd"),

@@ -546,7 +546,10 @@ def topk_per_key_stream(
     NULLS FIRST ordering, via a min-timestamp sentinel — a raw tuple
     sort would leave NaT rows in partition order, silently breaking the
     split invariance); a NULL key's rows process as their own group and
-    emit a NULL user_id.
+    emit a NULL user_id. A NULL event_id maps to the -1 sentinel (the
+    dedup_audit treatment — pandas surfaces it as NaN and int(NaN)
+    would kill the query): the row still counts and can admit, sorting
+    and tie-breaking as id -1.
     """
 
     def update_topk(key, pdfs, state):
@@ -568,7 +571,12 @@ def topk_per_key_stream(
             "admitted": [], "kth_value": [], "n_seen": [],
         }
         arrivals = [
-            (r.ts, int(r.event_id),
+            # a NULL event_id surfaces as NaN; int(NaN) would crash the
+            # query (the dedup_audit user_id lesson) — map to the same
+            # -1 sentinel: it still counts in n_seen and can admit, and
+            # value ties between two NULL-id rows resolve deterministic-
+            # ally (equal sentinel ids never beat each other)
+            (r.ts, -1 if pd.isna(r.event_id) else int(r.event_id),
              None if pd.isna(r.value) else float(r.value))
             for pdf in pdfs
             for r in pdf.itertuples(index=False)

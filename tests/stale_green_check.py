@@ -66,13 +66,45 @@ def _git(*args: str) -> str:
     ).stdout
 
 
-def verified_states() -> dict[int, str]:
-    """Round number -> commit hash of the code state the driver verified
-    (first parent of the commit that added that round's CORRECTNESS
-    file)."""
+def _sidecar_base(path: str) -> str | None:
+    """Explicitly-recorded driver-run base: a ``CORRECTNESS_r{N}.json.base``
+    file holding one commit hash (VERDICT r10 #4 — lets a round's base be
+    pinned from RECORDED state even while the verdicts file itself stays
+    untracked). Returns the hash iff the file exists and names a real
+    commit; a stale/garbage sidecar is ignored with a warning rather than
+    trusted."""
+    side = path + ".base"
+    if not os.path.exists(side):
+        return None
+    try:
+        with open(side) as f:
+            ref = f.read().strip()
+        return _git("rev-parse", "--verify", f"{ref}^{{commit}}").strip()
+    except (OSError, subprocess.CalledProcessError):
+        print(f"warning: {os.path.basename(side)} does not name a "
+              "resolvable commit — ignoring it", file=sys.stderr)
+        return None
+
+
+def verified_states(strict: bool = False) -> dict[int, str]:
+    """Round number -> commit hash of the code state the driver verified.
+
+    Resolution order, most- to least-recorded:
+      1. a ``CORRECTNESS_r{N}.json.base`` sidecar naming the commit;
+      2. the first parent of the commit that ADDED the verdicts file;
+      3. (non-strict only) the clean-tree + committer-time<=mtime
+         heuristic mapping an untracked current-round file to HEAD.
+    With ``strict=True`` the heuristic tier is DISABLED — every base must
+    come from recorded state (VERDICT r10 #4: rotation derivation must
+    never depend on an mtime); unresolved rounds raise SystemExit with
+    the fix instruction instead of silently degrading the window."""
     out: dict[int, str] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        side = _sidecar_base(path)
+        if side is not None:
+            out[rnd] = side
+            continue
         line = _git("log", "--diff-filter=A", "--format=%H %P", "--",
                     os.path.basename(path)).strip()
         if not line:
@@ -98,6 +130,14 @@ def verified_states() -> dict[int, str]:
             # committing the verdicts file pins its base permanently).
             tracked = _git("ls-files", "--",
                            os.path.basename(path)).strip() != ""
+            if strict and not tracked:
+                raise SystemExit(
+                    f"CORRECTNESS_r{rnd:02d}.json is untracked and has no "
+                    f".base sidecar — commit it (or write "
+                    f"CORRECTNESS_r{rnd:02d}.json.base with the driver-run "
+                    "HEAD) before deriving a rotation; window bases must "
+                    "come from recorded state, not mtime heuristics"
+                )
             clean = _git("status", "--porcelain",
                          "--untracked-files=no").strip() == ""
             if not tracked and clean:
@@ -334,15 +374,16 @@ def _symbol_dump(commit: str, mod: str, sym: str) -> str | None:
 
 # --- the guard ------------------------------------------------------------------
 
-def stale_green() -> list[dict]:
+def stale_green(strict: bool = False) -> list[dict]:
     """Prioritized stale-green records ``{name, round, changed}`` where
     ``changed`` lists 'module.symbol' strings whose code differs between
-    the verdict state and the working tree. Oldest verdict first."""
+    the verdict state and the working tree. Oldest verdict first.
+    ``strict`` forwards to verified_states (recorded bases only)."""
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     from convex_batch_processor_spark.queries import QUERIES
 
-    states = verified_states()
+    states = verified_states(strict=strict)
     verdicts = latest_verdicts()
     reach_cache: dict[tuple[str, str], set[tuple[str, str]]] = {}
     out: list[dict] = []
@@ -385,7 +426,13 @@ def next_window(size: int = 50) -> list[str]:
     against this round's final head), remaining slots go to the oldest
     stale-green names, then — if capacity remains — to the
     oldest-verdict fresh names as freshness refreshes. Only oracle-backed
-    names are proposed (a rows-only slot records no hash verdict)."""
+    names are proposed (a rows-only slot records no hash verdict).
+
+    Derivation is STRICT (VERDICT r10 #4): every verdict round's base
+    must resolve from recorded state (a committed verdicts file or a
+    .base sidecar) — an untracked current-round file aborts with the
+    commit-it instruction rather than deriving a window from an
+    mtime-heuristic base."""
     if _REPO not in sys.path:
         sys.path.insert(0, _REPO)
     from convex_batch_processor_spark.queries import QUERIES
@@ -393,7 +440,7 @@ def next_window(size: int = 50) -> list[str]:
     current = set(list(QUERIES)[:size])
     verdicts = latest_verdicts()
     out: list[str] = []
-    for rec in stale_green():
+    for rec in stale_green(strict=True):
         n = rec["name"]
         if n not in current and QUERIES[n].oracle:
             out.append(n)

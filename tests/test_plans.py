@@ -459,26 +459,15 @@ def test_current_window_global_windows_are_bounded(spark, sf_dir):
     """Plan gate over the ENTIRE live driver window (the first 50
     registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
     rotating): no CartesianProduct, and no unpartitioned WindowExec.
-    The round-10 window (the final backlog rotation) has six audited
-    bounded global windows (measured at the swap via
-    global_window_inputs; each runs over a bounded aggregate — KM
-    day-risk tables, |event_type| largest-remainder tables, quantity/
-    price/size histograms collapsed before the window) and still zero
-    cartesians."""
+    The round-11 window has three audited bounded global windows
+    (measured at the swap via global_window_inputs; each runs over a
+    bounded aggregate — the |distinct tenure-days| hazard histogram,
+    the vocab rank/frequency table, the 2000-cent revenue bands) and
+    zero cartesians."""
     allowed: dict[str, set[str]] = {
-        "km_signup_to_purchase": {
-            "n_censored", "n_risk", "n_events", "lf", "day",
-            "d_t", "c_t", "_w1", "n0",
-        },
-        "neyman_allocation": {
-            "base", "nh", "leftover", "rem", "wi", "event_type",
-        },
-        "auc_quantity_returnflag": {"n", "v", "p"},
-        "best_split_information_gain": {
-            "c", "p", "split_value", "_we1", "_we0",
-        },
-        "histogram_quantile_accuracy": {"c", "cents", "bin"},
-        "pareto_front_parts": {"msize", "cents"},
+        "tenure_hazard_table": {"tenure_d", "n_ending"},
+        "zipf_vocab_fit": {"freq", "_cnt"},
+        "revenue_pareto_bands": {"band", "rev", "n_orders"},
     }
     allowed_cartesian: set[str] = set()
     names = list(QUERIES)[:50]

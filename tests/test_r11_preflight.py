@@ -42,18 +42,22 @@ def test_preflight_parity(spark, sf_dir, name):
     assert ok, f"{name}: {detail}"
 
 
-def test_preflight_pack_is_registered_behind_the_window():
-    """The freeze lifted late r10: all 12 candidates are registered with
-    exactly their pre-flighted (fn, oracle) pairs, BEHIND the round-10
-    driver window (they front the round-11 window instead — displacing
-    the pinned window mid-round would burn its slots)."""
+def test_preflight_pack_fronts_the_round11_window():
+    """Registered late r10 (freeze lift); at the round-11 swap the 10
+    oracle-backed candidates moved to the FRONT of the registry (the
+    driver-verified first-50 window) per NOTES "Round-11 rotation plan".
+    The two rows-only candidates stay OUTSIDE the window — a rows-only
+    slot records no hash verdict and would be wasted. All 12 keep
+    exactly their pre-flighted (fn, oracle) pairs."""
     from convex_batch_processor_spark.queries import QUERIES
 
-    assert len(QUERIES) == 291
     window = set(list(QUERIES)[:50])
     for name, (fn, oracle) in CANDIDATES.items():
         assert name in QUERIES, name
-        assert name not in window, name
+        if oracle is None:
+            assert name not in window, name
+        else:
+            assert name in window, name
         assert QUERIES[name].fn is fn, name
         assert QUERIES[name].oracle == oracle, name
     rows_only = {n for n in CANDIDATES if CANDIDATES[n][1] is None}

@@ -40,14 +40,23 @@ def test_preflight_parity(spark, sf_dir, name):
     assert ok, f"{name}: {detail}"
 
 
-def test_preflight_pack_is_not_registered():
-    """One pack per round: llm72 registered in round 10, so llm73 must
-    not grow QUERIES until the round-11 close (it would displace the
-    pinned driver window)."""
+def test_preflight_pack_is_registered_behind_the_window():
+    """Registered at the ROUND-11 CLOSE (one pack per round: llm72 was
+    round 10's, this is round 11's): all 10 candidates carry exactly
+    their pre-flighted (fn, oracle) pairs, BEHIND the round-11 driver
+    window (they front the round-12 window instead — displacing the
+    pinned window mid-round would burn its slots)."""
     from convex_batch_processor_spark.queries import QUERIES
 
-    assert len(QUERIES) == 291
-    assert not (set(CANDIDATES) & set(QUERIES))
+    assert len(QUERIES) == 301
+    window = set(list(QUERIES)[:50])
+    for name, (fn, oracle) in CANDIDATES.items():
+        assert name in QUERIES, name
+        assert name not in window, name
+        assert QUERIES[name].fn is fn, name
+        assert QUERIES[name].oracle == oracle, name
+    rows_only = {n for n in CANDIDATES if CANDIDATES[n][1] is None}
+    assert rows_only == _ROWS_ONLY
 
 
 @pytest.fixture(scope="module")

@@ -1,18 +1,15 @@
-"""Round-10 driver-window contract (NOTES "Round-10 rotation plan").
+"""Round-11 driver-window contract (NOTES "Round-11 rotation plan").
 
-The driver verifies the FIRST 50 registry entries per round; round 7
-closed the never-verified backlog (every registered name carries a
-driver verdict), so round-8+ windows retire STALE-GREEN verdicts —
-names whose reachable code changed after their verdict, machine-derived
-by ``tests/stale_green_check.py --next-window``. The round-10 window is
-the FINAL backlog window: the 42 remaining oracle-backed stale names
-(r5/r6/r7 verdicts invalidated by the r7/r8 fix campaigns, plus this
-round's rule-14 round-strips) + 8 oldest-verdict freshness pads. After
-its verdicts land the stale ledger is 0 — the 6 permanent rows-only
-residents record no hash verdict by contract and are re-covered by
-their hash-green portable twins. These tests pin that state so an
-accidental import reorder or registry growth fails loudly BEFORE the
-driver runs — no Spark session needed.
+The driver verifies the FIRST 50 registry entries per round. Round 10
+retired the stale backlog (ledger 0) and lifted the registry freeze,
+registering the pre-flighted llm72 pack at the BACK. The round-11
+window therefore carries the 10 oracle-backed llm72 names (the only
+never-verified backlog — placed by hand, since ``--next-window`` only
+proposes already-verdicted names), the ONE deliberate stale requeue
+(corpus_report, whose r9 verdict went stale when the r10 sf0.1-sweep
+rule-14b fix landed), and 39 machine-derived freshness pads. These
+tests pin that state so an accidental import reorder or registry growth
+fails loudly BEFORE the driver runs — no Spark session needed.
 """
 
 from __future__ import annotations
@@ -24,48 +21,46 @@ from convex_batch_processor_spark.queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The machine-derived round-10 window (stale_green_check --next-window,
-# pre-flighted on round-9 final HEAD and re-derived + matched exactly at
-# the swap). Order matters: the driver reads the first 50 registry
-# entries positionally.
-_R10_WINDOW = [
-    # r5-verdict stale tier (17)
-    "keyset_page_orders", "km_signup_to_purchase",
-    "label_propagation_communities", "lang_confusion_matrix",
-    "longest_active_streak", "neyman_allocation",
-    "ols_trend_daily_revenue", "pagerank_event_graph", "pii_scrub_stats",
-    "price_quantity_correlation", "rag_chunk_overlap",
-    "repeat_purchase_interval", "scd2_user_state", "token_pack_greedy",
-    "token_pmi_pairs", "url_domain_extract",
-    "winnowing_fingerprint_pairs",
-    # r6-verdict stale tier (22)
-    "auc_quantity_returnflag", "best_split_information_gain",
-    "calibration_ece_brier", "dp_noisy_counts_by_type",
-    "gif_decode_features", "gini_by_segment",
-    "histogram_quantile_accuracy", "hll_accuracy_profile",
-    "html_extract_text", "join_size_estimate_cms", "journey_triples_topk",
-    "kmeans_silhouette", "linear_attribution_credit",
-    "logloss_quantity_model", "mojibake_repair_stats",
-    "padding_waste_buckets", "pareto_front_parts",
-    "sorted_neighborhood_pairs", "warc_extract_stats",
-    "web_curation_pipeline", "welch_ttest_priorities",
-    "zlib_ratio_classes",
-    # r7-verdict stale re-pins (3)
-    "asof_join_latest_order", "window_moving_avg",
-    "window_rank_lag_running",
-    # freshness pads (8): oldest-verdict fresh names
-    "bm25_topk", "cdc_chunks", "doc_embedding_join", "lm_trigram_quality",
-    "stratified_sample_systematic", "vocab_top_terms",
-    "ccnet_perplexity_buckets", "cms_heavy_hitters",
+# The round-11 window (NOTES "Round-11 rotation plan": the 10 llm72
+# oracle names by hand + stale_green_check --next-window's requeue +
+# pad proposal, re-derived and matched exactly at the swap). Order
+# matters: the driver reads the first 50 registry entries positionally.
+_R11_WINDOW = [
+    # llm72 pack, oracle-backed (10) — never-verified backlog
+    "substring_dedup_spans", "kneser_ney_doc_logprob",
+    "hits_part_supplier", "rank_gauss_prices", "temperature_mix_weights",
+    "stratified_reservoir_sample", "keyword_tag_counts",
+    "tenure_hazard_table", "embedding_dim_standardize",
+    "phrase_tag_spans",
+    # the one stale oracle-backed requeue (r10 rule-14b fix)
+    "corpus_report",
+    # freshness pads (39): oldest-verdict fresh names, tool order
+    "dedup_exact", "dedup_prefix_groups", "doc_fingerprints",
+    "dsir_importance_weights", "embedding_neardup_pairs",
+    "embedding_quantize_int8", "funnel_conversion",
+    "gopher_quality_filter", "incremental_dedup_delta", "knn_bruteforce",
+    "lang_source_profile", "mixture_weights_sqrt",
+    "multimodal_payload_stats", "new_vs_returning_users",
+    "ngram_jaccard_pairs", "repetition_top_bigram", "retention_cohorts",
+    "rolling_weekly_active_users", "simhash_portable_neardup",
+    "snapshot_state_diff", "source_cap_sample", "tfidf_topk_terms",
+    "value_histogram", "zipf_vocab_fit", "benford_order_prices",
+    "burst_detection_daily", "catalog_stats_profile",
+    "cdc_apply_changelog", "chi2_independence_cells",
+    "ctr_wilson_bounds", "dataset_split_folds", "dq_constraint_report",
+    "gapfill_daily_counts", "hard_negative_mining",
+    "label_balance_undersample", "mad_outliers", "market_basket_rules",
+    "psi_value_drift", "revenue_pareto_bands",
 ]
 
-_STALE_TIER = _R10_WINDOW[:42]
-_PAD_TIER = _R10_WINDOW[42:]
+_PACK_TIER = _R11_WINDOW[:10]
+_REQUEUE = _R11_WINDOW[10]
+_PAD_TIER = _R11_WINDOW[11:]
 
 
 def _latest_verdicts() -> dict[str, int]:
     seen: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"):
         path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
         with open(path) as f:
             for name in json.load(f):
@@ -73,54 +68,56 @@ def _latest_verdicts() -> dict[str, int]:
     return seen
 
 
-def test_registry_is_279_plus_the_llm72_pack():
-    """The freeze (VERDICT r7 #4 / r8 #5) held at 279 through rounds
-    7-10's rotations; it lifted late round 10 when the stale backlog
-    cleared (NOTES "Post-freeze surface plan") and the pre-flighted
-    12-operator llm72 pack registered — at the BACK, outside this
-    round's window. This pin moves only with a pre-flighted pack, one
-    pack per round max."""
-    assert len(QUERIES) == 291, len(QUERIES)
-    # the pack sits entirely OUTSIDE the driver window
-    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
-
-    assert not (set(CANDIDATES) & set(list(QUERIES)[:50]))
+def test_registry_is_291_plus_any_registered_pack():
+    """The llm72 pack registered late r10 (279 -> 291); the llm73 pack
+    registers at the ROUND-11 CLOSE (291 -> 301, NOTES one-pack-per-
+    round cadence). This pin moves only with a pre-flighted pack."""
+    assert len(QUERIES) in (291, 301), len(QUERIES)
 
 
-def test_round10_window_is_the_machine_derived_rotation():
-    """The first 50 registry entries must equal the stale_green_check
-    --next-window output pinned in NOTES, in order."""
-    assert list(QUERIES)[:50] == _R10_WINDOW
+def test_round11_window_is_the_pinned_rotation():
+    """The first 50 registry entries must equal the NOTES round-11
+    rotation (10 llm72 names + requeue + the --next-window pads),
+    in order."""
+    assert list(QUERIES)[:50] == _R11_WINDOW
 
 
-def test_round10_window_is_the_oldest_verdict_tier():
-    """The 42 stale slots carry r5/r6/r7 verdicts with the pinned tier
-    sizes (the oldest remaining stale tiers after r9 retired the
-    r2/r3/r4 block); the 8 pads are fresher names spent only AFTER every
-    re-queueable stale name has a slot."""
+def test_round11_window_tiers():
+    """Tier shape: the 10 pack names have NO driver verdict yet (the
+    whole point of fronting them); corpus_report's latest verdict is r9
+    (stale since the r10 rule-14b fix); every pad is already verdicted
+    (freshness refresh, not backlog)."""
     verdicts = _latest_verdicts()
-    rounds = {n: verdicts[n] for n in _STALE_TIER}
-    assert all(r in (5, 6, 7) for r in rounds.values()), (
-        {n: r for n, r in rounds.items() if r not in (5, 6, 7)})
-    sizes = {t: sum(1 for r in rounds.values() if r == t) for t in (5, 6, 7)}
-    assert sizes == {5: 17, 6: 22, 7: 3}, sizes
-    # pads: every one already verdicted (freshness refresh, not backlog)
-    assert all(n in verdicts for n in _PAD_TIER), (
-        [n for n in _PAD_TIER if n not in verdicts])
+    never = [n for n in _PACK_TIER if n in verdicts]
+    assert never == [], f"pack names already verdicted: {never}"
+    assert verdicts.get(_REQUEUE) == 9, verdicts.get(_REQUEUE)
+    missing = [n for n in _PAD_TIER if n not in verdicts]
+    assert missing == [], missing
 
 
-def test_round10_window_is_fixture_gated():
+def test_round11_window_is_fixture_gated():
     """VERDICT r8 #2: every window name must be covered by a crafted
     adversarial fixture gate's query list BEFORE the driver re-verifies
-    it (this window spans the star, documents, embeddings, degenerate,
-    null-order, null-keys, short-dup, and single-date gates)."""
+    it. The pads + requeue span test_adversarial_fixtures' gates; the
+    llm72 pack is gated by tests/test_r11_preflight.py's own boundary
+    fixture (NOTES r11 swap caveat (a)) — the union below includes it
+    so the gate is verified, not assumed."""
     from . import test_adversarial_fixtures as fx
+    from . import test_r11_preflight as pf
 
     gated: set[str] = set()
     for attr in dir(fx):
         if "_QUERIES" in attr and attr.startswith("_"):
             gated.update(getattr(fx, attr))
-    missing = [n for n in _R10_WINDOW if n not in gated]
+    # the r11 pre-flight suite parametrizes its boundary-fixture parity
+    # over every llm72 candidate (sorted(CANDIDATES)); counting it in
+    # the union requires that list to actually cover the pack tier
+    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
+
+    assert set(_PACK_TIER) <= set(CANDIDATES)
+    assert hasattr(pf, "test_preflight_boundary_parity")
+    gated.update(CANDIDATES)
+    missing = [n for n in _R11_WINDOW if n not in gated]
     assert missing == [], missing
 
 
@@ -129,3 +126,45 @@ def test_every_window_entry_is_oracle_backed():
     carry DuckDB oracle SQL so the driver records a full hash verdict."""
     missing = [n for n in list(QUERIES)[:50] if not QUERIES[n].oracle]
     assert missing == [], missing
+
+
+def test_window_oracles_carry_no_rounded_exact_ratio():
+    """Rule-14 regression gate for THIS window (the r10 sf0.1 sweep
+    proved the class fires in practice): no in-window oracle may
+    round() a division/product of exact-decimal operands with no
+    transcendental leaf inside. round() whose argument contains a
+    transcendental (ln/log/sqrt/exp/pow — leaf-rounding absorbs libm
+    ulp skew, and a tie is measure-zero) is the documented-safe shape,
+    as are integer cents casts round(value * 100) of 2-dp data (never
+    near a half) and the int8 quantizer's round(x/scale) algorithm
+    semantics (data-dependent operands, measure-zero)."""
+    import re
+
+    trans = re.compile(r"\b(ln|log|log10|log2|sqrt|exp|pow|power)\s*\(", re.I)
+    cents = re.compile(r"^\s*(CAST\()?\s*\w+(\.\w+)?\s*\*\s*100\s*\)?\s*$")
+    offenders: list[tuple[str, str]] = []
+    for name in list(QUERIES)[:50]:
+        sql = QUERIES[name].oracle or ""
+        sql = re.sub(r"--[^\n]*", "", sql)  # strip SQL comments
+        for m in re.finditer(r"round\s*\(", sql, re.I):
+            i, depth = m.end(), 1
+            while i < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+                i += 1
+            inner = sql[m.end():i - 1]
+            body = inner.rsplit(",", 1)[0] if "," in inner else inner
+            if trans.search(body) or cents.match(body):
+                continue
+            if "/" in body or "*" in body:
+                offenders.append((name, " ".join(inner.split())[:100]))
+    allowed = {
+        # int8 quantizer semantics (data-dependent operands, green r4)
+        "embedding_quantize_int8",
+        # slope round(,6) is LEAF-ABSORPTION of DuckDB's double-rounded
+        # DECIMAL(38,18)->DOUBLE cast — stripping it FAILS sf0.1 parity
+        # (measured at the r11 swap; see the query docstring). The
+        # operands are noisy doubles, so a 6-dp tie is measure-zero.
+        "zipf_vocab_fit",
+    }
+    bad = [o for o in offenders if o[0] not in allowed]
+    assert bad == [], bad

@@ -119,7 +119,7 @@ def test_unresolvable_verdict_base_flags_stale(monkeypatch, capsys):
     victim = next(n for n in QUERIES if n in real_verdicts)
     rnd = real_verdicts[victim]
     broken = {r: h for r, h in real_states.items() if r != rnd}
-    monkeypatch.setattr(sgc, "verified_states", lambda: broken)
+    monkeypatch.setattr(sgc, "verified_states", lambda strict=False: broken)
     recs = {r["name"]: r for r in sgc.stale_green()}
     assert victim in recs, (victim, rnd)
     assert recs[victim]["changed"] == ["<unresolvable verdict base>"]
@@ -221,3 +221,85 @@ def test_untracked_correctness_with_dirty_tree_stays_unresolved(monkeypatch):
         lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
     )
     assert sgc.verified_states() == {}
+
+
+def test_strict_mode_refuses_untracked_verdicts(monkeypatch):
+    """VERDICT r10 #4 (the commits-after-driver-run case): rotation
+    derivation must never rest on the mtime heuristic. In strict mode an
+    untracked verdicts file with no .base sidecar ABORTS with the
+    commit-it instruction — even when the heuristic WOULD have mapped it
+    to HEAD (clean tree, mtime after HEAD's committer time) — because a
+    later commit with an odd mtime would silently pick the wrong base."""
+    import os
+
+    import pytest
+
+    import stale_green_check as sgc
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return ""
+        if args[0] == "ls-files":
+            return ""  # untracked
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(
+        sgc.glob, "glob",
+        lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
+    )
+    with pytest.raises(SystemExit, match="recorded state"):
+        sgc.verified_states(strict=True)
+
+
+def test_sidecar_base_resolves_untracked_verdicts(monkeypatch, tmp_path):
+    """A CORRECTNESS_r{N}.json.base sidecar naming the driver-run commit
+    resolves the round from RECORDED state — strict mode included, no
+    git-history or mtime involvement."""
+    import stale_green_check as sgc
+
+    base = "b" * 40
+    vfile = tmp_path / "CORRECTNESS_r99.json"
+    vfile.write_text("{}")
+    (tmp_path / "CORRECTNESS_r99.json.base").write_text(base + "\n")
+
+    def fake_git(*args):
+        if args[0] == "rev-parse" and args[1] == "--verify":
+            assert args[2] == base + "^{commit}"
+            return base + "\n"
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(sgc.glob, "glob", lambda p: [str(vfile)])
+    assert sgc.verified_states(strict=True) == {99: base}
+
+
+def test_garbage_sidecar_is_ignored_not_trusted(monkeypatch, capsys):
+    """A sidecar naming a non-existent commit must warn and fall through
+    to the normal resolution path, never silently pin a bogus base."""
+    import subprocess
+
+    import stale_green_check as sgc
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        vfile = os.path.join(td, "CORRECTNESS_r99.json")
+        with open(vfile, "w") as f:
+            f.write("{}")
+        with open(vfile + ".base", "w") as f:
+            f.write("not-a-commit\n")
+
+        def fake_git(*args):
+            if args[0] == "rev-parse" and args[1] == "--verify":
+                raise subprocess.CalledProcessError(128, args)
+            if args[0] == "log":
+                return "c" * 40 + " " + "d" * 40 + "\n"
+            raise AssertionError(f"unexpected git call: {args}")
+
+        monkeypatch.setattr(sgc, "_git", fake_git)
+        monkeypatch.setattr(sgc.glob, "glob", lambda p: [vfile])
+        # falls through to the adding-commit parent
+        assert sgc.verified_states() == {99: "d" * 40}
+        assert "does not name a resolvable commit" in capsys.readouterr().err

@@ -820,6 +820,24 @@ def test_topk_stream_null_key_group_emits_null_user_id(spark, tmp_path):
     assert by_eid[71].user_id == 1
 
 
+def test_topk_stream_null_event_id_maps_to_sentinel(spark, tmp_path):
+    """ADVICE r10: a NULL event_id surfaces as NaN in pandas and
+    int(NaN) would kill the query — it must map to the -1 sentinel
+    (the dedup_audit treatment), still count in n_seen, and be able to
+    admit under the board order."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 12, 2, m)  # noqa: E731
+    e1 = [(1, 95, t(0), 5.0), (1, None, t(1), 7.0), (1, 96, t(2), 6.0)]
+    rows = _run_topk_stream(spark, [e1], tmp_path, "topk_nulleid", k=2)
+    by_eid = {r.event_id: r for r in rows}
+    assert set(by_eid) == {95, -1, 96}
+    assert by_eid[-1].admitted is True and by_eid[-1].value == 7.0
+    assert [by_eid[i].n_seen for i in (95, -1, 96)] == [1, 2, 3]
+    # final board: 7.0 (sentinel) and 6.0 beat 5.0
+    assert _replay_board(rows, 2) == {1: [(7.0, -1), (6.0, 96)]}
+
+
 def test_topk_stream_boundary_tie_admits_smaller_event_id(spark, tmp_path):
     """A later arrival TYING the kth's value admits iff its event_id is
     smaller (the board's (value DESC, event_id ASC) total order) — so

@@ -72,6 +72,10 @@ DEFAULT_QUERIES = [
     # the round-13 pack's expensive families (queries/llm74.py)
     "cross_source_contamination_matrix",  # distinct grams + |sources|^2-fanout join
     "dedup_impact_report",         # text-keyed window + the shared gram index
+    # round-11 additions: the round-14 pre-flight pack's expensive
+    # families (queries/llm75.py) — pinned before registration, as above
+    "neardup_threshold_sweep",     # PPJoin pair expansion x threshold grid
+    "knn_graph_degree_stats",      # probe x corpus exact kNN edges
 ]
 
 #: second-decade exponent above this fails the sweep
@@ -90,15 +94,18 @@ def main() -> None:
     from convex_batch_processor_spark.queries.llm74 import (
         CANDIDATES as _C74,
     )
+    from convex_batch_processor_spark.queries.llm75 import (
+        CANDIDATES as _C75,
+    )
     from convex_batch_processor_spark.session import get_spark
 
     # a name collision across the hand-maintained packs would make the
     # dict merge silently sweep the wrong implementation
-    _packs = [set(_C72), set(_C73), set(_C74)]
+    _packs = [set(_C72), set(_C73), set(_C74), set(_C75)]
     for i, a in enumerate(_packs):
         for b in _packs[i + 1:]:
             assert not (a & b), f"duplicate pre-flight names: {a & b}"
-    CANDIDATES = {**_C72, **_C73, **_C74}
+    CANDIDATES = {**_C72, **_C73, **_C74, **_C75}
     names = sys.argv[1:] or DEFAULT_QUERIES
     unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]
     if unknown:

@@ -554,7 +554,16 @@ def mahalanobis_outlier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^52 to ~4.5e9 of summed e^2 vs ~4.5e3 at scale 12); mu/var are
     fixed-shape double expressions of exact decimal sums; each z^2
     term re-rounds at 6 dp into DECIMAL(20,6) (variance-contaminated —
-    tie measure-zero) so the per-vector sum is an exact fold. Rule-15b
+    tie measure-zero) so the per-vector sum is an exact fold.
+    Quantization floor (the headroom trade): rounding e^2 at scale 6
+    zeroes dims whose per-element square is under 0.5e-6 (|e| below
+    ~7.1e-4) — such a dim computes sq = 0, var <= 0, and contributes
+    nothing to the score (the var > 0 guard excludes it). Document
+    embeddings at unit-ish norm (|e| ~ 1/sqrt(d)) sit orders of
+    magnitude above the floor; for corpora with genuinely
+    sub-milli-magnitude dims, move the term to scale 9
+    (DECIMAL(21,9) — headroom drops to ~4.5e6 of summed e^2, the
+    calibration_ece_brier bound) on BOTH sides. Rule-15b
     residual: a single z^2 term above ~4.5e9 (a >67000-sigma outlier
     under a near-zero variance dim) would push the per-vector DECIMAL
     (20,6) sum past 2^52 in its double cast — document-level screening

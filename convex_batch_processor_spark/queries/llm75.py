@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..llmops.dedup import shingles_from_tokens, tokens_col
+from ..llmops.dedup import tokens_col
 from ..llmops.similarity import cosine_col
 from ..operators.rank import histogram_rank
 
@@ -97,7 +97,7 @@ _GUM_DENOM = (1 << 44) + 1  # u = (h44 + 1) / (2^44 + 1) in (0, 1), exact ints
     """,
 )
 def gumbel_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling WITHOUT replacement: top-{_GUM_K}
+    """Deterministic weighted sampling WITHOUT replacement: top-10 (_GUM_K)
     docs per source under the Gumbel-top-k trick (Vieira; Kool et al.) —
     key = ln(w) - ln(-ln(u)) ranks exactly like sequential weighted
     draws without replacement, so a data-mixing plan can take each
@@ -184,8 +184,8 @@ _QL_K = 10
     """,
 )
 def query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_QL_K} documents by Dirichlet-smoothed query likelihood
-    (Zhai & Lafferty, mu = {_QL_MU}) for the same 3-term bag bm25_topk
+    """Top-10 (_QL_K) documents by Dirichlet-smoothed query likelihood
+    (Zhai & Lafferty, mu = 100, _QL_MU) for the same 3-term bag bm25_topk
     ranks — the language-modeling retrieval baseline next to BM25's
     tf-idf family. score(d) = sum over query terms of
     ln((tf + mu * cf/|C|) / (|d| + mu)); smoothing means every doc
@@ -262,7 +262,7 @@ _OOV_VOCAB_K = 10  # vocabulary = top-K corpus terms
     """,
 )
 def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Out-of-vocabulary rate per source against the top-{_OOV_VOCAB_K}
+    """Out-of-vocabulary rate per source against the top-10 (_OOV_VOCAB_K)
     corpus-frequency vocabulary — the tokenizer-coverage screen run
     before fixing a vocab: a source whose OOV rate spikes will fragment
     into byte-fallback tokens and train poorly. Vocabulary ranking
@@ -331,7 +331,7 @@ _FUSION_K = 5
     """,
 )
 def quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_FUSION_K} documents per source by Borda rank fusion of three
+    """Top-5 (_FUSION_K) documents per source by Borda rank fusion of three
     cheap quality signals — token count, type-token ratio, mean token
     length (each ranked descending within source, doc_id tiebreak;
     borda = sum of (n_source - rank)) — the ensemble trick that makes
@@ -400,7 +400,8 @@ def quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     src AS (
         SELECT source,
-               CAST(row_number() OVER (ORDER BY source ASC) AS BIGINT) AS src_idx
+               CAST(row_number() OVER (ORDER BY source ASC NULLS FIRST)
+                    AS BIGINT) AS src_idx
         FROM (SELECT DISTINCT source FROM sized)),
     nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM src),
     rn AS (
@@ -412,7 +413,8 @@ def quality_signal_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT rn.doc_id, rn.source, rn.n_tokens, rn.rn_in_source,
            CAST((rn.rn_in_source - 1) * nsrc.s + src.src_idx AS BIGINT)
                AS interleave_pos
-    FROM rn JOIN src ON src.source = rn.source CROSS JOIN nsrc
+    FROM rn JOIN src ON src.source IS NOT DISTINCT FROM rn.source
+    CROSS JOIN nsrc
     """,
 )
 def curriculum_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -426,7 +428,11 @@ def curriculum_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     loaders consume in pos order).
 
     Determinism: pure integer arithmetic; the per-source rank breaks
-    token-count ties by doc_id; the source index orders lexically.
+    token-count ties by doc_id; the source index orders lexically with
+    NULLS FIRST pinned on both engines (Spark windows default NULLS
+    FIRST, DuckDB NULLS LAST — the rule-9 class), and the index joins
+    back NULL-SAFELY so a NULL source forms its own interleave stream
+    instead of silently vanishing from the schedule.
 
     Scale: one per-source window (bounded groups); the source index and
     count are |sources|-row broadcasts — no global window over docs."""
@@ -438,9 +444,12 @@ def curriculum_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = (
         sized.select("source").distinct()
+        .withColumnRenamed("source", "_src")
         .withColumn(
             "src_idx",
-            F.row_number().over(Window.orderBy(F.col("source").asc())).cast("long"),
+            F.row_number().over(
+                Window.orderBy(F.col("_src").asc_nulls_first())
+            ).cast("long"),
         )
     )
     nsrc = src.agg(F.count(F.lit(1)).cast("long").alias("s"))
@@ -449,7 +458,8 @@ def curriculum_interleave_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sized.withColumn("rn_in_source", F.row_number().over(win).cast("long"))
-        .join(F.broadcast(src), "source")
+        .join(F.broadcast(src), F.col("source").eqNullSafe(F.col("_src")))
+        .drop("_src")
         .crossJoin(F.broadcast(nsrc))
         .select(
             "doc_id",
@@ -478,9 +488,9 @@ _RBO_P = 0.9
         FROM documents GROUP BY source),
     r AS (
         SELECT source,
-               CAST(row_number() OVER (ORDER BY n_tokens DESC, source ASC)
+               CAST(row_number() OVER (ORDER BY n_tokens DESC, source ASC NULLS FIRST)
                     AS BIGINT) AS ra,
-               CAST(row_number() OVER (ORDER BY n_docs DESC, source ASC)
+               CAST(row_number() OVER (ORDER BY n_docs DESC, source ASC NULLS FIRST)
                     AS BIGINT) AS rb
         FROM stats),
     depths AS (SELECT DISTINCT ra AS depth FROM r)
@@ -497,7 +507,7 @@ _RBO_P = 0.9
     """,
 )
 def rbo_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-biased overlap (Webber et al., p = {_RBO_P}) between two source
+    """Rank-biased overlap (Webber et al., p = 0.9, _RBO_P) between two source
     rankings — by total tokens vs by document count — the
     top-weighted agreement diagnostic for "do my size metrics tell the
     same story" (and, swapped for quality-signal rankings, for
@@ -523,8 +533,8 @@ def rbo_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-    ra = Window.orderBy(F.col("n_tokens").desc(), F.col("source").asc())
-    rb = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc())
+    ra = Window.orderBy(F.col("n_tokens").desc(), F.col("source").asc_nulls_first())
+    rb = Window.orderBy(F.col("n_docs").desc(), F.col("source").asc_nulls_first())
     r = stats.select(
         "source",
         F.row_number().over(ra).cast("long").alias("ra"),
@@ -553,24 +563,15 @@ def rbo_ranking_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
 
 
-@_candidate(
-    "neardup_threshold_sweep",
-    oracle=f"""
-    WITH sh AS (
-        SELECT doc_id, source,
-               list_distinct(list_transform(
-                   range(1, greatest(1, len({_TOKS_SQL}) - 1)),
-                   i -> {_TOKS_SQL}[i] || ' ' ||
-                        {_TOKS_SQL}[i+1] || ' ' ||
-                        {_TOKS_SQL}[i+2])) AS grams
-        FROM documents),
-    pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / (len(a.grams) + len(b.grams)
-                    - len(list_intersect(a.grams, b.grams))) AS jaccard
-        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.grams, b.grams)) >= 1),
+def _sweep_oracle() -> str:
+    """Built from llm.py's shared pair CTEs so the sweep's pair
+    semantics and ngram_jaccard_pairs' can never drift (the
+    scrub-policy one-text rule). Import is deferred so module import
+    order can't cycle."""
+    from .llm import _NGRAM_PAIRS_CTES
+
+    return f"""
+    WITH {_NGRAM_PAIRS_CTES},
     th AS (SELECT CAST(unnest([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}])
                        AS DOUBLE) AS threshold),
     q AS (
@@ -584,59 +585,38 @@ _SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
            CAST(COUNT(DISTINCT u.id) AS BIGINT) AS n_docs_flagged
     FROM q, unnest([q.id_a, q.id_b]) AS u(id)
     GROUP BY threshold
-    """,
-)
+    """
+
+
+@_candidate("neardup_threshold_sweep", oracle=_sweep_oracle())
 def neardup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup THRESHOLD decision sweep: for each candidate Jaccard
-    cutoff in {_SWEEP_THRESHOLDS}, the number of 3-gram-Jaccard pairs at
-    or above it and the number of DISTINCT documents those pairs flag —
-    the table a pipeline owner reads to pick a dedup threshold (pair
-    counts alone overstate impact when duplicates cluster; the distinct
-    doc count is the actual removal exposure). Zero-qualifying
-    thresholds still emit a (0, 0) row (the report-shape rule: LEFT
-    JOIN from the threshold table, never filter-then-group).
+    cutoff in (0.5, 0.6, 0.7, 0.8, 0.9) (_SWEEP_THRESHOLDS), the number
+    of 3-gram-Jaccard pairs at or above it and the number of DISTINCT
+    documents those pairs flag — the table a pipeline owner reads to
+    pick a dedup threshold (pair counts alone overstate impact when
+    duplicates cluster; the distinct doc count is the actual removal
+    exposure). Zero-qualifying thresholds still emit a (0, 0) row (the
+    report-shape rule: LEFT JOIN from the threshold table, never
+    filter-then-group).
+
+    The pair set IS ngram_jaccard_pairs' output (every sweep threshold
+    is >= its 0.5 floor) — both the Spark plan and the oracle CTEs are
+    REUSED from queries/llm.py, not re-derived, so a fix to the
+    PPJoin pipeline lands in both places at once.
 
     Determinism: Jaccard is one exact-integer-ratio double, identical in
     both engines, so >= comparisons against the same literal doubles
     agree; counts are exact integers.
 
-    Scale: pair generation is the PPJoin count plan ngram_jaccard_pairs
-    audits (distinct shingles -> one (source, gram) equi-join -> pair
-    rollup, never doc x doc); the sweep joins the bounded pair table
-    against a {len(_SWEEP_THRESHOLDS)}-row literal — negligible."""
+    Scale: pair generation is the audited PPJoin count plan (distinct
+    shingles -> one (source, gram) equi-join -> pair rollup, never
+    doc x doc); the sweep joins the bounded pair table against a
+    five-row literal — negligible."""
+    from .llm import ngram_jaccard_pairs
+
     docs = _t(spark, sf_dir, "documents")
-    sh = (
-        docs.select("doc_id", "source", tokens_col("text").alias("_t"))
-        .select("doc_id", "source", shingles_from_tokens("_t").alias("sh"))
-        .persist()
-    )
-    ex = sh.select(
-        "doc_id", "source", F.size("sh").alias("n"), F.explode("sh").alias("g")
-    )
-    a = ex.select(
-        F.col("doc_id").alias("id_a"), F.col("source").alias("src"),
-        F.col("n").alias("n_a"), "g",
-    )
-    b = ex.select(
-        F.col("doc_id").alias("id_b"), F.col("source").alias("src"),
-        F.col("n").alias("n_b"), "g",
-    )
-    pairs = (
-        a.join(b, ["src", "g"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("i"),
-            F.first("n_a").alias("n_a"),
-            F.first("n_b").alias("n_b"),
-        )
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("i").cast("double")
-             / (F.col("n_a") + F.col("n_b") - F.col("i"))).alias("jaccard"),
-        )
-    )
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
     th = docs.sparkSession.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])).alias("threshold")
     )
@@ -687,8 +667,8 @@ _LEAK_FOLDS = 5  # mirrors dataset_split_folds' assignment
 )
 def fold_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-pair placement audit for the deterministic
-    {_LEAK_FOLDS}-fold split (the dataset_split_folds assignment,
-    md5(doc_id) mod {_LEAK_FOLDS}): for every fold pair (fold_a <=
+    five-fold (_LEAK_FOLDS) split (the dataset_split_folds assignment,
+    md5(doc_id) mod 5): for every fold pair (fold_a <=
     fold_b), how many near-verbatim duplicate texts (same 8-token
     prefix fingerprint — llmops/textstats.prefix_fingerprint, the
     dedup_prefix_groups key; group size >= 2 anywhere in the corpus)
@@ -705,7 +685,7 @@ def fold_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one digest+fold rollup (the exact-dedup shuffle) filtered to
     duplicated digests, then a digest-keyed self-join whose per-digest
-    fanout is bounded by {_LEAK_FOLDS}^2 — never doc x doc."""
+    fanout is bounded by _LEAK_FOLDS^2 = 25 — never doc x doc."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     fold = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
@@ -781,9 +761,9 @@ _KNNG_SAMPLE_MOD = 20  # query side = vec_id % 20 == 0 (deterministic probe set)
     """,
 )
 def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """In-degree histogram of the exact cosine k-NN graph (k = {_KNNG_K})
-    built from a deterministic probe set (every {_KNNG_SAMPLE_MOD}th
-    vec_id) — the ANN hub/anti-hub diagnostic: a heavy right tail means
+    """In-degree histogram of the exact cosine k-NN graph (k = 5, _KNNG_K)
+    built from a deterministic probe set (every 20th vec_id,
+    _KNNG_SAMPLE_MOD) — the ANN hub/anti-hub diagnostic: a heavy right tail means
     a few vectors dominate every neighbor list (hubness — recall will
     look fine while retrieval diversity collapses), a spike at zero
     means dead regions. Vectors never chosen by any probe count at
@@ -796,7 +776,7 @@ def knn_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     undefined).
 
     Scale: this exact form is the bounded verification baseline (probe
-    x corpus with the probe side 1/{_KNNG_SAMPLE_MOD} of vecs); at
+    x corpus with the probe side a twentieth of vecs); at
     100 TB the edges come from the ANN path (ivf_assign / banded LSH —
     llmops/similarity.py) and this histogram is unchanged downstream of
     whatever edge set is supplied."""
@@ -867,7 +847,7 @@ _SCHED_BUDGET = 1_000_000  # token budget to apportion
 )
 def source_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source training budget schedule: apportion a
-    {_SCHED_BUDGET}-token budget across sources proportionally to
+    1,000,000-token (_SCHED_BUDGET) budget across sources proportionally to
     sqrt(source tokens) (temperature 0.5 up-weighting of small sources,
     the mixture_weights_sqrt policy applied to an actual token budget)
     via exact largest-remainder allocation, and report epochs =

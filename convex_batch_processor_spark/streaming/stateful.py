@@ -549,7 +549,12 @@ def topk_per_key_stream(
     emit a NULL user_id. A NULL event_id maps to the -1 sentinel (the
     dedup_audit treatment — pandas surfaces it as NaN and int(NaN)
     would kill the query): the row still counts and can admit, sorting
-    and tie-breaking as id -1.
+    and tie-breaking as id -1; because the sentinel makes ids non-unique,
+    the within-epoch sort adds value (NULLS FIRST via -inf) as the final
+    key so two NULL-id arrivals tying on ts process in a
+    partition-independent order. Producers using a GENUINE -1 event_id
+    share the sentinel's identity — a documented contract, as in
+    dedup_audit.
     """
 
     def update_topk(key, pdfs, state):
@@ -581,13 +586,18 @@ def topk_per_key_stream(
             for pdf in pdfs
             for r in pdf.itertuples(index=False)
         ]
-        # sort on (ts NULLS FIRST, event_id) ONLY — event_id is unique,
-        # so value never participates (a None value in a tie would
-        # TypeError; a raw NaT compares False both ways and would keep
-        # partition order)
+        # sort on (ts NULLS FIRST, event_id, value NULLS FIRST): with the
+        # NULL->-1 sentinel event_id is no longer unique, so two NULL-id
+        # arrivals tying on ts would otherwise keep Arrow-batch order
+        # (partition-order-dependent — the split-invariance breach this
+        # sort exists to prevent); value breaks that tie via a -inf
+        # sentinel (a raw None in the tuple would TypeError, a raw NaT
+        # compares False both ways)
         arrivals.sort(
             key=lambda a: (
-                pd.Timestamp.min if pd.isna(a[0]) else a[0], a[1],
+                pd.Timestamp.min if pd.isna(a[0]) else a[0],
+                a[1],
+                float("-inf") if a[2] is None else a[2],
             )
         )
         for _ts, eid, val in arrivals:

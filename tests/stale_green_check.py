@@ -48,6 +48,7 @@ import ast
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 
@@ -79,6 +80,15 @@ def _sidecar_base(path: str) -> str | None:
     try:
         with open(side) as f:
             ref = f.read().strip()
+        # a FULL commit hash only: a symbolic ref ('HEAD', a branch, a
+        # tag) would re-resolve to a DIFFERENT commit as history moves —
+        # a silently moving verdict base that masks stale-green names,
+        # the exact failure recorded state exists to prevent
+        if not re.fullmatch(r"[0-9a-f]{40}", ref):
+            print(f"warning: {os.path.basename(side)} must contain a "
+                  f"full 40-hex commit hash, not {ref!r} — ignoring it",
+                  file=sys.stderr)
+            return None
         return _git("rev-parse", "--verify", f"{ref}^{{commit}}").strip()
     except (OSError, subprocess.CalledProcessError):
         print(f"warning: {os.path.basename(side)} does not name a "
@@ -160,6 +170,27 @@ def verified_states(strict: bool = False) -> dict[int, str]:
         parts = line.splitlines()[0].split()
         if len(parts) >= 2:  # parts[1] = first parent
             out[rnd] = parts[1]
+    if strict:
+        # completeness backstop: EVERY round with a verdicts file must
+        # have resolved from recorded state — the untracked branch above
+        # aborts early, but a staged-yet-uncommitted file (tracked, no
+        # ADD commit) or a root-commit ADD (no parent) would otherwise
+        # fall through silently, and stale_green(strict=True) would then
+        # mark that whole round "<unresolvable verdict base>" and flood
+        # --next-window with spurious requeues
+        have = {
+            int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+            for p in glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))
+        }
+        missing = sorted(have - set(out))
+        if missing:
+            names = ", ".join(f"CORRECTNESS_r{r:02d}.json" for r in missing)
+            raise SystemExit(
+                f"cannot resolve the driver-run base for {names} from "
+                "recorded state — commit the file(s) (or write a "
+                ".base sidecar with the driver-run commit hash) before "
+                "deriving a rotation"
+            )
     return out
 
 

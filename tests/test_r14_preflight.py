@@ -85,7 +85,12 @@ def adv_r14_dir(tmp_path_factory):
             (7, 'rep rep rep rep rep rep rep rep rep rep rep rep', 'en', 'c', 47),
             -- 12 distinct tokens (pushes corpus vocab over the top-10)
             (8, 'q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12', 'en', 'c', 39),
-            (9, 'alpha beta', 'en', 'd', 10)
+            (9, 'alpha beta', 'en', 'd', 10),
+            -- NULL source: its own group everywhere; exercises the
+            -- NULLS FIRST source-ordering pins (Spark windows default
+            -- NULLS FIRST, DuckDB NULLS LAST) and the null-safe
+            -- interleave join
+            (10, 'nul1 nul2 nul3', 'en', NULL, 14)
         ) t(doc_id, text, lang, source, n_chars)""")
     copy("embeddings", """
         SELECT * FROM (VALUES
@@ -116,8 +121,11 @@ def test_preflight_boundary_values(spark, adv_r14_dir):
     by_src: dict = {}
     for r in gum:
         by_src.setdefault(r.source, []).append(r)
-    # every source emits min(K, n_docs) rows with contiguous ranks
-    assert {s: len(v) for s, v in by_src.items()} == {"a": 4, "b": 3, "c": 2, "d": 1}
+    # every source emits min(K, n_docs) rows with contiguous ranks —
+    # including the NULL source as its own group
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "a": 4, "b": 3, "c": 2, "d": 1, None: 1,
+    }
     for rows in by_src.values():
         assert sorted(r.sample_rank for r in rows) == list(range(1, len(rows) + 1))
         # ranks follow the key order (value DESC, doc_id ASC)
@@ -162,23 +170,27 @@ def test_preflight_boundary_values(spark, adv_r14_dir):
 
     fn, _ = CANDIDATES["curriculum_interleave_plan"]
     ip = {r.doc_id: r for r in fn(spark, adv_r14_dir).collect()}
-    # sources rank a=1, b=2, c=3, d=4 (lexical); S = 4
-    # source d has one doc -> pos = (1-1)*4 + 4 = 4
-    assert ip[9].interleave_pos == 4
+    # sources rank NULL=1 (NULLS FIRST), a=2, b=3, c=4, d=5; S = 5
+    # the NULL-source doc is IN the plan (null-safe join), pos 1
+    assert ip[10].source is None and ip[10].interleave_pos == 1
+    # source d has one doc -> pos = (1-1)*5 + 5 = 5
+    assert ip[9].interleave_pos == 5
     # within source a, shortest-first with doc_id ties: NULL(0 toks, id 0)
     # then ''(0, id 1) then the two 4-token docs by id
     assert [ip[i].rn_in_source for i in (0, 1, 2, 3)] == [1, 2, 3, 4]
-    assert ip[0].interleave_pos == 1  # (1-1)*4 + 1
+    assert ip[0].interleave_pos == 2  # (1-1)*5 + 2
     # positions are globally unique
     pos = [r.interleave_pos for r in ip.values()]
     assert len(pos) == len(set(pos))
 
     fn, _ = CANDIDATES["rbo_ranking_agreement"]
     rbo = {r.depth: r for r in fn(spark, adv_r14_dir).collect()}
-    # 4 sources -> depths 1..4; overlap at full depth = 4 always
-    assert set(rbo) == {1, 2, 3, 4}
-    assert rbo[4].overlap == 4
-    assert abs(rbo[4].weighted_agreement - rbo[4].p_weight) < 1e-15
+    # 5 sources -> depths 1..5; overlap at full depth = 5 always;
+    # the doc-count tie between d and the NULL source (1 doc each)
+    # breaks NULLS FIRST identically in both engines
+    assert set(rbo) == {1, 2, 3, 4, 5}
+    assert rbo[5].overlap == 5
+    assert abs(rbo[5].weighted_agreement - rbo[5].p_weight) < 1e-15
     for r in rbo.values():
         assert 0 <= r.overlap <= r.depth
 
@@ -225,7 +237,7 @@ def test_preflight_boundary_values(spark, adv_r14_dir):
     fn, _ = CANDIDATES["source_epoch_schedule"]
     sched = {r.source: r for r in fn(spark, adv_r14_dir).collect()}
     # exact integer replay of the largest-remainder allocation
-    n_tok = {"a": 0 + 0 + 4 + 4, "b": 30, "c": 24, "d": 2}
+    n_tok = {"a": 0 + 0 + 4 + 4, "b": 30, "c": 24, "d": 2, None: 3}
     import math
 
     wi = {s: round(math.sqrt(n) * 1_000_000) for s, n in n_tok.items()}
@@ -233,7 +245,8 @@ def test_preflight_boundary_values(spark, adv_r14_dir):
     base = {s: (1_000_000 * w) // tw for s, w in wi.items()}
     rem = {s: (1_000_000 * w) % tw for s, w in wi.items()}
     leftover = 1_000_000 - sum(base.values())
-    order = sorted(rem, key=lambda s: (-rem[s], s))
+    # rem ties break (rem DESC, source ASC NULLS FIRST)
+    order = sorted(rem, key=lambda s: (-rem[s], s is not None, s or ""))
     alloc = {
         s: base[s] + (1 if order.index(s) < leftover else 0) for s in wi
     }

@@ -275,31 +275,62 @@ def test_sidecar_base_resolves_untracked_verdicts(monkeypatch, tmp_path):
 
 
 def test_garbage_sidecar_is_ignored_not_trusted(monkeypatch, capsys):
-    """A sidecar naming a non-existent commit must warn and fall through
-    to the normal resolution path, never silently pin a bogus base."""
-    import subprocess
-
+    """A sidecar that is not a full commit hash — garbage OR a symbolic
+    ref like 'HEAD' or a branch name (which would re-resolve to a
+    DIFFERENT commit as history moves: a silently moving verdict base) —
+    must warn and fall through to the normal resolution path, never
+    silently pin a bogus or moving base."""
     import stale_green_check as sgc
 
     import os
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        vfile = os.path.join(td, "CORRECTNESS_r99.json")
-        with open(vfile, "w") as f:
-            f.write("{}")
-        with open(vfile + ".base", "w") as f:
-            f.write("not-a-commit\n")
+    for bad in ("not-a-commit", "HEAD", "main", "B" * 40):  # hex is lower
+        with tempfile.TemporaryDirectory() as td:
+            vfile = os.path.join(td, "CORRECTNESS_r99.json")
+            with open(vfile, "w") as f:
+                f.write("{}")
+            with open(vfile + ".base", "w") as f:
+                f.write(bad + "\n")
 
-        def fake_git(*args):
-            if args[0] == "rev-parse" and args[1] == "--verify":
-                raise subprocess.CalledProcessError(128, args)
-            if args[0] == "log":
-                return "c" * 40 + " " + "d" * 40 + "\n"
-            raise AssertionError(f"unexpected git call: {args}")
+            def fake_git(*args):
+                if args[0] == "log":
+                    return "c" * 40 + " " + "d" * 40 + "\n"
+                # rev-parse must NEVER run for a non-hex sidecar
+                raise AssertionError(f"unexpected git call: {args}")
 
-        monkeypatch.setattr(sgc, "_git", fake_git)
-        monkeypatch.setattr(sgc.glob, "glob", lambda p: [vfile])
-        # falls through to the adding-commit parent
-        assert sgc.verified_states() == {99: "d" * 40}
-        assert "does not name a resolvable commit" in capsys.readouterr().err
+            monkeypatch.setattr(sgc, "_git", fake_git)
+            monkeypatch.setattr(sgc.glob, "glob", lambda p, v=vfile: [v])
+            # falls through to the adding-commit parent
+            assert sgc.verified_states() == {99: "d" * 40}, bad
+            assert "full 40-hex commit hash" in capsys.readouterr().err
+
+
+def test_strict_mode_refuses_staged_but_uncommitted_verdicts(monkeypatch):
+    """The completeness backstop: a verdicts file that is TRACKED (e.g.
+    `git add`ed) but has no ADD commit resolves no base via the
+    adding-commit path and skips the untracked branch — strict mode must
+    still abort instead of silently omitting the round (which would
+    flood --next-window with '<unresolvable verdict base>' requeues)."""
+    import os
+
+    import pytest
+
+    import stale_green_check as sgc
+
+    def fake_git(*args):
+        if args[0] == "log":
+            return ""  # no commit ever added the file
+        if args[0] == "ls-files":
+            return "CORRECTNESS_r99.json\n"  # staged: tracked
+        if args[0] == "status":
+            return ""  # clean tree (the heuristic still must not fire)
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(
+        sgc.glob, "glob",
+        lambda p: [os.path.join(sgc._REPO, "CORRECTNESS_r99.json")],
+    )
+    with pytest.raises(SystemExit, match="recorded state"):
+        sgc.verified_states(strict=True)

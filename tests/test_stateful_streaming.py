@@ -838,6 +838,27 @@ def test_topk_stream_null_event_id_maps_to_sentinel(spark, tmp_path):
     assert _replay_board(rows, 2) == {1: [(7.0, -1), (6.0, 96)]}
 
 
+def test_topk_stream_null_event_id_ties_are_split_invariant(spark, tmp_path):
+    """Two NULL-event_id arrivals tying on ts share the -1 sentinel, so
+    the within-epoch sort must fall through to the VALUE key — the
+    admitted/kth sequence must not depend on Arrow batch order (i.e. on
+    how the source files split)."""
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 13, 1, 0)
+    a = (1, None, t0, 7.0)
+    b = (1, None, t0, 5.0)
+    one = _run_topk_stream(spark, [[a, b]], tmp_path, "topk_nulltie1", k=1)
+    other = _run_topk_stream(spark, [[b, a]], tmp_path, "topk_nulltie2", k=1)
+    key = lambda r: (r.value, r.admitted, r.kth_value, r.n_seen)  # noqa: E731
+    assert sorted(map(key, one)) == sorted(map(key, other))
+    # and the order is the pinned one: value NULLS-FIRST ascending ->
+    # 5.0 processes first (admits), then 7.0 evicts it
+    by_val = {r.value: r for r in one}
+    assert by_val[5.0].n_seen == 1 and by_val[5.0].admitted is True
+    assert by_val[7.0].n_seen == 2 and by_val[7.0].admitted is True
+
+
 def test_topk_stream_boundary_tie_admits_smaller_event_id(spark, tmp_path):
     """A later arrival TYING the kth's value admits iff its event_id is
     smaller (the board's (value DESC, event_id ASC) total order) — so

@@ -302,3 +302,153 @@ def test_preflight_plan_shapes(spark, sf_dir):
                 assert not ({"text", "doc_id", "embedding"} & cols), (name, cols)
         else:
             assert inputs == [], (name, inputs)
+
+
+# --- property tests (random shapes the fixed testdata never produces) --------
+
+
+def _write_documents(tmpdir, rows):
+    """rows: list of (doc_id, text, lang, source)."""
+    import pandas as pd
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    con.register("pdf", pdf)
+    con.execute(
+        f"COPY (SELECT CAST(doc_id AS BIGINT) doc_id, text, lang, source, "
+        f"CAST(n_chars AS BIGINT) n_chars FROM pdf) "
+        f"TO '{tmpdir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+
+
+def test_gumbel_sample_matches_python_reference_property(spark, tmp_path):
+    """The distributed Gumbel-top-k selection == an exact python replica
+    (hashlib md5 slice, math.log key, BigDecimal-HALF_UP 9-dp rounding
+    via decimal.quantize — the same rounding Spark's F.round applies to
+    the binary double) on random corpora with duplicate weights and
+    multi-source splits."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm75 import (
+        _GUM_DENOM,
+        _GUM_K,
+        gumbel_topk_sample,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(  # per doc: (n_tokens in 0..30, source in 2 buckets)
+            st.tuples(st.integers(0, 30), st.sampled_from(["s1", "s2"])),
+            min_size=1, max_size=40,
+        )
+    )
+    def run(shape):
+        counter[0] += 1
+        d = tmp_path / f"gum{counter[0]}"
+        d.mkdir()
+        rows = [
+            (i, " ".join(f"t{j}" for j in range(n)), "en", src)
+            for i, (n, src) in enumerate(shape)
+        ]
+        _write_documents(d, rows)
+
+        def key(doc_id, w):
+            h = int(
+                hashlib.md5(f"{doc_id}:gum".encode()).hexdigest()[:11], 16
+            )
+            u = (h + 1.0) / float(_GUM_DENOM)
+            raw = math.log(w) - math.log(-math.log(u))
+            return float(
+                Decimal(raw).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+            )
+
+        expect = {}
+        by_src: dict = {}
+        for i, (n, src) in enumerate(shape):
+            by_src.setdefault(src, []).append((key(i, n + 1), i))
+        for src, ks in by_src.items():
+            ks.sort(key=lambda t: (-t[0], t[1]))
+            for rank, (k, i) in enumerate(ks[:_GUM_K], start=1):
+                expect[i] = (src, rank, k)
+
+        got = {
+            r.doc_id: (r.source, r.sample_rank, r.gumbel_key)
+            for r in gumbel_topk_sample(spark, str(d)).collect()
+        }
+        assert got == expect
+
+    run()
+
+
+def test_fold_leakage_matches_python_reference_property(spark, tmp_path):
+    """The fold-pair duplicate accounting == a hashlib replay on random
+    corpora with INJECTED duplicate prefixes (the fixed testdata has
+    none at the raw-text level)."""
+    from collections import Counter, defaultdict
+
+    from hypothesis import given, settings, strategies as st
+
+    from convex_batch_processor_spark.queries.llm75 import (
+        _LEAK_FOLDS,
+        fold_leakage_pairs,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        st.lists(  # per doc: which of 3 shared 9-token prefixes to use
+            st.integers(0, 2), min_size=2, max_size=30,
+        )
+    )
+    def run(choices):
+        counter[0] += 1
+        d = tmp_path / f"leak{counter[0]}"
+        d.mkdir()
+        # 9 tokens: the 8-token prefix fingerprint ignores the tail
+        rows = [
+            (i, " ".join(f"p{c}w{j}" for j in range(8)) + f" tail{i}",
+             "en", "src")
+            for i, c in enumerate(choices)
+        ]
+        _write_documents(d, rows)
+
+        fold = {
+            i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+            % _LEAK_FOLDS
+            for i, _ in enumerate(choices)
+        }
+        groups = defaultdict(list)
+        for i, c in enumerate(choices):
+            groups[c].append(fold[i])
+        expect: Counter = Counter()
+        digests: Counter = Counter()
+        for c, folds in groups.items():
+            if len(folds) < 2:
+                continue
+            cnt = Counter(folds)
+            for fa in cnt:
+                for fb in cnt:
+                    if fa < fb:
+                        expect[(fa, fb)] += cnt[fa] * cnt[fb]
+                        digests[(fa, fb)] += 1
+                    elif fa == fb:
+                        expect[(fa, fa)] += cnt[fa] * (cnt[fa] - 1) // 2
+                        digests[(fa, fa)] += 1
+
+        got_pairs = {}
+        got_digests = {}
+        for r in fold_leakage_pairs(spark, str(d)).collect():
+            got_pairs[(r.fold_a, r.fold_b)] = r.n_dup_pairs
+            got_digests[(r.fold_a, r.fold_b)] = r.n_digests
+        assert got_pairs == dict(expect)
+        assert got_digests == dict(digests)
+
+    run()

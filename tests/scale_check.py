@@ -76,6 +76,9 @@ DEFAULT_QUERIES = [
     # families (queries/llm75.py) — pinned before registration, as above
     "neardup_threshold_sweep",     # PPJoin pair expansion x threshold grid
     "knn_graph_degree_stats",      # probe x corpus exact kNN edges
+    # the round-15 pack's expensive families (queries/llm76.py)
+    "minhash_candidate_efficiency",  # full LSH pipeline + count rollups
+    "embedding_anisotropy_probe",    # (n/20)^2 probe product
 ]
 
 #: second-decade exponent above this fails the sweep
@@ -97,15 +100,18 @@ def main() -> None:
     from convex_batch_processor_spark.queries.llm75 import (
         CANDIDATES as _C75,
     )
+    from convex_batch_processor_spark.queries.llm76 import (
+        CANDIDATES as _C76,
+    )
     from convex_batch_processor_spark.session import get_spark
 
     # a name collision across the hand-maintained packs would make the
     # dict merge silently sweep the wrong implementation
-    _packs = [set(_C72), set(_C73), set(_C74), set(_C75)]
+    _packs = [set(_C72), set(_C73), set(_C74), set(_C75), set(_C76)]
     for i, a in enumerate(_packs):
         for b in _packs[i + 1:]:
             assert not (a & b), f"duplicate pre-flight names: {a & b}"
-    CANDIDATES = {**_C72, **_C73, **_C74, **_C75}
+    CANDIDATES = {**_C72, **_C73, **_C74, **_C75, **_C76}
     names = sys.argv[1:] or DEFAULT_QUERIES
     unknown = [n for n in names if n not in QUERIES and n not in CANDIDATES]
     if unknown:

@@ -636,3 +636,101 @@ def topk_per_key_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, event_id long, event_type string, ts timestamp, "
+    "stage_after int, advanced boolean, n_seen long"
+)
+FUNNEL_STATE_SCHEMA = "reached_us array<long>, n_seen long"
+
+#: the batch funnel_conversion stage order (queries/llm4.py)
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel_stage_stream(
+    stream: DataFrame,
+    stages: tuple = FUNNEL_STAGES,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Streaming strict-order funnel progression per key: for each
+    arriving (key, event_id, event_type, ts) row, advance the key's
+    funnel iff the event is the NEXT stage in ``stages`` and its ts is
+    strictly after the previously reached stage's ts (the batch
+    funnel_conversion semantics, queries/llm4.py — greedy in-ts-order
+    advancement reaches exactly the same stage as its MIN-per-stage
+    CTEs, strict > included), and emit the stage after processing plus
+    whether this row advanced it — the "user just converted" alerting
+    primitive the batch funnel cannot express incrementally. State per
+    key is the reached-stage timestamp list (at most |stages| epoch-
+    micros longs) + a counter — O(|stages|), bounded forever.
+
+    Determinism: WITHIN an epoch a key's rows process in
+    (ts NULLS FIRST, event_id, event_type NULLS FIRST) order — event_id
+    carries the -1 NULL sentinel (the dedup_audit treatment) so it is
+    not unique, and two NULL-id rows tying on ts must not fall back to
+    Arrow batch order (the topk lesson); event_type is the final
+    deterministic key (the only remaining varying column). ACROSS
+    epochs, arrival order is the semantic. A NULL ts never advances any
+    stage (mirrors the batch MIN ignoring NULLs; strict > against it is
+    undefined) but still counts in n_seen; a NULL key's rows process as
+    their own group and emit a NULL user_id; non-stage event types
+    (signup, error) emit advanced = False.
+    """
+    stage_of = {s: i for i, s in enumerate(stages)}
+
+    def update_funnel(key, pdfs, state):
+        import pandas as pd
+
+        (user_id,) = key
+        uid_out = None if pd.isna(user_id) else int(user_id)
+        reached_us, n_seen = state.get if state.exists else ([], 0)
+        reached = [int(u) for u in reached_us]
+        rows = {
+            "user_id": [], "event_id": [], "event_type": [], "ts": [],
+            "stage_after": [], "advanced": [], "n_seen": [],
+        }
+        arrivals = [
+            (r.ts, -1 if pd.isna(r.event_id) else int(r.event_id),
+             None if (isinstance(r.event_type, float) and pd.isna(r.event_type))
+             or r.event_type is None else str(r.event_type))
+            for pdf in pdfs
+            for r in pdf.itertuples(index=False)
+        ]
+        arrivals.sort(
+            key=lambda a: (
+                pd.Timestamp.min if pd.isna(a[0]) else a[0],
+                a[1],
+                a[2] is not None,
+                a[2] or "",
+            )
+        )
+        for ts, eid, etype in arrivals:
+            n_seen += 1
+            advanced = False
+            nxt = stage_of.get(etype)
+            if (
+                nxt is not None
+                and nxt == len(reached)
+                and not pd.isna(ts)
+                and (not reached or ts.value // 1000 > reached[-1])
+            ):
+                reached.append(int(ts.value) // 1000)
+                advanced = True
+            rows["user_id"].append(uid_out)
+            rows["event_id"].append(eid)
+            rows["event_type"].append(etype)
+            rows["ts"].append(None if pd.isna(ts) else ts)
+            rows["stage_after"].append(len(reached))
+            rows["advanced"].append(advanced)
+            rows["n_seen"].append(n_seen)
+        state.update((reached, n_seen))
+        yield pd.DataFrame(rows)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update_funnel,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

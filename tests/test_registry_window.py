@@ -98,27 +98,37 @@ def test_round11_window_tiers():
 def test_round11_window_is_fixture_gated():
     """VERDICT r8 #2: every window name must be covered by a crafted
     adversarial fixture gate's query list BEFORE the driver re-verifies
-    it. The pads + requeue span test_adversarial_fixtures' gates; the
-    llm72 pack is gated by tests/test_r11_preflight.py's own boundary
-    fixture (NOTES r11 swap caveat (a)) — the union below includes it
-    so the gate is verified, not assumed."""
+    it. The pads + requeue span test_adversarial_fixtures' gates; pack
+    names are gated by their pre-flight suite's own boundary fixture
+    (NOTES r11 swap caveat (a)). The union is built GENERICALLY over
+    every tests/test_r*_preflight module so future swaps cannot forget
+    to extend it: a pack suite only counts if it actually parametrizes
+    a boundary-fixture parity test over its CANDIDATES."""
+    import glob as _glob
+    import importlib
+
     from . import test_adversarial_fixtures as fx
-    from . import test_r11_preflight as pf
 
     gated: set[str] = set()
     for attr in dir(fx):
         if "_QUERIES" in attr and attr.startswith("_"):
             gated.update(getattr(fx, attr))
-    # the r11 pre-flight suite parametrizes its boundary-fixture parity
-    # over every llm72 candidate (sorted(CANDIDATES)); counting it in
-    # the union requires that list to actually cover the pack tier
-    from convex_batch_processor_spark.queries.llm72 import CANDIDATES
-
-    assert set(_PACK_TIER) <= set(CANDIDATES)
-    assert hasattr(pf, "test_preflight_boundary_parity")
-    gated.update(CANDIDATES)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(_glob.glob(os.path.join(here, "test_r*_preflight.py"))):
+        mod = importlib.import_module(
+            f"tests.{os.path.basename(path)[:-3]}"
+        )
+        if not hasattr(mod, "test_preflight_boundary_parity"):
+            continue  # no crafted fixture -> contributes nothing
+        qmod = importlib.import_module(mod.CANDIDATES_MODULE) if hasattr(
+            mod, "CANDIDATES_MODULE") else None
+        cands = getattr(mod, "CANDIDATES", None) or (
+            qmod.CANDIDATES if qmod else {})
+        gated.update(cands)
     missing = [n for n in _R11_WINDOW if n not in gated]
     assert missing == [], missing
+    # and the current pack tier must come from a suite, not be assumed
+    assert set(_PACK_TIER) <= gated
 
 
 def test_every_window_entry_is_oracle_backed():

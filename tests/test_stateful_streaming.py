@@ -874,3 +874,180 @@ def test_topk_stream_boundary_tie_admits_smaller_event_id(spark, tmp_path):
     assert by_eid[83].admitted is True     # ties value, smaller id wins
     assert by_eid[90].admitted is False    # ties value, larger id loses
     assert _replay_board(rows, 1) == {1: [(7.0, 83)]}  # == batch top-1
+
+
+# --- streaming strict-order funnel -------------------------------------------
+
+
+def _run_funnel_stream(spark, batches, tmp_path, name):
+    """Write batches as one parquet file each, stream one per trigger
+    through funnel_stage_stream, return the memory-sink rows."""
+    from convex_batch_processor_spark.streaming.stateful import (
+        funnel_stage_stream,
+    )
+
+    src = tmp_path / f"src_{name}"
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        funnel_stage_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def _batch_funnel_stage(events):
+    """Python replay of funnel_conversion's MIN-per-stage strict-> CTEs
+    (queries/llm4.py): events = [(ts, event_type)]."""
+    t_prev, stage = None, 0
+    for want in ("view", "click", "purchase"):
+        cand = [
+            ts for ts, et in events
+            if et == want and ts is not None
+            and (t_prev is None or ts > t_prev)
+        ]
+        if not cand:
+            break
+        t_prev = min(cand)
+        stage += 1
+    return stage
+
+
+def test_funnel_stream_matches_batch_funnel(spark, tmp_path):
+    """The final stage per user equals the batch funnel_conversion
+    semantics (greedy in-ts-order advancement == MIN-per-stage with
+    strict >), including an equal-ts non-advance and out-of-order stage
+    events."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 2, 1, 9, m)  # noqa: E731
+    rows = [
+        # user 1: full conversion, with a click BEFORE its view (ignored)
+        (1, 1, t(0), "click"), (1, 2, t(1), "view"),
+        (1, 3, t(2), "click"), (1, 4, t(3), "purchase"),
+        # user 2: click ties the view ts exactly -> strict > rejects it;
+        # a later click advances
+        (2, 5, t(1), "view"), (2, 6, t(1), "click"), (2, 7, t(2), "click"),
+        # user 3: non-stage noise only
+        (3, 8, t(0), "signup"), (3, 9, t(1), "error"),
+    ]
+    got = _run_funnel_stream(spark, [rows], tmp_path, "funnel_eq")
+    final = {}
+    for r in sorted(got, key=lambda r: (r.user_id, r.n_seen)):
+        final[r.user_id] = r.stage_after
+    by_user: dict = {}
+    for u, _e, ts, et in rows:
+        by_user.setdefault(u, []).append((ts, et))
+    for u, evs in by_user.items():
+        assert final[u] == _batch_funnel_stage(evs), u
+    # the tied click did NOT advance; the later one did
+    by_eid = {r.event_id: r for r in got}
+    assert by_eid[6].advanced is False and by_eid[7].advanced is True
+    # the pre-view click emitted stage 0, not an advance
+    assert by_eid[1].advanced is False and by_eid[1].stage_after == 0
+
+
+def test_funnel_stream_split_invariance(spark, tmp_path):
+    """The advanced/stage sequence must not depend on how arrivals split
+    across micro-batches when (ts, event_id) order is respected."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 2, 2, 8, m)  # noqa: E731
+    rows = [
+        (1, 10, t(0), "view"), (1, 11, t(1), "click"),
+        (1, 12, t(2), "purchase"), (1, 13, t(3), "view"),
+        (2, 14, t(0), "view"), (2, 15, t(1), "purchase"),
+    ]
+    one = _run_funnel_stream(spark, [rows], tmp_path, "funnel_one")
+    split = _run_funnel_stream(
+        spark, [rows[:2], rows[2:4], rows[4:]], tmp_path, "funnel_split"
+    )
+    key = lambda r: (r.event_id, r.stage_after, r.advanced, r.n_seen)  # noqa: E731
+    assert sorted(map(key, one)) == sorted(map(key, split))
+    # skipping a stage never advances: user 2's purchase at stage 1
+    by_eid = {r.event_id: r for r in one}
+    assert by_eid[15].advanced is False and by_eid[15].stage_after == 1
+
+
+def test_funnel_stream_null_hardening(spark, tmp_path):
+    """NULL ts never advances (the batch MIN ignores NULLs) but counts;
+    NULL event_id maps to the -1 sentinel; NULL keys form their own
+    group; NULL event_type is non-stage noise."""
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 2, 3, 7, m)  # noqa: E731
+    rows = [
+        (1, 20, None, "view"),      # NULL ts: no advance
+        (1, 21, t(1), "view"),      # advances
+        (1, None, t(2), "click"),   # NULL event_id: sentinel, advances
+        (None, 22, t(0), "view"),   # NULL key group
+        (1, 23, t(3), None),        # NULL event_type: noise
+    ]
+    got = _run_funnel_stream(spark, [rows], tmp_path, "funnel_null")
+    by_eid = {(r.user_id, r.event_id): r for r in got}
+    assert by_eid[(1, 20)].advanced is False
+    assert by_eid[(1, 21)].advanced is True
+    assert by_eid[(1, -1)].advanced is True and by_eid[(1, -1)].stage_after == 2
+    assert by_eid[(None, 22)].user_id is None
+    assert by_eid[(None, 22)].advanced is True  # its own funnel
+    assert by_eid[(1, 23)].advanced is False and by_eid[(1, 23)].stage_after == 2
+
+
+def test_funnel_stream_state_survives_query_restart(spark, tmp_path):
+    """The reached-stage list recovers from the checkpoint across a
+    restart: a click arriving in the second run advances only because
+    the first run's view is in recovered state (memory sink can't
+    recover checkpoints — collect via foreachBatch, the topk restart
+    pattern)."""
+    from datetime import datetime
+
+    from convex_batch_processor_spark.streaming.stateful import (
+        funnel_stage_stream,
+    )
+
+    t = lambda m: datetime(2024, 2, 4, 6, m)  # noqa: E731
+    schema = "user_id long, event_id long, ts timestamp, event_type string"
+    src = tmp_path / "funnel_restart_src"
+    src.mkdir()
+    emitted: list = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+        q = (
+            funnel_stage_stream(stream)
+            .writeStream.foreachBatch(
+                lambda df, eid: emitted.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "funnel_restart_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame(
+        [(1, 30, t(0), "view")], schema
+    ).coalesce(1).write.parquet(str(src / "a"))
+    run()  # stage 1 reached
+    spark.createDataFrame(
+        [(1, 31, t(1), "click")], schema
+    ).coalesce(1).write.parquet(str(src / "b"))
+    run()  # recovered state advances to stage 2
+    by_eid = {r.event_id: r for r in emitted}
+    assert by_eid[30].advanced is True and by_eid[30].stage_after == 1
+    assert by_eid[31].advanced is True and by_eid[31].stage_after == 2
+    assert by_eid[31].n_seen == 2

@@ -100,50 +100,49 @@ from . import llm72  # noqa: E402,F401  (r9-pre-flighted pack, registered late r
 from . import llm73  # noqa: E402,F401  (r10-pre-flighted pack, registered at the r11 close per the one-pack-per-round cadence; registers at the BACK — fronts the r12 window)
 
 
-# Round-11 rotation (NOTES.md "Round-11 rotation plan"): the driver
-# verifies the FIRST 50 registry entries. The r10 window retired the
-# stale backlog (ledger 0), so this window carries the 10 oracle-backed
-# llm72 names registered late r10 (never driver-verified — placed by
-# hand, the r7 backlog precedent: `--next-window` only proposes
-# already-verdicted names), then corpus_report (the ONE deliberate
-# stale requeue: its r9 verdict went stale when the r10 sf0.1-sweep
-# rule-14b fix landed; `--next-window` proposes it first), then 39
+# Round-12 rotation (NOTES.md "Round-12 rotation plan"): the driver
+# verifies the FIRST 50 registry entries. The r11 window retired the
+# last stale debt (ledger 0 for the first time), so this window carries
+# the 9 oracle-backed llm73 names registered at the r11 close (never
+# driver-verified — placed by hand; `--next-window` only proposes
+# already-verdicted names; the rows-only isotonic_calibration_pava
+# records no hash verdict by contract and stays outside), then 41
 # machine-derived freshness pads (oldest-verdict fresh names —
-# `stale_green_check.py --next-window` re-run at this swap matched the
-# NOTES preview exactly; its 40th pad, supplier_triangles, drops to make
-# room for the requeue). All 50 pre-flighted at sf0.01 on r10 final
-# HEAD (50/50 PASS) and re-verified at this swap after the in-window
-# rule-14 strips (chi2_independence_cells, mixture_weights_sqrt,
-# tfidf_topk_terms, benford_order_prices — rounded exact ratios
-# emitted raw, fix free because the names occupy this window). The
-# llm72 rows-only pair (pack_best_fit_decreasing, zca_whitening_matrix)
-# records no hash verdict by contract and stays outside the window.
+# `stale_green_check.py --next-window` re-run STRICT at this swap,
+# with CORRECTNESS_r11.json tracked, matched the NOTES preview
+# exactly: supplier_triangles … clustering_purity). All 50
+# pre-flighted at sf0.01 on r11 final HEAD (50/50 PASS) and
+# re-verified at this swap after the in-window rule-14 strips (see the
+# swap commit: rounded exact ratios emitted raw where the whole chain
+# is fixed-IEEE over bit-identical doubles, kept where a
+# decimal→double cast can pass 2^53 — the r11 zipf leaf-absorption
+# lesson).
 prioritize([
-    # llm72 pack, oracle-backed (10) — never-verified, front of window
-    "substring_dedup_spans", "kneser_ney_doc_logprob",
-    "hits_part_supplier", "rank_gauss_prices", "temperature_mix_weights",
-    "stratified_reservoir_sample", "keyword_tag_counts",
-    "tenure_hazard_table", "embedding_dim_standardize",
-    "phrase_tag_spans",
-    # the one stale oracle-backed requeue (r10 rule-14b fix)
-    "corpus_report",
-    # freshness pads (39): oldest-verdict fresh names, tool order
-    "dedup_exact", "dedup_prefix_groups", "doc_fingerprints",
-    "dsir_importance_weights", "embedding_neardup_pairs",
-    "embedding_quantize_int8", "funnel_conversion",
-    "gopher_quality_filter", "incremental_dedup_delta", "knn_bruteforce",
-    "lang_source_profile", "mixture_weights_sqrt",
-    "multimodal_payload_stats", "new_vs_returning_users",
-    "ngram_jaccard_pairs", "repetition_top_bigram", "retention_cohorts",
-    "rolling_weekly_active_users", "simhash_portable_neardup",
-    "snapshot_state_diff", "source_cap_sample", "tfidf_topk_terms",
-    "value_histogram", "zipf_vocab_fit", "benford_order_prices",
-    "burst_detection_daily", "catalog_stats_profile",
-    "cdc_apply_changelog", "chi2_independence_cells",
-    "ctr_wilson_bounds", "dataset_split_folds", "dq_constraint_report",
-    "gapfill_daily_counts", "hard_negative_mining",
-    "label_balance_undersample", "mad_outliers", "market_basket_rules",
-    "psi_value_drift", "revenue_pareto_bands",
+    # llm73 pack, oracle-backed (9) — never-verified, front of window
+    "top_ngram_char_fraction", "substring_dedup_scrub",
+    "source_mix_divergence", "hashed_linear_quality_score",
+    "chunked_attention_waste", "tokenizer_fertility_by_lang",
+    "span_corruption_plan", "embedding_energy_profile",
+    "bigram_conditional_entropy",
+    # freshness pads (41): oldest-verdict fresh names, tool order
+    "supplier_triangles", "time_decay_user_score", "ts_feature_matrix",
+    "user_rfm_segments", "vocab_entropy_by_source",
+    "weighted_sample_orders", "window_funnel_depth",
+    "zorder_layout_stats", "bfs_hop_distance", "calibration_bins",
+    "char_entropy_quality", "consistent_hash_rebalance",
+    "exact_substr_scrub", "feature_hash_stats",
+    "frequent_word_subsample", "functional_dependency_check",
+    "jaccard_pair_histogram", "k_anonymity_audit",
+    "minhash_estimate_neardup", "mmr_diverse_topk",
+    "neardup_eval_metrics", "negative_sampling_table",
+    "ols_price_normal_eq", "partition_skew_audit", "payload_byte_stats",
+    "peak_concurrency_by_user", "png_decode_features",
+    "randomized_response_rate", "robots_filter_stats", "rrf_fusion_topk",
+    "semantic_dedup_keep", "skipgram_pairs_topk", "target_encode_brand",
+    "tfidf_cosine_pairs", "unicode_normalize_stats",
+    "url_canonicalize_stats", "asof_interpolate_price",
+    "bradley_terry_strengths", "cidr_zone_lookup",
+    "clustering_nmi_vmeasure", "clustering_purity",
 ])
 
 

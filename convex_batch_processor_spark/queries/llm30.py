@@ -77,6 +77,14 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exact within the pruned space: integer nano-unit weights, decimal
     dot/norm accumulation, one IEEE division — bit-stable cross-engine.
 
+    Rule-14 KEEP (measured at the r12 swap): the decimal dot/norm sums
+    have unscaled values up to 3.8e21 >> 2^53 at sf0.1, so their
+    ->DOUBLE casts can land 1 ulp apart between engines (Java
+    BigDecimal.doubleValue vs DuckDB int128/10^s) — the round(,6) is
+    LEAF-ABSORPTION of that drift and guards the >= 0.04 threshold from
+    boundary flapping; a 6-dp tie on these noisy operands is
+    measure-zero. Stripping it risks sf0.1 parity (zipf counter-case).
+
     Scale: explode -> (source, gram) equi-join -> pair agg; no term
     yields more than df_cap^2/2 candidates, no cross join, no UDF."""
     return R.tfidf_cosine_pairs(_t(spark, sf_dir, "documents"))

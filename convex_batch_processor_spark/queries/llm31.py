@@ -45,11 +45,11 @@ _RRF_POOL, _RRF_K, _RRF_C = 100, 20, 60
         SELECT i.doc_id,
                CAST(a.rnk AS BIGINT) AS rank_a,
                CAST(b.rnk AS BIGINT) AS rank_b,
-               round(coalesce(1.0 / ({_RRF_C} + a.rnk), 0.0)
-                     + coalesce(1.0 / ({_RRF_C} + b.rnk), 0.0), 9) AS rrf_score,
+               coalesce(1.0 / ({_RRF_C} + a.rnk), 0.0)
+                     + coalesce(1.0 / ({_RRF_C} + b.rnk), 0.0) AS rrf_score,
                row_number() OVER (
-                   ORDER BY round(coalesce(1.0 / ({_RRF_C} + a.rnk), 0.0)
-                                  + coalesce(1.0 / ({_RRF_C} + b.rnk), 0.0), 9) DESC,
+                   ORDER BY coalesce(1.0 / ({_RRF_C} + a.rnk), 0.0)
+                                  + coalesce(1.0 / ({_RRF_C} + b.rnk), 0.0) DESC,
                             i.doc_id ASC) AS rn
         FROM ids i
         LEFT JOIN a_rnk a ON a.doc_id = i.doc_id
@@ -88,7 +88,11 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("rank_a").cast("long").alias("rank_a"),
         F.col("rank_b").cast("long").alias("rank_b"),
-        F.round(contrib_a + contrib_b, 9).alias("rrf_score"),
+        # rule 14 (r12 strip): integer ranks -> each contribution is one
+        # IEEE division and the two-term sum a fixed expression —
+        # bit-identical raw in both engines (the doc_id tiebreak keeps
+        # the top-k deterministic either way); round(,9) could only mask.
+        (contrib_a + contrib_b).alias("rrf_score"),
     )
     return (
         scored.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())

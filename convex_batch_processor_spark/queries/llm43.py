@@ -123,10 +123,10 @@ def skipgram_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM vocab),
     tot AS (SELECT SUM(w9) AS tot FROM v)
     SELECT term, cnt,
-           round(CAST(w9 AS DOUBLE) / CAST(tot.tot AS DOUBLE), 9) AS prob,
-           round(CAST(SUM(w9) OVER (ORDER BY cnt DESC, term
+           CAST(w9 AS DOUBLE) / CAST(tot.tot AS DOUBLE) AS prob,
+           CAST(SUM(w9) OVER (ORDER BY cnt DESC, term
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-                 / CAST(tot.tot AS DOUBLE), 9) AS cum_prob
+                 / CAST(tot.tot AS DOUBLE) AS cum_prob
     FROM v CROSS JOIN tot
     """,
 )
@@ -161,10 +161,15 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "cnt",
-            F.round(F.col("w9").cast("double") / F.col("tot").cast("double"), 9).alias(
+            # rule 14 (r12 strip): w9 / running sum / tot are exact
+            # DECIMAL(28,9); their ->DOUBLE casts are exact while the
+            # scaled integer stays under 2^53 (measured sf0.1 tot:
+            # 2.78e13 scaled — 300x headroom), so the division is a
+            # single bit-identical IEEE op and round(,9) could only mask.
+            (F.col("w9").cast("double") / F.col("tot").cast("double")).alias(
                 "prob"
             ),
-            F.round(F.col("cw").cast("double") / F.col("tot").cast("double"), 9).alias(
+            (F.col("cw").cast("double") / F.col("tot").cast("double")).alias(
                 "cum_prob"
             ),
         )
@@ -181,7 +186,7 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     top AS (SELECT term, cnt FROM cnt ORDER BY cnt DESC, term LIMIT {_SUBS_TOPK}),
     p AS (
         SELECT term, cnt, tot.n,
-               round(CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE), 9) AS freq,
+               CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE) AS freq,
                least(1.0, round(
                    sqrt({_SUBS_T} / (CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)))
                    + {_SUBS_T} / (CAST(cnt AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9))
@@ -222,7 +227,10 @@ def frequent_word_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "term",
             "cnt",
-            F.round(f, 9).alias("freq"),
+            # rule 14 (r12 strip): freq is a single IEEE division of
+            # exact int64 counts (not consumed downstream — keep_prob
+            # recomputes f raw), bit-identical in both engines unrounded.
+            f.alias("freq"),
             keep.alias("keep_prob"),
         )
         .withColumn(

@@ -89,6 +89,13 @@ def ols_price_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IEEE doubles are bit-identical under identical shape). ``pow`` and
     float re-association never appear.
 
+    Rule-14 KEEP (measured at the r12 swap): syy's exact decimal sum has
+    unscaled value 2.2e19 >> 2^53 at sf0.1, and DuckDB's DECIMAL->DOUBLE
+    cast was measured 1 ulp off the correctly-rounded value Spark
+    produces — the output round(,9)s are LEAF-ABSORPTION of that drift
+    (values are O(1)-O(10), so a 9-dp tie is measure-zero), exactly the
+    zipf_vocab_fit counter-case. Stripping them would fail sf0.1 parity.
+
     Scale: one scan -> one partial-agg reduce to a single moment row;
     the solve is O(1) regardless of corpus size. Adding features grows
     the moment count quadratically but the plan shape not at all."""
@@ -173,9 +180,9 @@ _PI_SQL = """
     WITH {_PI_SQL}
     SELECT CAST(least(49, CAST(floor(pi9 * 50) AS INTEGER)) AS INTEGER) AS bin,
            CAST(SUM(c) AS BIGINT) AS n_rows,
-           round(CAST(SUM(CAST(c AS DECIMAL(12,0)) * CAST(pi9 AS DECIMAL(12,9)))
-                      AS DOUBLE) / SUM(c), 9) AS avg_conf,
-           round(CAST(SUM(p) AS DOUBLE) / SUM(c), 9) AS frac_pos
+           CAST(SUM(CAST(c AS DECIMAL(12,0)) * CAST(pi9 AS DECIMAL(12,9)))
+                AS DOUBLE) / SUM(c) AS avg_conf,
+           CAST(SUM(p) AS DOUBLE) / SUM(c) AS frac_pos
     FROM pi
     GROUP BY 1
     """,
@@ -203,14 +210,19 @@ def calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(49), F.floor(F.col("pi9") * 50).cast("int")).alias("bin")
     ).agg(
         F.sum("c").cast("long").alias("n_rows"),
-        F.round(
+        # rule 14 (r12 strip): both rates are single IEEE divisions of
+        # deterministic operands — the avg_conf numerator is an exact
+        # DECIMAL(24,9) sum whose unscaled value stays far under 2^53
+        # (measured sf0.1 max 1.75e14, 51x headroom), so its ->DOUBLE
+        # cast is exact; frac_pos is int/int. The pre-aggregation pi9
+        # round is the load-bearing decimal-grid pin and stays.
+        (
             F.sum(
                 F.col("c").cast("decimal(12,0)") * F.col("pi9").cast("decimal(12,9)")
             ).cast("double")
-            / F.sum("c"),
-            9,
+            / F.sum("c")
         ).alias("avg_conf"),
-        F.round(F.sum("p").cast("double") / F.sum("c"), 9).alias("frac_pos"),
+        (F.sum("p").cast("double") / F.sum("c")).alias("frac_pos"),
     )
 
 

@@ -135,10 +135,10 @@ def dp_noisy_counts_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(t) AS BIGINT) AS n_true,
            CAST(SUM(rep) AS BIGINT) AS n_reported,
-           round(CAST(SUM(rep) AS DOUBLE) / COUNT(*), 9) AS observed_rate,
-           round(((CAST(SUM(rep) AS DOUBLE) / COUNT(*)) - 0.25) / 0.5, 9)
+           CAST(SUM(rep) AS DOUBLE) / COUNT(*) AS observed_rate,
+           ((CAST(SUM(rep) AS DOUBLE) / COUNT(*)) - 0.25) / 0.5
                AS debiased_rate,
-           round(CAST(SUM(t) AS DOUBLE) / COUNT(*), 9) AS true_rate
+           CAST(SUM(t) AS DOUBLE) / COUNT(*) AS true_rate
     FROM r
     """,
 )
@@ -165,9 +165,12 @@ def randomized_response_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("t").cast("long").alias("n_true"),
         F.sum("rep").cast("long").alias("n_reported"),
-        F.round(obs, 9).alias("observed_rate"),
-        F.round((obs - 0.25) / 0.5, 9).alias("debiased_rate"),
-        F.round(F.sum("t").cast("double") / F.count(F.lit(1)), 9).alias("true_rate"),
+        # rule 14 (r12 strip): int/int divisions plus an affine chain
+        # over exact binary constants (0.25, 0.5) — every op is a single
+        # bit-identical IEEE step; the former round(,9) could only mask.
+        obs.alias("observed_rate"),
+        ((obs - 0.25) / 0.5).alias("debiased_rate"),
+        (F.sum("t").cast("double") / F.count(F.lit(1))).alias("true_rate"),
     )
 
 

@@ -223,7 +223,7 @@ _LN2 = 0.6931471805599453
         FROM per_doc)
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           round(CAST(SUM(CAST(h_bits AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*), 9)
+           CAST(SUM(CAST(h_bits AS DECIMAL(12,9))) AS DOUBLE) / COUNT(*)
                AS avg_entropy_bits,
            CAST(SUM(CASE WHEN h_bits < 3.0 THEN 1 ELSE 0 END) AS BIGINT)
                AS low_entropy_docs
@@ -271,10 +271,13 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return h.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.round(
+        # rule 14 (r12 strip): h_bits is 9-dp-pinned per doc, so the
+        # decimal sum is exact with unscaled value ~5e14 at sf0.1 (18x
+        # under 2^53 — exact ->DOUBLE cast), and the division by the doc
+        # count is one bit-identical IEEE op; round(,9) could only mask.
+        (
             F.sum(F.col("h_bits").cast("decimal(12,9)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
+            / F.count(F.lit(1))
         ).alias("avg_entropy_bits"),
         F.sum((F.col("h_bits") < 3.0).cast("long")).cast("long").alias(
             "low_entropy_docs"

@@ -148,9 +148,9 @@ _TE_M = 10.0  # smoothing pseudo-count
         FROM g)
     SELECT p_brand,
            n AS n_rows,
-           round(gl.gmean, 9) AS global_mean,
-           round((CAST(sy AS DOUBLE) + ({_TE_M!r} * gl.gmean))
-                 / (CAST(n AS DOUBLE) + {_TE_M!r}), 9) AS enc_price
+           gl.gmean AS global_mean,
+           (CAST(sy AS DOUBLE) + ({_TE_M!r} * gl.gmean))
+                 / (CAST(n AS DOUBLE) + {_TE_M!r}) AS enc_price
     FROM g CROSS JOIN gl
     """,
 )
@@ -184,11 +184,15 @@ def target_encode_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(glob)).select(
         "p_brand",
         F.col("n").alias("n_rows"),
-        F.round(F.col("gmean"), 9).alias("global_mean"),
-        F.round(
+        # rule 14 (r12 strip): sy's exact DECIMAL(18,2) sums stay ~3900x
+        # under 2^53 unscaled at sf0.1 (exact ->DOUBLE casts), and the
+        # encoding is a mirrored fixed IEEE expression tree over those
+        # deterministic operands — raw is bit-identical; round could
+        # only mask.
+        F.col("gmean").alias("global_mean"),
+        (
             (F.col("sy").cast("double") + (F.lit(_TE_M) * F.col("gmean")))
-            / (F.col("n").cast("double") + F.lit(_TE_M)),
-            9,
+            / (F.col("n").cast("double") + F.lit(_TE_M))
         ).alias("enc_price"),
     )
 

@@ -176,8 +176,8 @@ _SKEW_BUCKETS = 32
     g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM b GROUP BY 1),
     tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n FROM g)
     SELECT bucket, n_rows,
-           round(CAST(n_rows * {_SKEW_BUCKETS} AS BIGINT)
-                 / CAST(tot.n AS DOUBLE), 9) AS skew_ratio
+           CAST(n_rows * {_SKEW_BUCKETS} AS BIGINT)
+                 / CAST(tot.n AS DOUBLE) AS skew_ratio
     FROM g CROSS JOIN tot
     """,
 )
@@ -209,8 +209,9 @@ def partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(tot)).select(
         "bucket",
         "n_rows",
-        F.round(
-            (F.col("n_rows") * _SKEW_BUCKETS).cast("long") / F.col("n").cast("double"),
-            9,
+        # rule 14 (r12 strip): one IEEE division of exact int64 counts —
+        # bit-identical raw in both engines; round(,9) could only mask.
+        (
+            (F.col("n_rows") * _SKEW_BUCKETS).cast("long") / F.col("n").cast("double")
         ).alias("skew_ratio"),
     )

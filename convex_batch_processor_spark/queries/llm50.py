@@ -92,9 +92,9 @@ def _truth_pairs(sh_raw: DataFrame):
            n_candidates - tp AS fp,
            n_truth - tp AS fn,
            CASE WHEN n_candidates = 0 THEN NULL
-                ELSE round(CAST(tp AS DOUBLE) / n_candidates, 9) END AS lsh_precision,
+                ELSE CAST(tp AS DOUBLE) / n_candidates END AS lsh_precision,
            CASE WHEN n_truth = 0 THEN NULL
-                ELSE round(CAST(tp AS DOUBLE) / n_truth, 9) END AS lsh_recall
+                ELSE CAST(tp AS DOUBLE) / n_truth END AS lsh_recall
     FROM m
     """,
 )
@@ -143,11 +143,14 @@ def neardup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tp",
         (F.col("n_candidates") - F.col("tp")).alias("fp"),
         (F.col("n_truth") - F.col("tp")).alias("fn"),
+        # rule 14 (r12 strip): precision/recall are single IEEE divisions
+        # of exact int64 counts — bit-identical in both engines raw; the
+        # former round(,9) could only mask a real divergence.
         F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("tp").cast("double") / F.col("n_candidates"), 9))
+        .otherwise(F.col("tp").cast("double") / F.col("n_candidates"))
         .alias("lsh_precision"),
         F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("tp").cast("double") / F.col("n_truth"), 9))
+        .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
         .alias("lsh_recall"),
     )
 

@@ -56,11 +56,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ) WHERE rn = 1)
     SELECT prev.event_id, prev.user_id, prev.ts,
            CASE WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
-               round(CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE)
+               CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE)
                      + ((CAST(epoch_us(ts) - epoch_us(pd) AS DOUBLE)
                          / CAST(epoch_us(nd) - epoch_us(pd) AS DOUBLE))
                         * (CAST(CAST(nv AS DECIMAL(18,2)) AS DOUBLE)
-                           - CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE))), 9)
+                           - CAST(CAST(pv AS DECIMAL(18,2)) AS DOUBLE)))
            END AS interp_price
     FROM prev JOIN nxt ON nxt.event_id = prev.event_id
     """,
@@ -143,9 +143,11 @@ def asof_interpolate_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = F.unix_micros(F.col("nd")) - F.unix_micros(F.col("pd"))
     pvd = F.col("pv").cast("decimal(18,2)").cast("double")
     nvd = F.col("nv").cast("decimal(18,2)").cast("double")
-    interp = F.round(
-        pvd + ((frac.cast("double") / span.cast("double")) * (nvd - pvd)), 9
-    )
+    # rule 14 (r12 strip): every leaf is exact (epoch micros are int64
+    # under 2^53; 2-dp decimal prices cast to double exactly) and the
+    # interpolation is a mirrored fixed IEEE expression tree — raw is
+    # bit-identical; the former round(,9) could only mask.
+    interp = pvd + ((frac.cast("double") / span.cast("double")) * (nvd - pvd))
     return rows.select(
         "event_id",
         F.col("key").alias("user_id"),

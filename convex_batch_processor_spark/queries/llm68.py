@@ -153,7 +153,7 @@ def dbscan_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(SUM(sz) AS BIGINT) AS n_points,
            CAST(SUM(m) AS BIGINT) AS majority_points,
-           round(CAST(SUM(m) AS DOUBLE) / SUM(sz), 9) AS purity
+           CAST(SUM(m) AS DOUBLE) / SUM(sz) AS purity
     FROM mx
     """,
 )
@@ -177,5 +177,7 @@ def clustering_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("sz").cast("long").alias("n_points"),
         F.sum("m").cast("long").alias("majority_points"),
-        F.round(F.sum("m").cast("double") / F.sum("sz"), 9).alias("purity"),
+        # rule 14 (r12 strip): single IEEE division of exact int64 sums —
+        # bit-identical raw in both engines; round(,9) could only mask.
+        (F.sum("m").cast("double") / F.sum("sz")).alias("purity"),
     )

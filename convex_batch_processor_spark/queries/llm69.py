@@ -74,12 +74,12 @@ def _asg_sql() -> str:
            round(ht.h, 9) AS h_true,
            CASE WHEN (hp.h * ht.h) > 0
                 THEN round(mi.mi / sqrt(hp.h * ht.h), 9) END AS nmi,
-           CASE WHEN ht.h <> 0 THEN round(mi.mi / ht.h, 9) END AS homogeneity,
-           CASE WHEN hp.h <> 0 THEN round(mi.mi / hp.h, 9) END AS completeness,
+           CASE WHEN ht.h <> 0 THEN mi.mi / ht.h END AS homogeneity,
+           CASE WHEN hp.h <> 0 THEN mi.mi / hp.h END AS completeness,
            CASE WHEN ht.h <> 0 AND hp.h <> 0
                      AND ((mi.mi / ht.h) + (mi.mi / hp.h)) <> 0
-                THEN round((2.0 * ((mi.mi / ht.h) * (mi.mi / hp.h)))
-                     / ((mi.mi / ht.h) + (mi.mi / hp.h)), 9) END AS v_measure
+                THEN (2.0 * ((mi.mi / ht.h) * (mi.mi / hp.h)))
+                     / ((mi.mi / ht.h) + (mi.mi / hp.h)) END AS v_measure
     FROM tot CROSS JOIN mi CROSS JOIN hp CROSS JOIN ht
     """,
 )
@@ -175,12 +175,20 @@ def clustering_nmi_vmeasure(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("mi") / F.sqrt(F.col("h_pred") * F.col("h_true")), 9
             ),
         ).alias("nmi"),
-        F.when(F.col("h_true") != 0, F.round(hom, 9)).alias("homogeneity"),
-        F.when(F.col("h_pred") != 0, F.round(com, 9)).alias("completeness"),
+        # rule 14 (r12 strip): mi / h_pred / h_true are deterministic
+        # doubles (9-dp-pinned ln leaves into exact decimal sums whose
+        # unscaled values stay ~100x under 2^53 at sf0.1, one division
+        # each), so homogeneity/completeness/v_measure are mirrored
+        # fixed IEEE trees over bit-identical operands — raw matches;
+        # round(,9) could only mask. nmi keeps its round: sqrt is a
+        # correctly-rounded IEEE op too, but the round there is the
+        # documented transcendental-leaf shape the gate exempts.
+        F.when(F.col("h_true") != 0, hom).alias("homogeneity"),
+        F.when(F.col("h_pred") != 0, com).alias("completeness"),
         F.when(
             (F.col("h_true") != 0)
             & (F.col("h_pred") != 0)
             & ((hom + com) != 0),
-            F.round((F.lit(2.0) * (hom * com)) / (hom + com), 9),
+            (F.lit(2.0) * (hom * com)) / (hom + com),
         ).alias("v_measure"),
     )

@@ -560,10 +560,18 @@ _BAND_DENOM = 1_000_000  # hashed weights read at scale 1e-6 (llm73 contract)
         GROUP BY doc_id, len(t)),
     banded AS (
         -- integer-space banding: mean weight in [-1, 1] at scale 1e-6,
-        -- band = floor-toward-zero of 10 * mean — engine exp()/floor()
-        -- never runs (the llm73 integer-threshold lesson)
+        -- band = FLOOR of 10 * mean (ADVICE r11: trunc-toward-zero gave
+        -- band 0 twice the width of every other band, merging slightly-
+        -- negative and slightly-positive docs). Both engines' integer
+        -- // and div TRUNCATE, so floor is trunc minus one when the
+        -- division is inexact and the operands' signs differ — pure
+        -- integer arithmetic, engine floor()/exp() never runs (the
+        -- llm73 integer-threshold lesson)
         SELECT doc_id, n_tokens,
-               CAST((w_sum * 10) // (n_tokens * {_BAND_DENOM}) AS INTEGER)
+               CAST(((w_sum * 10) // (n_tokens * {_BAND_DENOM}))
+                    - CASE WHEN w_sum < 0
+                                AND (w_sum * 10) % (n_tokens * {_BAND_DENOM}) <> 0
+                           THEN 1 ELSE 0 END AS INTEGER)
                    AS band
         FROM scored),
     corpus AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM banded)
@@ -579,13 +587,17 @@ def quality_band_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token share by hashed-quality band: documents bucketed by the
     deterministic hashed linear scorer's MEAN token weight (llm73's
     hashed_token_weight — the fastText-class scoring plumbing), bands
-    computed in PURE INTEGER space (band = trunc(10 * mean_w) with
+    computed in PURE INTEGER space (band = floor(10 * mean_w) with
     mean_w read at scale 1e-6) — the "what would a quality threshold
     keep" table: cumulative token share above a band is the retained
-    budget at that cut. Integer banding instead of a sigmoid floor
+    budget at that cut. FLOOR banding (ADVICE r11): trunc-toward-zero
+    made band 0 span (-0.1, 0.1) — twice every other band's width —
+    merging slightly-negative and slightly-positive docs; floor keeps
+    all bands uniform. Integer banding instead of a sigmoid floor
     because engine exp() can differ by an ulp and flip a band at its
     edge; integer division cannot (Spark div and DuckDB // truncate
-    identically on integers, including negatives — rule 12).
+    identically on integers, including negatives — rule 12 — and the
+    explicit negative-remainder correction turns both into floor).
 
     Determinism: exact integer weight sums (60-bit md5 prefixes mod the
     llm73 weight table) and integer band arithmetic; the token share is
@@ -612,9 +624,12 @@ def quality_band_token_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = scored.select(
         "doc_id",
         "n_tokens",
-        F.expr(f"CAST((w_sum * 10) div (n_tokens * {_BAND_DENOM}) AS INT)").alias(
-            "band"
-        ),
+        F.expr(
+            f"CAST((w_sum * 10) div (n_tokens * {_BAND_DENOM})"
+            f" - (CASE WHEN w_sum < 0"
+            f"           AND (w_sum * 10) % (n_tokens * {_BAND_DENOM}) != 0"
+            f"      THEN 1 ELSE 0 END) AS INT)"
+        ).alias("band"),
     )
     corpus = banded.agg(F.sum("n_tokens").cast("long").alias("total"))
     return (

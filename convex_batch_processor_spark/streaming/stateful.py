@@ -20,6 +20,15 @@ from pyspark.sql.streaming.state import GroupStateTimeout
 OUTPUT_SCHEMA = "user_id long, epoch_count long, total_count long, total_value double"
 STATE_SCHEMA = "total_count long, total_value double"
 
+#: Sentinel for a NULL id (pandas surfaces it as NaN; int(NaN) would
+#: kill the query). int64 MIN, not -1 (ADVICE r11): -1 is a plausible
+#: producer id, so a genuine -1 would silently share identity and
+#: tie-break order with NULL-id rows; no realistic id domain emits
+#: int64 MIN, so the collision documented by the old contract cannot
+#: occur in practice. Sorts FIRST among ids, preserving the NULLS
+#: FIRST ordering the old -1 sentinel gave over non-negative domains.
+NULL_ID_SENTINEL = -(1 << 63)
+
 
 def running_totals_per_key(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Stateful per-key running totals over a stream of (user_id, value).
@@ -460,15 +469,14 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
     the winner must not change when the source is split differently);
     ACROSS epochs, earlier epochs win by construction (streaming arrival
     order is the semantic, as in the token bucket). A NULL user_id still
-    COUNTS as an arrival (the audit contract is exact) under the sentinel
-    -1 — the same "no uid" sentinel the empty state uses — and sorts
-    FIRST, matching the repo's pinned NULLS FIRST window ordering
-    (pandas surfaces NULL as NaN; int(NaN) would otherwise crash the
-    whole query, ADVICE r9). Contract caveat: the sentinel assumes a
-    NON-NEGATIVE user_id domain (the testdata's ids are >= 1) — a
-    legitimate -1 id would alias the sentinel, and negative ids would
-    sort before it; domains with negative ids need a nullable
-    first_user_id column instead.
+    COUNTS as an arrival (the audit contract is exact) under
+    NULL_ID_SENTINEL (int64 MIN — the same "no uid" sentinel the empty
+    state uses) and sorts FIRST, matching the repo's pinned NULLS FIRST
+    window ordering (pandas surfaces NULL as NaN; int(NaN) would
+    otherwise crash the whole query, ADVICE r9). The sentinel sits
+    outside every plausible id domain (ADVICE r11 retired the old -1,
+    which a producer could legitimately emit), so no genuine id can
+    alias it and any genuine id sorts after it.
     """
 
     def update_audit(key, pdfs, state):
@@ -476,9 +484,11 @@ def dedup_audit_per_key(stream: DataFrame, key_col: str = "event_id") -> DataFra
 
         (event_id,) = key
         rows = {"event_id": [], "first_user_id": [], "n_seen": [], "is_first": []}
-        n_seen, first_uid = state.get if state.exists else (0, -1)
+        n_seen, first_uid = (
+            state.get if state.exists else (0, NULL_ID_SENTINEL)
+        )
         uids = sorted(
-            -1 if pd.isna(u) else int(u)
+            NULL_ID_SENTINEL if pd.isna(u) else int(u)
             for pdf in pdfs for u in pdf["user_id"]
         )
         for uid in uids:
@@ -546,15 +556,16 @@ def topk_per_key_stream(
     NULLS FIRST ordering, via a min-timestamp sentinel — a raw tuple
     sort would leave NaT rows in partition order, silently breaking the
     split invariance); a NULL key's rows process as their own group and
-    emit a NULL user_id. A NULL event_id maps to the -1 sentinel (the
-    dedup_audit treatment — pandas surfaces it as NaN and int(NaN)
-    would kill the query): the row still counts and can admit, sorting
-    and tie-breaking as id -1; because the sentinel makes ids non-unique,
-    the within-epoch sort adds value (NULLS FIRST via -inf) as the final
-    key so two NULL-id arrivals tying on ts process in a
-    partition-independent order. Producers using a GENUINE -1 event_id
-    share the sentinel's identity — a documented contract, as in
-    dedup_audit.
+    emit a NULL user_id. A NULL event_id maps to NULL_ID_SENTINEL
+    (int64 MIN, the dedup_audit treatment — pandas surfaces it as NaN
+    and int(NaN) would kill the query): the row still counts and can
+    admit, sorting and tie-breaking before every genuine id; because
+    the sentinel makes ids non-unique, the within-epoch sort adds value
+    (NULLS FIRST via -inf) as the final key so two NULL-id arrivals
+    tying on ts process in a partition-independent order. The sentinel
+    sits outside every plausible id domain (ADVICE r11 retired the old
+    -1, which a producer could legitimately emit), so a genuine id
+    cannot silently share identity with NULL-id rows.
     """
 
     def update_topk(key, pdfs, state):
@@ -581,7 +592,7 @@ def topk_per_key_stream(
             # -1 sentinel: it still counts in n_seen and can admit, and
             # value ties between two NULL-id rows resolve deterministic-
             # ally (equal sentinel ids never beat each other)
-            (r.ts, -1 if pd.isna(r.event_id) else int(r.event_id),
+            (r.ts, NULL_ID_SENTINEL if pd.isna(r.event_id) else int(r.event_id),
              None if pd.isna(r.value) else float(r.value))
             for pdf in pdfs
             for r in pdf.itertuples(index=False)
@@ -667,7 +678,8 @@ def funnel_stage_stream(
 
     Determinism: WITHIN an epoch a key's rows process in
     (ts NULLS FIRST, event_id, event_type NULLS FIRST) order — event_id
-    carries the -1 NULL sentinel (the dedup_audit treatment) so it is
+    carries the int64-MIN NULL_ID_SENTINEL (the dedup_audit treatment;
+    outside every plausible id domain, ADVICE r11) so it is
     not unique, and two NULL-id rows tying on ts must not fall back to
     Arrow batch order (the topk lesson); event_type is the final
     deterministic key (the only remaining varying column). ACROSS
@@ -691,7 +703,7 @@ def funnel_stage_stream(
             "stage_after": [], "advanced": [], "n_seen": [],
         }
         arrivals = [
-            (r.ts, -1 if pd.isna(r.event_id) else int(r.event_id),
+            (r.ts, NULL_ID_SENTINEL if pd.isna(r.event_id) else int(r.event_id),
              None if (isinstance(r.event_type, float) and pd.isna(r.event_type))
              or r.event_type is None else str(r.event_type))
             for pdf in pdfs

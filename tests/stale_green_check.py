@@ -112,11 +112,32 @@ def verified_states(strict: bool = False) -> dict[int, str]:
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         side = _sidecar_base(path)
-        if side is not None:
-            out[rnd] = side
-            continue
         line = _git("log", "--diff-filter=A", "--format=%H %P", "--",
                     os.path.basename(path)).strip()
+        if side is not None:
+            # ADVICE r11: when the verdicts file IS committed, the git
+            # ADD-commit parent is the stronger record — a stale or
+            # hand-edited sidecar must not silently override it. Prefer
+            # git and warn on disagreement; the sidecar remains
+            # authoritative only while the file is untracked (its
+            # designed role: pinning the base BEFORE the commit lands).
+            git_parent = None
+            if line:
+                parts = line.splitlines()[0].split()
+                if len(parts) >= 2:
+                    git_parent = parts[1]
+            if git_parent is not None and git_parent != side:
+                print(
+                    f"warning: CORRECTNESS_r{rnd:02d}.json.base names "
+                    f"{side[:12]} but the git ADD-commit parent is "
+                    f"{git_parent[:12]} — preferring the git-derived "
+                    "base (stale or hand-edited sidecar?)",
+                    file=sys.stderr,
+                )
+                out[rnd] = git_parent
+            else:
+                out[rnd] = side
+            continue
         if not line:
             # The file exists but no commit added it. The common case is
             # the CURRENT round: the driver just wrote round N's verdicts

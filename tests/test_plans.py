@@ -459,15 +459,14 @@ def test_current_window_global_windows_are_bounded(spark, sf_dir):
     """Plan gate over the ENTIRE live driver window (the first 50
     registry entries — VERDICT r4 #7; UPDATE the `allowed` pins when
     rotating): no CartesianProduct, and no unpartitioned WindowExec.
-    The round-11 window has three audited bounded global windows
+    The round-12 window has two audited bounded global windows
     (measured at the swap via global_window_inputs; each runs over a
-    bounded aggregate — the |distinct tenure-days| hazard histogram,
-    the vocab rank/frequency table, the 2000-cent revenue bands) and
-    zero cartesians."""
+    bounded aggregate — the 150-row negative-sampling vocabulary's
+    cumulative weight, and the two 100-row BM25 run rankings inside
+    the RRF fusion) and zero cartesians."""
     allowed: dict[str, set[str]] = {
-        "tenure_hazard_table": {"tenure_d", "n_ending"},
-        "zipf_vocab_fit": {"freq", "_cnt"},
-        "revenue_pareto_bands": {"band", "rev", "n_orders"},
+        "negative_sampling_table": {"term", "cnt", "w9"},
+        "rrf_fusion_topk": {"doc_id", "score"},
     }
     allowed_cartesian: set[str] = set()
     names = list(QUERIES)[:50]

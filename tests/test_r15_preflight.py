@@ -109,10 +109,11 @@ def test_preflight_boundary_parity(spark, adv_r15_dir, name):
     assert ok, f"{name}: {detail}"
 
 
-def _trunc_div(a: int, b: int) -> int:
-    """Truncate-toward-zero integer division (Spark div == DuckDB //)."""
-    q = abs(a) // abs(b)
-    return q if (a >= 0) == (b >= 0) else -q
+def _floor_div(a: int, b: int) -> int:
+    """Floor integer division — Python's native // (the query turns both
+    engines' truncating div into floor via the negative-remainder
+    correction, ADVICE r11)."""
+    return a // b
 
 
 def test_preflight_boundary_values(spark, adv_r15_dir):
@@ -195,7 +196,7 @@ def test_preflight_boundary_values(spark, adv_r15_dir):
 
     fn, _ = CANDIDATES["quality_band_token_share"]
     qb = fn(spark, adv_r15_dir).collect()
-    # hashlib replay of the scorer and the trunc-div banding
+    # hashlib replay of the scorer and the floor-div banding
     def w(tok: str) -> int:
         return (
             int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 2000001
@@ -217,7 +218,7 @@ def test_preflight_boundary_values(spark, adv_r15_dir):
     for _doc, text in texts.items():
         toks = text.split()
         ws = sum(w(t) for t in toks)
-        band = _trunc_div(ws * 10, len(toks) * 1_000_000)
+        band = _floor_div(ws * 10, len(toks) * 1_000_000)
         expect[band][0] += 1
         expect[band][1] += len(toks)
         total += len(toks)

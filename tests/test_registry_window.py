@@ -1,15 +1,15 @@
-"""Round-11 driver-window contract (NOTES "Round-11 rotation plan").
+"""Round-12 driver-window contract (NOTES "Round-12 rotation plan").
 
-The driver verifies the FIRST 50 registry entries per round. Round 10
-retired the stale backlog (ledger 0) and lifted the registry freeze,
-registering the pre-flighted llm72 pack at the BACK. The round-11
-window therefore carries the 10 oracle-backed llm72 names (the only
-never-verified backlog — placed by hand, since ``--next-window`` only
-proposes already-verdicted names), the ONE deliberate stale requeue
-(corpus_report, whose r9 verdict went stale when the r10 sf0.1-sweep
-rule-14b fix landed), and 39 machine-derived freshness pads. These
-tests pin that state so an accidental import reorder or registry growth
-fails loudly BEFORE the driver runs — no Spark session needed.
+The driver verifies the FIRST 50 registry entries per round. Round 11
+closed the last ledger item (oracle-backed stale count 0, a first) and
+registered the pre-flighted llm73 pack at the BACK (291 -> 301). The
+round-12 window therefore carries the 9 oracle-backed llm73 names (the
+only never-verified backlog — placed by hand, since ``--next-window``
+only proposes already-verdicted names; the rows-only
+isotonic_calibration_pava records no hash verdict by contract) and 41
+machine-derived freshness pads. These tests pin that state so an
+accidental import reorder or registry growth fails loudly BEFORE the
+driver runs — no Spark session needed.
 """
 
 from __future__ import annotations
@@ -21,46 +21,46 @@ from convex_batch_processor_spark.queries import QUERIES
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round-11 window (NOTES "Round-11 rotation plan": the 10 llm72
-# oracle names by hand + stale_green_check --next-window's requeue +
-# pad proposal, re-derived and matched exactly at the swap). Order
+# The round-12 window (NOTES "Round-12 rotation plan": the 9 llm73
+# oracle names by hand + stale_green_check --next-window's pad
+# proposal, re-derived STRICT and matched exactly at the swap). Order
 # matters: the driver reads the first 50 registry entries positionally.
-_R11_WINDOW = [
-    # llm72 pack, oracle-backed (10) — never-verified backlog
-    "substring_dedup_spans", "kneser_ney_doc_logprob",
-    "hits_part_supplier", "rank_gauss_prices", "temperature_mix_weights",
-    "stratified_reservoir_sample", "keyword_tag_counts",
-    "tenure_hazard_table", "embedding_dim_standardize",
-    "phrase_tag_spans",
-    # the one stale oracle-backed requeue (r10 rule-14b fix)
-    "corpus_report",
-    # freshness pads (39): oldest-verdict fresh names, tool order
-    "dedup_exact", "dedup_prefix_groups", "doc_fingerprints",
-    "dsir_importance_weights", "embedding_neardup_pairs",
-    "embedding_quantize_int8", "funnel_conversion",
-    "gopher_quality_filter", "incremental_dedup_delta", "knn_bruteforce",
-    "lang_source_profile", "mixture_weights_sqrt",
-    "multimodal_payload_stats", "new_vs_returning_users",
-    "ngram_jaccard_pairs", "repetition_top_bigram", "retention_cohorts",
-    "rolling_weekly_active_users", "simhash_portable_neardup",
-    "snapshot_state_diff", "source_cap_sample", "tfidf_topk_terms",
-    "value_histogram", "zipf_vocab_fit", "benford_order_prices",
-    "burst_detection_daily", "catalog_stats_profile",
-    "cdc_apply_changelog", "chi2_independence_cells",
-    "ctr_wilson_bounds", "dataset_split_folds", "dq_constraint_report",
-    "gapfill_daily_counts", "hard_negative_mining",
-    "label_balance_undersample", "mad_outliers", "market_basket_rules",
-    "psi_value_drift", "revenue_pareto_bands",
+_R12_WINDOW = [
+    # llm73 pack, oracle-backed (9) — never-verified backlog
+    "top_ngram_char_fraction", "substring_dedup_scrub",
+    "source_mix_divergence", "hashed_linear_quality_score",
+    "chunked_attention_waste", "tokenizer_fertility_by_lang",
+    "span_corruption_plan", "embedding_energy_profile",
+    "bigram_conditional_entropy",
+    # freshness pads (41): oldest-verdict fresh names, tool order
+    "supplier_triangles", "time_decay_user_score", "ts_feature_matrix",
+    "user_rfm_segments", "vocab_entropy_by_source",
+    "weighted_sample_orders", "window_funnel_depth",
+    "zorder_layout_stats", "bfs_hop_distance", "calibration_bins",
+    "char_entropy_quality", "consistent_hash_rebalance",
+    "exact_substr_scrub", "feature_hash_stats",
+    "frequent_word_subsample", "functional_dependency_check",
+    "jaccard_pair_histogram", "k_anonymity_audit",
+    "minhash_estimate_neardup", "mmr_diverse_topk",
+    "neardup_eval_metrics", "negative_sampling_table",
+    "ols_price_normal_eq", "partition_skew_audit", "payload_byte_stats",
+    "peak_concurrency_by_user", "png_decode_features",
+    "randomized_response_rate", "robots_filter_stats", "rrf_fusion_topk",
+    "semantic_dedup_keep", "skipgram_pairs_topk", "target_encode_brand",
+    "tfidf_cosine_pairs", "unicode_normalize_stats",
+    "url_canonicalize_stats", "asof_interpolate_price",
+    "bradley_terry_strengths", "cidr_zone_lookup",
+    "clustering_nmi_vmeasure", "clustering_purity",
 ]
 
-_PACK_TIER = _R11_WINDOW[:10]
-_REQUEUE = _R11_WINDOW[10]
-_PAD_TIER = _R11_WINDOW[11:]
+_PACK_TIER = _R12_WINDOW[:9]
+_PAD_TIER = _R12_WINDOW[9:]
 
 
 def _latest_verdicts() -> dict[str, int]:
     seen: dict[str, int] = {}
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09", "10"):
+    for r in ("01", "02", "03", "04", "05", "06",
+              "07", "08", "09", "10", "11"):
         path = os.path.join(_REPO, f"CORRECTNESS_r{r}.json")
         with open(path) as f:
             for name in json.load(f):
@@ -68,42 +68,42 @@ def _latest_verdicts() -> dict[str, int]:
     return seen
 
 
-def test_registry_is_291_plus_any_registered_pack():
-    """The llm72 pack registered late r10 (279 -> 291); the llm73 pack
-    registers at the ROUND-11 CLOSE (291 -> 301, NOTES one-pack-per-
-    round cadence). This pin moves only with a pre-flighted pack."""
-    assert len(QUERIES) in (291, 301), len(QUERIES)
+def test_registry_is_exactly_301():
+    """The llm73 pack registered at the r11 close (291 -> 301); the
+    llm74 pack registers at the ROUND-12 CLOSE (301 -> 307, NOTES
+    one-pack-per-round cadence). Pinned EXACTLY (ADVICE r11: a relaxed
+    tuple is dead slack that would mask a lost pack registration) —
+    this pin moves only in the same commit as a pre-flighted pack's
+    registration loop."""
+    assert len(QUERIES) == 301, len(QUERIES)
 
 
-def test_round11_window_is_the_pinned_rotation():
-    """The first 50 registry entries must equal the NOTES round-11
-    rotation (10 llm72 names + requeue + the --next-window pads),
-    in order."""
-    assert list(QUERIES)[:50] == _R11_WINDOW
+def test_round12_window_is_the_pinned_rotation():
+    """The first 50 registry entries must equal the NOTES round-12
+    rotation (9 llm73 names + the --next-window pads), in order."""
+    assert list(QUERIES)[:50] == _R12_WINDOW
 
 
-def test_round11_window_tiers():
-    """Tier shape: the 10 pack names have NO driver verdict yet (the
-    whole point of fronting them); corpus_report's latest verdict is r9
-    (stale since the r10 rule-14b fix); every pad is already verdicted
+def test_round12_window_tiers():
+    """Tier shape: the 9 pack names have NO driver verdict yet (the
+    whole point of fronting them); every pad is already verdicted
     (freshness refresh, not backlog)."""
     verdicts = _latest_verdicts()
     never = [n for n in _PACK_TIER if n in verdicts]
     assert never == [], f"pack names already verdicted: {never}"
-    assert verdicts.get(_REQUEUE) == 9, verdicts.get(_REQUEUE)
     missing = [n for n in _PAD_TIER if n not in verdicts]
     assert missing == [], missing
 
 
-def test_round11_window_is_fixture_gated():
+def test_round12_window_is_fixture_gated():
     """VERDICT r8 #2: every window name must be covered by a crafted
     adversarial fixture gate's query list BEFORE the driver re-verifies
-    it. The pads + requeue span test_adversarial_fixtures' gates; pack
-    names are gated by their pre-flight suite's own boundary fixture
-    (NOTES r11 swap caveat (a)). The union is built GENERICALLY over
-    every tests/test_r*_preflight module so future swaps cannot forget
-    to extend it: a pack suite only counts if it actually parametrizes
-    a boundary-fixture parity test over its CANDIDATES."""
+    it. The pads span test_adversarial_fixtures' gates; pack names are
+    gated by their pre-flight suite's own boundary fixture (NOTES r11
+    swap caveat (a)). The union is built GENERICALLY over every
+    tests/test_r*_preflight module so future swaps cannot forget to
+    extend it: a pack suite only counts if it actually parametrizes a
+    boundary-fixture parity test over its CANDIDATES."""
     import glob as _glob
     import importlib
 
@@ -125,7 +125,7 @@ def test_round11_window_is_fixture_gated():
         cands = getattr(mod, "CANDIDATES", None) or (
             qmod.CANDIDATES if qmod else {})
         gated.update(cands)
-    missing = [n for n in _R11_WINDOW if n not in gated]
+    missing = [n for n in _R12_WINDOW if n not in gated]
     assert missing == [], missing
     # and the current pack tier must come from a suite, not be assumed
     assert set(_PACK_TIER) <= gated
@@ -175,6 +175,27 @@ def test_window_oracles_carry_no_rounded_exact_ratio():
         # (measured at the r11 swap; see the query docstring). The
         # operands are noisy doubles, so a 6-dp tie is measure-zero.
         "zipf_vocab_fit",
+        # r12 triage — measured/reasoned KEEPs (final ratios in these
+        # queries were stripped where strippable; what remains is):
+        # syy's DECIMAL->DOUBLE cast passes 2^53 (unscaled 2.2e19 at
+        # sf0.1; DuckDB measured 1 ulp off the correctly-rounded value)
+        # — the output rounds are leaf-absorption (see docstring).
+        "ols_price_normal_eq",
+        # dot/norm decimal sums reach 3.8e21 unscaled >> 2^53 at sf0.1
+        # — round(,6) is leaf-absorption + threshold guard (docstring).
+        "tfidf_cosine_pairs",
+        # remaining round is the pi9 = (p+1)/(c+2) decimal-grid pin
+        # (pre-aggregation, feeds binning + exact decimal products) —
+        # not a final-ratio mask; avg_conf/frac_pos stripped r12.
+        "calibration_bins",
+        # round(x*x, 6) is the pre-sum decimal-grid pin into
+        # DECIMAL(18,6) (order-independent accumulation); the output
+        # ratio is already raw per rule 14.
+        "embedding_energy_profile",
+        # every round is an MM-iteration lockstep pin (pre-sum
+        # DECIMAL(18,9) pins + per-round 6-dp state normalization, the
+        # kmeans/pagerank recipe) — algorithm semantics, no final mask.
+        "bradley_terry_strengths",
     }
     bad = [o for o in offenders if o[0] not in allowed]
     assert bad == [], bad

@@ -267,11 +267,56 @@ def test_sidecar_base_resolves_untracked_verdicts(monkeypatch, tmp_path):
         if args[0] == "rev-parse" and args[1] == "--verify":
             assert args[2] == base + "^{commit}"
             return base + "\n"
+        if args[0] == "log":
+            return ""  # untracked: no ADD commit to cross-check against
         raise AssertionError(f"unexpected git call: {args}")
 
     monkeypatch.setattr(sgc, "_git", fake_git)
     monkeypatch.setattr(sgc.glob, "glob", lambda p: [str(vfile)])
     assert sgc.verified_states(strict=True) == {99: base}
+
+
+def test_sidecar_disagreeing_with_add_commit_prefers_git(
+    monkeypatch, tmp_path, capsys
+):
+    """ADVICE r11: once the verdicts file is COMMITTED, the git
+    ADD-commit parent is the stronger record — a stale or hand-edited
+    sidecar naming a different commit must be overridden (with a
+    warning), not silently trusted. A sidecar AGREEING with the git
+    parent stays accepted silently."""
+    import stale_green_check as sgc
+
+    side = "b" * 40
+    parent = "c" * 40
+    vfile = tmp_path / "CORRECTNESS_r99.json"
+    vfile.write_text("{}")
+    (tmp_path / "CORRECTNESS_r99.json.base").write_text(side + "\n")
+
+    def fake_git(*args):
+        if args[0] == "rev-parse" and args[1] == "--verify":
+            return side + "\n"
+        if args[0] == "log":
+            return "a" * 40 + " " + parent + "\n"
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git)
+    monkeypatch.setattr(sgc.glob, "glob", lambda p: [str(vfile)])
+    assert sgc.verified_states(strict=True) == {99: parent}
+    assert "preferring the git-derived" in capsys.readouterr().err
+
+    # agreement: sidecar == ADD parent -> accepted, no warning
+    (tmp_path / "CORRECTNESS_r99.json.base").write_text(parent + "\n")
+
+    def fake_git2(*args):
+        if args[0] == "rev-parse" and args[1] == "--verify":
+            return parent + "\n"
+        if args[0] == "log":
+            return "a" * 40 + " " + parent + "\n"
+        raise AssertionError(f"unexpected git call: {args}")
+
+    monkeypatch.setattr(sgc, "_git", fake_git2)
+    assert sgc.verified_states(strict=True) == {99: parent}
+    assert "preferring" not in capsys.readouterr().err
 
 
 def test_garbage_sidecar_is_ignored_not_trusted(monkeypatch, capsys):

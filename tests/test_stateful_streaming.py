@@ -8,7 +8,10 @@ import os
 from pyspark.sql import functions as F
 
 from convex_batch_processor_spark.catalog import load_table, table_path
-from convex_batch_processor_spark.streaming.stateful import running_totals_per_key
+from convex_batch_processor_spark.streaming.stateful import (
+    NULL_ID_SENTINEL,
+    running_totals_per_key,
+)
 
 
 def test_stateful_running_totals_match_batch(spark, sf_dir, tmp_path):
@@ -570,7 +573,7 @@ def test_dedup_audit_counts_and_first_wins(spark, tmp_path):
 def test_dedup_audit_null_user_id_counts_as_sentinel(spark, tmp_path):
     """ADVICE r9: a NULL user_id row must not crash the query (pandas
     surfaces it as NaN; int(NaN) raised ValueError). It still counts in
-    the audit under the -1 sentinel and sorts FIRST within its epoch
+    the audit under the int64-MIN sentinel and sorts FIRST within its epoch
     (the pinned NULLS FIRST ordering), so it can win first-seen."""
     from datetime import datetime
 
@@ -583,10 +586,10 @@ def test_dedup_audit_null_user_id_counts_as_sentinel(spark, tmp_path):
         spark, [e1, e2], tmp_path, "dedup_audit_null", dedup_audit_per_key
     )
     k10 = sorted((r for r in rows if r.event_id == 10), key=lambda r: r.n_seen)
-    # all three arrivals counted; the NULL (sentinel -1) sorts first in
+    # all three arrivals counted; the NULL (int64-MIN sentinel) sorts first in
     # epoch 1 and wins first-seen, carried by every audit row
     assert [r.n_seen for r in k10] == [1, 2, 3]
-    assert {r.first_user_id for r in k10} == {-1}
+    assert {r.first_user_id for r in k10} == {NULL_ID_SENTINEL}
     assert [r.is_first for r in k10] == [True, False, False]
     assert [r.first_user_id for r in rows if r.event_id == 11] == [6]
 
@@ -822,24 +825,26 @@ def test_topk_stream_null_key_group_emits_null_user_id(spark, tmp_path):
 
 def test_topk_stream_null_event_id_maps_to_sentinel(spark, tmp_path):
     """ADVICE r10: a NULL event_id surfaces as NaN in pandas and
-    int(NaN) would kill the query — it must map to the -1 sentinel
-    (the dedup_audit treatment), still count in n_seen, and be able to
-    admit under the board order."""
+    int(NaN) would kill the query — it must map to NULL_ID_SENTINEL
+    (int64 MIN, the dedup_audit treatment; ADVICE r11 retired the old
+    -1, which a producer could legitimately emit), still count in
+    n_seen, and be able to admit under the board order."""
     from datetime import datetime
 
     t = lambda m: datetime(2024, 1, 12, 2, m)  # noqa: E731
     e1 = [(1, 95, t(0), 5.0), (1, None, t(1), 7.0), (1, 96, t(2), 6.0)]
     rows = _run_topk_stream(spark, [e1], tmp_path, "topk_nulleid", k=2)
     by_eid = {r.event_id: r for r in rows}
-    assert set(by_eid) == {95, -1, 96}
-    assert by_eid[-1].admitted is True and by_eid[-1].value == 7.0
-    assert [by_eid[i].n_seen for i in (95, -1, 96)] == [1, 2, 3]
+    assert set(by_eid) == {95, NULL_ID_SENTINEL, 96}
+    nul = by_eid[NULL_ID_SENTINEL]
+    assert nul.admitted is True and nul.value == 7.0
+    assert [by_eid[i].n_seen for i in (95, NULL_ID_SENTINEL, 96)] == [1, 2, 3]
     # final board: 7.0 (sentinel) and 6.0 beat 5.0
-    assert _replay_board(rows, 2) == {1: [(7.0, -1), (6.0, 96)]}
+    assert _replay_board(rows, 2) == {1: [(7.0, NULL_ID_SENTINEL), (6.0, 96)]}
 
 
 def test_topk_stream_null_event_id_ties_are_split_invariant(spark, tmp_path):
-    """Two NULL-event_id arrivals tying on ts share the -1 sentinel, so
+    """Two NULL-event_id arrivals tying on ts share the sentinel, so
     the within-epoch sort must fall through to the VALUE key — the
     admitted/kth sequence must not depend on Arrow batch order (i.e. on
     how the source files split)."""
@@ -986,7 +991,7 @@ def test_funnel_stream_split_invariance(spark, tmp_path):
 
 def test_funnel_stream_null_hardening(spark, tmp_path):
     """NULL ts never advances (the batch MIN ignores NULLs) but counts;
-    NULL event_id maps to the -1 sentinel; NULL keys form their own
+    NULL event_id maps to the int64-MIN sentinel; NULL keys form their own
     group; NULL event_type is non-stage noise."""
     from datetime import datetime
 
@@ -1002,7 +1007,8 @@ def test_funnel_stream_null_hardening(spark, tmp_path):
     by_eid = {(r.user_id, r.event_id): r for r in got}
     assert by_eid[(1, 20)].advanced is False
     assert by_eid[(1, 21)].advanced is True
-    assert by_eid[(1, -1)].advanced is True and by_eid[(1, -1)].stage_after == 2
+    s_key = (1, NULL_ID_SENTINEL)
+    assert by_eid[s_key].advanced is True and by_eid[s_key].stage_after == 2
     assert by_eid[(None, 22)].user_id is None
     assert by_eid[(None, 22)].advanced is True  # its own funnel
     assert by_eid[(1, 23)].advanced is False and by_eid[(1, 23)].stage_after == 2

@@ -62,6 +62,13 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 
+#: DDL form of PAYLOAD_SCHEMA, shared by every attach_* mapInPandas stage
+ATTACH_SCHEMA = (
+    "doc_id long, payload binary, "
+    "meta struct<kind:string, n_bytes:long, checksum:string>"
+)
+
+
 def attach_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialize the multimodal column pattern from the documents table:
     binary payload (utf-8 bytes standing in for image/audio bytes) + typed
@@ -141,10 +148,13 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     mapInPandas: payload synthesis is per-file Python by nature (codec
     work), batched over Arrow and partition-parallel — the same execution
     shape a real torchaudio/ffmpeg encode stage would use."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
-    )
+    return df.select(id_col).mapInPandas(_wav_gen(id_col), ATTACH_SCHEMA)
+
+
+def _wav_gen(id_col: str = "doc_id"):
+    """Batch transform behind ``attach_wav_payload``, hoisted to module
+    level so the fused synth→decode pipeline can compose it with the
+    decoder inside ONE Python stage (no JVM round trip between them)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -179,7 +189,7 @@ def attach_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return gen
 
 
 AUDIO_FEATURE_SCHEMA = (
@@ -196,6 +206,13 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
 
     duration_s is frame-count/rate in one IEEE division (bit-reproducible
     across engines); rms = sqrt(mean(s²)) in float64."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _wav_dec(), AUDIO_FEATURE_SCHEMA
+    )
+
+
+def _wav_dec():
+    """Batch transform behind ``decode_audio_features`` (see _wav_gen)."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -237,7 +254,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(dec, AUDIO_FEATURE_SCHEMA)
+    return dec
 
 
 def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -252,10 +269,11 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     mapInPandas — the same partition-parallel, Arrow-batched execution
     shape a real image encode stage uses."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
-    )
+    return df.select(id_col).mapInPandas(_bmp_gen(id_col), ATTACH_SCHEMA)
+
+
+def _bmp_gen(id_col: str = "doc_id"):
+    """Batch transform behind ``attach_bmp_payload`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -295,7 +313,7 @@ def attach_bmp_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return gen
 
 
 IMAGE_FEATURE_SCHEMA = (
@@ -313,6 +331,13 @@ def decode_image_features(df: DataFrame) -> DataFrame:
 
     Channel means are float64 over exact small-integer sums —
     bit-reproducible, so the closed-form oracle hash-matches them."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _bmp_dec(), IMAGE_FEATURE_SCHEMA
+    )
+
+
+def _bmp_dec():
+    """Batch transform behind ``decode_image_features`` (see _wav_gen)."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -354,7 +379,7 @@ def decode_image_features(df: DataFrame) -> DataFrame:
                 out["mean_r"].append(float(px[:, :, 2].mean()))
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(dec, IMAGE_FEATURE_SCHEMA)
+    return dec
 
 
 def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -369,10 +394,11 @@ def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     The bytes are a valid AVI any player opens.
 
     mapInPandas — partition-parallel encode, the real video-stage shape."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
-    )
+    return df.select(id_col).mapInPandas(_avi_gen(id_col), ATTACH_SCHEMA)
+
+
+def _avi_gen(id_col: str = "doc_id"):
+    """Batch transform behind ``attach_avi_payload`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -442,7 +468,7 @@ def attach_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return gen
 
 
 VIDEO_FRAME_SCHEMA = (
@@ -462,6 +488,13 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     This retires the video stub the way ``wave`` retired audio and the
     BMP parser retired images; only COMPRESSED codecs (H.264 etc.)
     remain out of scope in this container."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _avi_dec(every_n), VIDEO_FRAME_SCHEMA
+    )
+
+
+def _avi_dec(every_n: int = 2):
+    """Batch transform behind ``decode_video_frames`` (see _wav_gen)."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -572,7 +605,7 @@ def decode_video_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
                     out["mean_r"].append(float(px[:, :, 2].mean()))
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(dec, VIDEO_FRAME_SCHEMA)
+    return dec
 
 
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
@@ -612,10 +645,11 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     mapInPandas: partition-parallel, Arrow-batched — the real encode
     shape."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
-    )
+    return df.select(id_col).mapInPandas(_png_gen(id_col), ATTACH_SCHEMA)
+
+
+def _png_gen(id_col: str = "doc_id"):
+    """Batch transform behind ``attach_png_payload`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -660,7 +694,7 @@ def attach_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema=schema)
+    return gen
 
 
 def decode_png_features(df: DataFrame) -> DataFrame:
@@ -675,10 +709,19 @@ def decode_png_features(df: DataFrame) -> DataFrame:
 
     mapInPandas over (doc_id, payload): partition-parallel decode, no
     shuffle."""
-    schema = (
-        "doc_id long, width int, height int, bit_depth int, color_type int, "
-        "n_pixels long, mean_gray double, min_gray int, max_gray int"
+    return df.select("doc_id", "payload").mapInPandas(
+        _png_dec(), PNG_FEATURE_SCHEMA
     )
+
+
+PNG_FEATURE_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "n_pixels long, mean_gray double, min_gray int, max_gray int"
+)
+
+
+def _png_dec():
+    """Batch transform behind ``decode_png_features`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -758,7 +801,7 @@ def decode_png_features(df: DataFrame) -> DataFrame:
                 out["max_gray"].append(int(img.max()))
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)
+    return gen
 
 
 def attach_warc_payload(
@@ -772,10 +815,13 @@ def attach_warc_payload(
     stdlib ``gzip`` is the whole codec.
 
     mapInPandas: partition-parallel encode, Arrow-batched."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
+    return df.select(id_col, text_col).mapInPandas(
+        _warc_gen(text_col, id_col), ATTACH_SCHEMA
     )
+
+
+def _warc_gen(text_col: str = "text", id_col: str = "doc_id"):
+    """Batch transform behind ``attach_warc_payload`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
@@ -834,7 +880,7 @@ def attach_warc_payload(
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(gen, schema=schema)
+    return gen
 
 
 def decode_warc_records(df: DataFrame) -> DataFrame:
@@ -846,9 +892,18 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
     md5 (so a caller can verify the recovered text bit-for-bit).
 
     mapInPandas over (doc_id, payload): partition-parallel, no shuffle."""
-    schema = (
-        "doc_id long, n_records int, response_bytes long, body_md5 string"
+    return df.select("doc_id", "payload").mapInPandas(
+        _warc_dec(), WARC_RECORD_SCHEMA
     )
+
+
+WARC_RECORD_SCHEMA = (
+    "doc_id long, n_records int, response_bytes long, body_md5 string"
+)
+
+
+def _warc_dec():
+    """Batch transform behind ``decode_warc_records`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import gzip
@@ -894,7 +949,7 @@ def decode_warc_records(df: DataFrame) -> DataFrame:
                 out["body_md5"].append(hashlib.md5(body).hexdigest())
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(gen, schema=schema)
+    return gen
 
 
 # --- REAL GIF codec (LZW) ---------------------------------------------------
@@ -1023,10 +1078,11 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     a correct LZW round-trip must yield (queries/llm47).
 
     mapInPandas — partition-parallel, Arrow-batched, zero shuffle."""
-    schema = (
-        "doc_id long, payload binary, "
-        "meta struct<kind:string, n_bytes:long, checksum:string>"
-    )
+    return df.select(id_col).mapInPandas(_gif_gen(id_col), ATTACH_SCHEMA)
+
+
+def _gif_gen(id_col: str = "doc_id"):
+    """Batch transform behind ``attach_gif_payload`` (see _wav_gen)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1071,7 +1127,7 @@ def attach_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    return df.select(id_col).mapInPandas(gen, schema)
+    return gen
 
 
 GIF_FEATURE_SCHEMA = (
@@ -1091,6 +1147,13 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
 
     Channel means are float64 over exact small-integer sums —
     bit-reproducible, so the closed-form oracle hash-matches them."""
+    return df.select("doc_id", "payload").mapInPandas(
+        _gif_dec(), GIF_FEATURE_SCHEMA
+    )
+
+
+def _gif_dec():
+    """Batch transform behind ``decode_gif_features`` (see _wav_gen)."""
 
     def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
@@ -1170,4 +1233,76 @@ def decode_gif_features(df: DataFrame) -> DataFrame:
                 out["mean_b"].append(sums[2] / n)
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", "payload").mapInPandas(dec, GIF_FEATURE_SCHEMA)
+    return dec
+
+
+# --- fused synth→decode pipelines -------------------------------------------
+#
+# Each *_decode_features query composes attach_X(df) |> decode_X, which as
+# two mapInPandas stages pays the JVM↔Python boundary twice and ships every
+# payload Python→JVM→Python just to hand it to the next Python function
+# (optimization guide §4.1: control how many columns cross, and how often).
+# On local[32] the unfused audio chain also forces a SECOND Python worker
+# per core (measured: 36 → 64 workers on first run, ~3-7 s/run vs ~0.3 s of
+# actual Python work). The fused pipelines compose the SAME hoisted batch
+# transforms inside ONE mapInPandas stage — identical per-row Python code,
+# identical results, one boundary crossing, and the payload bytes never
+# leave the Python worker.
+
+
+def _fuse(*stages):
+    """Compose batch transforms (Iterator[pd.DataFrame] -> same) into one."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        it = batches
+        for stage in stages:
+            it = stage(it)
+        yield from it
+
+    return run
+
+
+def audio_features_fused(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_audio_features(attach_wav_payload(df)) in ONE Python stage."""
+    return df.select(id_col).mapInPandas(
+        _fuse(_wav_gen(id_col), _wav_dec()), AUDIO_FEATURE_SCHEMA
+    )
+
+
+def image_features_fused(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_image_features(attach_bmp_payload(df)) in ONE Python stage."""
+    return df.select(id_col).mapInPandas(
+        _fuse(_bmp_gen(id_col), _bmp_dec()), IMAGE_FEATURE_SCHEMA
+    )
+
+
+def video_frames_fused(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """decode_video_frames(attach_avi_payload(df), every_n) in ONE stage."""
+    return df.select(id_col).mapInPandas(
+        _fuse(_avi_gen(id_col), _avi_dec(every_n)), VIDEO_FRAME_SCHEMA
+    )
+
+
+def png_features_fused(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_png_features(attach_png_payload(df)) in ONE Python stage."""
+    return df.select(id_col).mapInPandas(
+        _fuse(_png_gen(id_col), _png_dec()), PNG_FEATURE_SCHEMA
+    )
+
+
+def warc_records_fused(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """decode_warc_records(attach_warc_payload(df)) in ONE Python stage."""
+    return df.select(id_col, text_col).mapInPandas(
+        _fuse(_warc_gen(text_col, id_col), _warc_dec()), WARC_RECORD_SCHEMA
+    )
+
+
+def gif_features_fused(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """decode_gif_features(attach_gif_payload(df)) in ONE Python stage."""
+    return df.select(id_col).mapInPandas(
+        _fuse(_gif_gen(id_col), _gif_dec()), GIF_FEATURE_SCHEMA
+    )

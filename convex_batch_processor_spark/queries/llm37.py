@@ -51,9 +51,10 @@ def png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     correct decoder must emit — a wrong inflate, stride, filter handling,
     or header parse fails the hash.
 
-    Scale: encode and decode are both mapInPandas over Arrow batches —
-    partition-parallel codec work, zero shuffle."""
-    from ..llmops.multimodal import attach_png_payload, decode_png_features
+    Scale: ONE fused mapInPandas over Arrow batches — encode and decode
+    composed in a single Python stage (identical math; the PNG bytes
+    never cross back to the JVM), partition-parallel, zero shuffle."""
+    from ..llmops.multimodal import png_features_fused
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_png_features(attach_png_payload(docs))
+    return png_features_fused(docs)

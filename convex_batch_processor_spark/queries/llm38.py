@@ -40,10 +40,11 @@ def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     original text, predicted by the oracle WITHOUT touching the archive
     bytes.
 
-    Scale: encode and decode are both mapInPandas over Arrow batches —
-    exactly how a CC ingestion job fans WARC shards across executors;
+    Scale: ONE fused mapInPandas over Arrow batches — encode and decode
+    composed in a single Python stage (identical math; the archive bytes
+    never cross back to the JVM), the shard-parallel CC ingestion shape;
     zero shuffle."""
-    from ..llmops.multimodal import attach_warc_payload, decode_warc_records
+    from ..llmops.multimodal import warc_records_fused
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_warc_records(attach_warc_payload(docs))
+    return warc_records_fused(docs)

@@ -60,9 +60,11 @@ def gif_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition, mishandled clear code, or palette mix-up corrupts the
     index stream and fails the hash.
 
-    Scale shape: both stages are mapInPandas over Arrow batches —
-    partition-parallel codec work, zero shuffle."""
-    from ..llmops.multimodal import attach_gif_payload, decode_gif_features
+    Scale shape: ONE fused mapInPandas over Arrow batches — synth and
+    decode composed in a single Python stage (identical math; the GIF
+    bytes never cross back to the JVM), partition-parallel codec work,
+    zero shuffle."""
+    from ..llmops.multimodal import gif_features_fused
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_gif_features(attach_gif_payload(docs))
+    return gif_features_fused(docs)

@@ -66,12 +66,14 @@ def audio_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash. duration = n/8000 is one IEEE division on both engines; the
     square wave makes RMS exactly the amplitude (integer-exact float64).
 
-    Scale shape: both stages are mapInPandas over Arrow batches —
-    partition-parallel codec work with no shuffle at all."""
-    from ..llmops.multimodal import attach_wav_payload, decode_audio_features
+    Scale shape: ONE fused mapInPandas over Arrow batches — the same
+    synth and decode batch transforms composed in a single Python stage
+    (identical math; the WAV bytes never cross back to the JVM between
+    encode and decode), partition-parallel with no shuffle at all."""
+    from ..llmops.multimodal import audio_features_fused
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_audio_features(attach_wav_payload(docs))
+    return audio_features_fused(docs)
 
 
 # --- CCNet-style perplexity terciles ---------------------------------------

@@ -271,12 +271,14 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     float64 (bit-reproducible; B is constant per column, G per row, so
     sum/(w·h) and per-axis sum/w round identically — same real quotient).
 
-    Scale shape: both stages are mapInPandas over Arrow batches —
-    partition-parallel codec work, zero shuffle."""
-    from ..llmops.multimodal import attach_bmp_payload, decode_image_features
+    Scale shape: ONE fused mapInPandas over Arrow batches — synth and
+    decode composed in a single Python stage (identical math; the BMP
+    bytes never cross back to the JVM), partition-parallel, zero
+    shuffle."""
+    from ..llmops.multimodal import image_features_fused
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_image_features(attach_bmp_payload(docs))
+    return image_features_fused(docs)
 
 
 # --- REAL video decode (uncompressed RIFF/AVI) ------------------------------
@@ -321,10 +323,11 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     container parse + frame decode must report — a wrong chunk walk, row
     stride, or frame order fails the hash (the audio/image recipe).
 
-    Scale shape: encode and decode are mapInPandas over Arrow batches —
-    partition-parallel, zero shuffle; frame sampling multiplies rows
-    map-side only."""
-    from ..llmops.multimodal import attach_avi_payload, decode_video_frames
+    Scale shape: ONE fused mapInPandas over Arrow batches — encode and
+    decode composed in a single Python stage (identical math; the AVI
+    bytes never cross back to the JVM), partition-parallel, zero shuffle;
+    frame sampling multiplies rows map-side only."""
+    from ..llmops.multimodal import video_frames_fused
 
     docs = _t(spark, sf_dir, "documents")
-    return decode_video_frames(attach_avi_payload(docs), every_n=2)
+    return video_frames_fused(docs, every_n=2)

@@ -116,27 +116,37 @@ def neardup_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative sample at 100 TB, not the full corpus."""
     docs = _t(spark, sf_dir, "documents")
     cands, sh_raw = D.minhash_md5_candidates(docs)
-    cands = cands.persist()
     truth = _truth_pairs(sh_raw).filter(F.col("j") >= _TAU)
-    n_cand = cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
     # tp needs NO second exact-Jaccard pass over the candidates: the truth
     # branch already scored every shared-shingle pair (a superset of every
     # candidate pair with j > 0, and a no-shared-shingle candidate cannot
-    # reach any tau > 0), so tp is just |truth ∩ candidates| — one narrow
-    # (id_a, id_b) join instead of two shingle-array joins + an
-    # array_intersect fold per candidate. (Profiled at sf0.1: the md5
-    # signature stage dominates this query at ~3.7 s — the documented
-    # portability price — so the end-to-end win is modest, but the
-    # removed joins were pure redundancy.) Both counts come from ONE
-    # pass over the truth pairs.
-    marked = truth.join(
-        cands.withColumn("_c", F.lit(1)), ["id_a", "id_b"], "left"
+    # reach any tau > 0), so tp is just |truth ∩ candidates|. All three
+    # counts come from ONE union→pair-group→sum pass: the former
+    # count(cands) ⨯ broadcast(truth⋉cands) shape put the candidate
+    # pipeline in TWO plan branches, and because Spark launches the
+    # broadcast-build job concurrently with the main job, the persist()
+    # raced cold and the ~3.4 s md5-signature stage ran twice (event-log
+    # profile: two identical 614 KB-shuffle stages per run). A single
+    # linear DAG consumes cands exactly once — no persist, no race, no
+    # crossJoin. Both inputs are distinct pair sets (cands by .distinct(),
+    # truth by its groupBy), so max-flags per pair ≡ presence flags.
+    pairs = truth.select(
+        "id_a", "id_b", F.lit(1).alias("_t"), F.lit(0).alias("_c")
+    ).unionAll(
+        cands.select("id_a", "id_b", F.lit(0).alias("_t"), F.lit(1).alias("_c"))
     )
-    nt_tp = marked.agg(
-        F.count(F.lit(1)).cast("long").alias("n_truth"),
-        F.count("_c").cast("long").alias("tp"),
+    per_pair = pairs.groupBy("id_a", "id_b").agg(
+        F.max("_t").alias("_t"), F.max("_c").alias("_c")
     )
-    m = n_cand.crossJoin(F.broadcast(nt_tp))
+    # coalesce: a global sum over ZERO pairs is NULL where the former
+    # count() was 0 — pin the empty-corpus row to the old semantics
+    m = per_pair.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_c")), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+    )
     return m.select(
         "n_candidates",
         "n_truth",

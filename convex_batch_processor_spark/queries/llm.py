@@ -837,18 +837,24 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(comp), docs.doc_id == comp.node)
         .select("component_id", "doc_id", X.token_count().alias("n_tokens"))
     )
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("n_tokens").desc(), F.col("doc_id").asc()
-    )
-    wc = Window.partitionBy("component_id")
+    # ONE component-keyed hash aggregation replaces the two windows
+    # (row_number + count over the same partition key): the (n_tokens
+    # desc, doc_id asc → rn=1) winner is exactly max(struct(n_tokens,
+    # -doc_id)) — NULL n_tokens orders lowest in the struct comparison,
+    # matching the window's desc-NULLS-LAST (guide §2.4: aggregate
+    # before you shuffle; no sort, partial agg map-side).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_members", F.count(F.lit(1)).over(wc))
-        .filter(F.col("rn") == 1)
+        scored.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("_negid"))
+            ).alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
         .select(
             "component_id",
-            F.col("doc_id").alias("keep_doc_id"),
-            F.col("n_tokens").alias("keep_n_tokens"),
+            (-F.col("_best._negid")).alias("keep_doc_id"),
+            F.col("_best.n_tokens").alias("keep_n_tokens"),
             "n_members",
         )
     )

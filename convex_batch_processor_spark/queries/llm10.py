@@ -324,35 +324,35 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id"), "component_id"
     )
     j = comp.join(docs.select("doc_id", "lang", "source", "n_chars"), "doc_id").persist()
+    # base + rep fused into ONE component-keyed aggregation: the former
+    # row_number window (n_chars desc, doc_id asc → rn=1) is the argmax
+    # max(struct(n_chars, -doc_id)) — identical winner incl. NULL n_chars
+    # (struct comparison orders a NULL field lowest, exactly the window's
+    # desc-NULLS-LAST) — so one hash-agg pass replaces an agg + a full
+    # sort+window pass over the member table (guide §2.4: two operations
+    # keyed the same way share one exchange).
     base = j.groupBy("component_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("doc_id").alias("keep_doc_id"),
         F.min("source").alias("source_first"),
+        F.max(
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_negid"))
+        ).alias("_rep"),
     )
-    wrep = Window.partitionBy("component_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    rep = (
-        j.select("component_id", "doc_id", "n_chars", F.row_number().over(wrep).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select(
-            "component_id",
-            F.col("doc_id").alias("rep_doc_id"),
-            F.col("n_chars").alias("rep_n_chars"),
-        )
-    )
-    wlang = Window.partitionBy("component_id").orderBy(
-        F.col("cnt").desc(), F.col("lang").asc_nulls_first()
-    )
+    # majority language: the (cnt desc, lang asc NULLS FIRST) row_number
+    # window is the argmin min(struct(-cnt, lang)) — min orders a NULL
+    # lang first, matching asc_nulls_first; same two shuffles, hash-agg
+    # instead of sort+window.
     lm = (
         j.groupBy("component_id", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("component_id", "lang", F.row_number().over(wlang).alias("rn"))
-        .filter(F.col("rn") == 1)
-        .select("component_id", F.col("lang").alias("lang_majority"))
+        .groupBy("component_id")
+        .agg(F.min(F.struct((-F.col("cnt")).alias("_negcnt"), F.col("lang"))).alias("_m"))
+        .select("component_id", F.col("_m.lang").alias("lang_majority"))
     )
     return (
-        base.join(rep, "component_id")
+        base.withColumn("rep_doc_id", -F.col("_rep._negid"))
+        .withColumn("rep_n_chars", F.col("_rep.n_chars"))
         .join(lm, "component_id")
         .select(
             "component_id",

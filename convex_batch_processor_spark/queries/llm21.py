@@ -6,7 +6,7 @@ Registered last in queries/__init__.py (after llm20); oracle-backed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -106,7 +106,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     lbl = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label").asc())
+    # the (cnt desc, label asc → rk=1) row_number window per round is the
+    # argmax max(struct(cnt, -label)) — identical winner (labels are
+    # suppkeys, integer negation is exact); a node-keyed hash aggregation
+    # replaces the sort+window pass each round (guide §2.4)
     for _ in range(_LPA_ROUNDS):
         votes = (
             edges.join(lbl.withColumnRenamed("node", "src"), "src")
@@ -114,8 +117,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
         lbl = (
-            votes.select("node", "label", F.row_number().over(w).alias("rk"))
-            .filter(F.col("rk") == 1)
-            .select("node", "label")
+            votes.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_neg"))).alias("_m")
+            )
+            .select("node", (-F.col("_m._neg")).alias("label"))
         )
     return lbl.select(F.col("node").alias("s_suppkey"), F.col("label").alias("community"))

@@ -43,16 +43,16 @@ def test_preflight_parity(spark, sf_dir, name):
 def test_preflight_pack_is_registered_behind_the_window():
     """Registered at the ROUND-11 CLOSE (one pack per round: llm72 was
     round 10's, this is round 11's): all 10 candidates carry exactly
-    their pre-flighted (fn, oracle) pairs, BEHIND the round-11 driver
-    window (they front the round-12 window instead — displacing the
-    pinned window mid-round would burn its slots)."""
+    their pre-flighted (fn, oracle) pairs. The original behind-the-window
+    claim expired with the round-12 rotation (the close commit moved the
+    9 oracle-backed names INTO the round-12 window by design — NOTES
+    "Round-12 rotation plan"; test_registry_window.py pins the rotation
+    itself), so this test keeps only the registration-integrity half."""
     from convex_batch_processor_spark.queries import QUERIES
 
     assert len(QUERIES) == 301
-    window = set(list(QUERIES)[:50])
     for name, (fn, oracle) in CANDIDATES.items():
         assert name in QUERIES, name
-        assert name not in window, name
         assert QUERIES[name].fn is fn, name
         assert QUERIES[name].oracle == oracle, name
     rows_only = {n for n in CANDIDATES if CANDIDATES[n][1] is None}

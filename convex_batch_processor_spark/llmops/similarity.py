@@ -251,10 +251,20 @@ def cosine_neardup_pairs_bucketed(
     ).persist()
     a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    # The rerank below is COMPUTE-bound (a 64-element interpreted fold per
+    # pair) over byte-light rows, so AQE's byte-based coalescing would
+    # shrink this exchange to one task and serialize the fold (measured
+    # 10.9 s single-task at sf0.1). Pin the pair exchange at a
+    # cores-derived width instead: explicit-N repartition is exempt from
+    # AQE coalescing, dropDuplicates on the same keys reuses the exchange
+    # (no extra shuffle), and the pair key is unique so the hash spread is
+    # uniform. defaultParallelism scales with the cluster, not this host.
+    _p = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
+        .repartition(_p, "vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
     # Rerank: normalize each vector ONCE (n rows pay the two norm folds),
@@ -577,10 +587,16 @@ def cosine_neardup_pairs_portable(
     sig = sig.persist()  # both sides of the candidate self-join
     a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
     b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    # pin the pair exchange at a cores-derived width: the rerank fold is
+    # compute-bound over byte-light rows, which AQE's byte-based
+    # coalescing would serialize onto one task (see
+    # cosine_neardup_pairs_bucketed); dropDuplicates reuses the exchange
+    _p = embeddings.sparkSession.sparkContext.defaultParallelism
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
         .select("vec_id_a", "vec_id_b")
+        .repartition(_p, "vec_id_a", "vec_id_b")
         .dropDuplicates(["vec_id_a", "vec_id_b"])
     )
     # Each vector's norm is computed ONCE here (n rows pay the sqrt fold)

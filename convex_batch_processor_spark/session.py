@@ -65,6 +65,23 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not core count: with
+        # the default parallelismFirst=true, AQE never coalesces below
+        # defaultParallelism, so a KB-scale shuffle still launches one
+        # task per core and the stage is pure scheduling overhead (the
+        # same waste at every scale: tiny per-key aggregates, bounded
+        # inventories, convergence checks). size-first targets
+        # advisoryPartitionSizeInBytes (guide §2.2 "fewer, larger reduce
+        # partitions"); at 100 TB the advisory bound — not core count —
+        # is what sizes reducers anyway. Env-overridable for A/B.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+            os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_AQE_ADVISORY_SIZE", "64m"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,9 +1,12 @@
 """Headline benchmark: runs representative queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints the
+full per-query JSON as the LAST stdout line (the line the driver parses):
 
     {"metric": "...", "value": total_sec, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {name: sec, ...}, "sf": 0.1, "calibration_sec": ...}
+
+A short summary line (no per-query map) precedes it as a fallback for
+bounded tail windows.
 
 Each query is forced end-to-end with the noop sink (full computation, no
 driver collect cost). Set SPARK_GRAFT_BENCH_QUERIES=a,b,c to subset.
@@ -165,20 +168,22 @@ def main() -> None:
         timings[name] = round(time_query(spark, QUERIES[name].fn, sf_dir, runs), 3)
 
     total = round(sum(timings.values()), 3)
-    # The driver captures only a 2000-char stdout TAIL: round 6's full
-    # per-query line grew past that window and parsed as null (VERDICT r6
-    # #1). Emit the full per-query map first (compact separators, for
-    # humans and regex recovery), then a short FINAL summary line that
-    # always fits any tail window no matter how large the suite grows.
+    # The driver parses the LAST JSON line of a bounded stdout tail, so
+    # the line carrying the per-query map must come LAST (r12's order —
+    # full map first, short summary last — left PERF r12's per_query and
+    # scaling blocks empty: VERDICT r12 #2). The r12 driver tail held
+    # both full lines (~3.5 KB), so the window fits the map. The short
+    # summary line stays, FIRST, purely as a human/regex fallback; the
+    # driver's parsed line is the full one.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
+                "n_queries": len(timings),
             },
             separators=(",", ":"),
         )
@@ -189,9 +194,9 @@ def main() -> None:
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
+                "queries": timings,
                 "sf": sf,
                 "calibration_sec": calibration,
-                "n_queries": len(timings),
             },
             separators=(",", ":"),
         )

@@ -962,9 +962,6 @@ def exact_substr_scrub(
     and per-doc state bounded by document length.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col(text_col).alias("toks"))
-    pos_tok = toks.select(
-        "doc_id", F.posexplode("toks").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     g = toks.filter(F.size("toks") >= n).select(
         "doc_id",
         F.explode(
@@ -990,35 +987,46 @@ def exact_substr_scrub(
         .filter(F.col("nd") >= 2)
         .select("g", "mind")
     )
-    cov = (
+    # Per-doc REMOVAL SET instead of per-token anti-join (guide §2.3/§2.4):
+    # the old shape exploded every token to a (doc, pos, tok) row, anti-
+    # joined the covered positions, and re-collected + sorted each doc's
+    # survivors — three corpus-scale exchanges over token rows. The
+    # covered positions are BOUNDED by doc length, so collecting them
+    # into one set per doc (collect_set also subsumes the old distinct)
+    # and rebuilding the text MAP-SIDE from the token array removes the
+    # token explode, the anti-join, and the rebuild groupBy outright:
+    # array_except(sequence(1, len), rem) keeps the surviving 1-based
+    # positions IN ORDER (it preserves the left argument's order), and
+    # element_at maps them back to tokens.
+    covd = (
         g.join(dup, "g")
         .filter(F.col("doc_id") > F.col("mind"))
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("rem"))
     )
-    kept = pos_tok.join(cov, ["doc_id", "pos"], "left_anti")
-    clean = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-        ).alias("ct"),
+    all_pos = F.when(
+        F.size("toks") > 0, F.sequence(F.lit(1), F.size("toks"))
+    ).otherwise(F.array().cast("array<int>"))
+    kept_pos = F.array_except(all_pos, F.coalesce("rem", F.array().cast("array<int>")))
+    ct = F.concat_ws(
+        " ", F.transform(kept_pos, lambda p: F.element_at("toks", p))
     )
     return (
-        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
-        .join(clean, "doc_id", "left")
+        toks.join(covd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.size(kept_pos).cast("long").alias("_n_kept"),
+            ct.alias("_ct"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.md5(F.coalesce(F.col("ct"), F.lit(""))).alias("clean_md5"),
+            (F.col("n_tokens") - F.col("_n_kept")).alias("n_removed"),
+            F.md5(F.col("_ct")).alias("clean_md5"),
         )
     )

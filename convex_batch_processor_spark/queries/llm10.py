@@ -120,6 +120,41 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_HOT_PART = 20  # parts supplied by more than this many suppliers are dropped
 
 
+def _cosupply_pairs(li: DataFrame, cap: int) -> DataFrame:
+    """Canonical (sa < sb) co-supply supplier pairs, hot parts (> ``cap``
+    suppliers) dropped — the shared edge build of supplier_triangles and
+    label_propagation_communities.
+
+    ONE part-keyed aggregation replaces the former distinct + count
+    filter + part-keyed self-join (guide §2.3/§2.4): collect_set dedups
+    (part, supplier) in the same pass the old .distinct() needed its own
+    exchange for, the 2..cap size gate is a map-side filter on the set,
+    and the pair expansion happens MAP-SIDE over the sorted per-part
+    supplier set (≤ cap(cap-1)/2 pairs per part by construction), feeding
+    the cross-part distinct directly. sort_array + (i < j) index pairs ≡
+    the old sa < sb filter on distinct suppliers."""
+    per_part = (
+        li.select("l_partkey", "l_suppkey")
+        .groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_set("l_suppkey")).alias("ss"))
+        .filter((F.size("ss") >= 2) & (F.size("ss") <= cap))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "ss",
+            lambda x, i: F.transform(
+                F.slice("ss", i + 2, F.size("ss")),
+                lambda y: F.struct(x.alias("sa"), y.alias("sb")),
+            ),
+        )
+    )
+    return (
+        per_part.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.sa").alias("sa"), F.col("p.sb").alias("sb"))
+        .distinct()
+    )
+
+
 @register(
     "supplier_triangles",
     oracle=f"""
@@ -159,17 +194,8 @@ def supplier_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume at parts x cap^2). The triangle table is persisted once for
     the three per-corner projections."""
     li = _t(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
-    ok = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).filter(
-        (F.col("n") >= 2) & (F.col("n") <= _TRI_HOT_PART)
-    ).select("l_partkey")
-    a = ps.select("l_partkey", F.col("l_suppkey").alias("sa")).join(ok, "l_partkey")
-    b = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
     edges = (
-        a.join(b, "l_partkey")
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
-        .distinct()
+        _cosupply_pairs(li, _TRI_HOT_PART)
         .persist()  # e1/e2/e3 are three consumers of the same edge set
     )
     e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))

@@ -62,21 +62,41 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     new posting list."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
+    # ONE basket-keyed aggregation replaces the former distinct + basket
+    # self-join (guide §2.3/§2.4 "aggregate before you shuffle"):
+    # collect_set dedups (basket, item) in the same pass the old
+    # .distinct() needed its own exchange for, and the 2-itemset
+    # expansion happens MAP-SIDE over the sorted per-basket item set
+    # (bounded by the brand inventory, ≤25 items → ≤300 pairs), feeding
+    # partial aggregation — the old shape shuffled the exploded basket
+    # rows twice more (both self-join sides). sort_array + (i < j) index
+    # pairs ≡ the old item_a < item_b filter on distinct items.
     baskets = (
         li.select("l_orderkey", "l_partkey")
         .join(F.broadcast(part.select("p_partkey", "p_brand")),
               li.l_partkey == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
-        .distinct()
-        .persist()  # three consumers: N, item freq, both pair sides
+        .groupBy(F.col("l_orderkey").alias("basket"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("items"))
+        .persist()  # three consumers: N, item freq, pair expansion
     )
-    nb = baskets.agg(F.countDistinct("basket").alias("n"))
-    freq = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    nb = baskets.agg(F.count(F.lit(1)).alias("n"))
+    freq = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_i"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", i + 2, F.size("items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     co = (
-        baskets.select("basket", F.col("item").alias("item_a"))
-        .join(baskets.select("basket", F.col("item").alias("item_b")), "basket")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _MB_MIN_SUPPORT)
     )

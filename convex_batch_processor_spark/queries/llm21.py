@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from .llm10 import _cosupply_pairs
 from .registry import register
 
 
@@ -77,25 +78,10 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     node-keyed vote rollup — the textbook Pregel step as DataFrame ops;
     rounds are O(diameter)-ish like the CC operator's propagation."""
     li = _t(spark, sf_dir, "lineitem")
-    # persisted: ps feeds ok AND both sides of the pair join — unpersisted,
-    # the lineitem scan + distinct shuffle re-runs three times (the oracle
-    # marks its ps CTE MATERIALIZED for the same reason). Deliberate
-    # session-lifetime cache: the plan is returned lazily, so the unpersist
-    # point is the caller's last action; LRU-evictable (ADVICE r8)
-    ps = li.select("l_partkey", "l_suppkey").distinct().persist()
-    ok = (
-        ps.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter((F.col("n") >= 2) & (F.col("n") <= _LPA_HOT_PART))
-        .select("l_partkey")
-    )
-    a = ps.select("l_partkey", F.col("l_suppkey").alias("sa")).join(ok, "l_partkey")
-    und = (
-        a.join(ps.select("l_partkey", F.col("l_suppkey").alias("sb")), "l_partkey")
-        .filter(F.col("sa") < F.col("sb"))
-        .select("sa", "sb")
-        .distinct()
-    )
+    # ONE part-keyed aggregation + map-side pair expansion replaces the
+    # former distinct + count filter + part-keyed self-join — the shared
+    # _cosupply_pairs edge build (see its docstring; guide §2.3/§2.4)
+    und = _cosupply_pairs(li, _LPA_HOT_PART)
     edges = (
         und.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
         .unionAll(und.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))

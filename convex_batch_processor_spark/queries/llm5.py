@@ -159,22 +159,35 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the novelty ratio is int/int in double (bit-exact, no rounding)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", tokens_col("text").alias("t"))
-    # persisted: grams feeds BOTH the first-occurrence aggregate and the
-    # join-back — unpersisted, the shingle explode re-runs over the corpus
-    # for each consumer (the dup_span_coverage / token_pmi_pairs class).
-    # Deliberate session-lifetime cache: the plan is returned lazily, so the
-    # unpersist point is the caller's last action; LRU-evictable (ADVICE r8)
+    # persisted: grams feeds BOTH the per-doc gram count and the
+    # first-occurrence aggregate — unpersisted, the shingle explode
+    # re-runs over the corpus for each consumer (the dup_span_coverage /
+    # token_pmi_pairs class). Deliberate session-lifetime cache: the plan
+    # is returned lazily, so the unpersist point is the caller's last
+    # action; LRU-evictable (ADVICE r8)
     grams = toks.select(
         "doc_id", F.explode(shingles_from_tokens(F.col("t"), 8)).alias("gram")
     ).persist()
+    # No corpus-scale join-back (guide §2.4): shingles are DISTINCT per
+    # doc, so each gram credits novelty to exactly ONE doc — its
+    # first_doc. n_novel(doc) is therefore a count over the
+    # first-occurrence table alone (first.groupBy(first_doc)), and
+    # n_grams(doc) a count over the gram stream — two per-doc aggregates
+    # joined on doc_id, instead of shipping every (doc, gram) row through
+    # a gram-keyed join + doc-keyed reduce. A doc with grams but zero
+    # firsts still appears (left join, coalesce 0); a doc with <8 tokens
+    # has no grams and no row, as before.
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    n_grams = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    n_novel = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
     return (
-        grams.join(first, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
+        n_grams.join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
         )
         .select(
             "doc_id",

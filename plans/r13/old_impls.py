@@ -1,0 +1,335 @@
+"""Round-12 (HEAD f3f1a83) implementations of the queries rewritten in
+round 13, copied verbatim for one-session interleaved A/B (the host's
+cross-process speed scatter — probe 0.23-1.36 observed — makes separate
+processes incomparable). Measurement-only; never imported by the engine."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from convex_batch_processor_spark.catalog import load_table
+from convex_batch_processor_spark.llmops.dedup import (
+    shingles_from_tokens,
+    tokens_col,
+)
+
+_TRI_HOT_PART = 20
+_LPA_HOT_PART = 20
+_LPA_ROUNDS = 3
+_MB_MIN_SUPPORT = 5
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def old_ngram_novelty_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_col("text").alias("t"))
+    grams = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("t"), 8)).alias("gram")
+    ).persist()
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+def old_market_basket_rules(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              li.l_partkey == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+        .persist()
+    )
+    nb = baskets.agg(F.countDistinct("basket").alias("n"))
+    freq = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_i"))
+    co = (
+        baskets.select("basket", F.col("item").alias("item_a"))
+        .join(baskets.select("basket", F.col("item").alias("item_b")), "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _MB_MIN_SUPPORT)
+    )
+    fa = freq.select(F.col("item").alias("item_a"), F.col("n_i").alias("na"))
+    fb = freq.select(F.col("item").alias("item_b"), F.col("n_i").alias("nb_i"))
+    return (
+        co.join(F.broadcast(fa), "item_a")
+        .join(F.broadcast(fb), "item_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("n").cast("double")).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("na").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_ab").cast("double") / F.col("nb_i").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("n_ab") * F.col("n")).cast("double")
+                / (F.col("na") * F.col("nb_i")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+def old_supplier_triangles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ok = ps.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n")).filter(
+        (F.col("n") >= 2) & (F.col("n") <= _TRI_HOT_PART)
+    ).select("l_partkey")
+    a = ps.select("l_partkey", F.col("l_suppkey").alias("sa")).join(ok, "l_partkey")
+    b = ps.select("l_partkey", F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+        .distinct()
+        .persist()
+    )
+    e1 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("b"))
+    e2 = edges.select(F.col("sa").alias("b"), F.col("sb").alias("c"))
+    e3 = edges.select(F.col("sa").alias("a"), F.col("sb").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"]).persist()
+    corners = (
+        tri.select(F.col("a").alias("s_suppkey"))
+        .unionAll(tri.select(F.col("b").alias("s_suppkey")))
+        .unionAll(tri.select(F.col("c").alias("s_suppkey")))
+    )
+    return corners.groupBy("s_suppkey").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def old_label_propagation_communities(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct().persist()
+    ok = (
+        ps.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= _LPA_HOT_PART))
+        .select("l_partkey")
+    )
+    a = ps.select("l_partkey", F.col("l_suppkey").alias("sa")).join(ok, "l_partkey")
+    und = (
+        a.join(ps.select("l_partkey", F.col("l_suppkey").alias("sb")), "l_partkey")
+        .filter(F.col("sa") < F.col("sb"))
+        .select("sa", "sb")
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+        .unionAll(und.select(F.col("sb").alias("src"), F.col("sa").alias("dst")))
+        .persist()
+    )
+    lbl = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(lbl.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lbl = (
+            votes.groupBy("node")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("_neg"))).alias("_m")
+            )
+            .select("node", (-F.col("_m._neg")).alias("label"))
+        )
+    return lbl.select(F.col("node").alias("s_suppkey"), F.col("label").alias("community"))
+
+
+OLD = {
+    "ngram_novelty_score": old_ngram_novelty_score,
+    "market_basket_rules": old_market_basket_rules,
+    "supplier_triangles": old_supplier_triangles,
+    "label_propagation_communities": old_label_propagation_communities,
+}
+
+
+def old_tfidf_cosine_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    threshold, df_cap = 0.04, 64
+    toks = docs.select(
+        F.col("doc_id"), F.col("source").alias("blk"), tokens_col("text").alias("_t")
+    )
+    idx = F.when(
+        F.size("_t") >= 3, F.sequence(F.lit(1), F.size("_t") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = F.concat_ws(" ", F.slice(F.col("_t"), F.col("i"), 3))
+    ex = toks.select(
+        "doc_id", "blk", F.explode(idx).alias("i"), "_t"
+    ).select("doc_id", "blk", gram.alias("g"))
+    tf = ex.groupBy("doc_id", "blk", "g").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_n9 = F.round(
+        F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 9) * 1e9
+    ).cast("long")
+    w = (
+        tf.join(dft, "g")
+        .filter(F.col("df") <= df_cap)
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "blk", "g", "df", (F.col("tf") * idf_n9).alias("wn"))
+        .persist()
+    )
+    wd = F.col("wn").cast("decimal(19,0)")
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(wd * wd).cast("double")).alias("nrm"))
+    shared = w.filter(F.col("df") >= 2)
+    a = shared.select(F.col("doc_id").alias("id_a"), "blk", "g", F.col("wn").alias("wa"))
+    b = shared.select(F.col("doc_id").alias("id_b"), "blk", "g", F.col("wn").alias("wb"))
+    dot = (
+        a.join(b, ["blk", "g"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("wa").cast("decimal(19,0)") * F.col("wb").cast("decimal(19,0)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nrm").alias("nb"))
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, F.round(F.col("dot") / den, 6))
+    return (
+        dot.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def old_exact_substr_scrub(spark, sf_dir, n=8):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), tokens_col("text").alias("toks"))
+    pos_tok = toks.select(
+        "doc_id", F.posexplode("toks").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    g = toks.filter(F.size("toks") >= n).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.struct(
+                    i.alias("i"), F.concat_ws(" ", F.slice("toks", i, n)).alias("g")
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.i").alias("i"), F.col("s.g").alias("g"))
+    g = g.persist()
+    dup = (
+        g.groupBy("g")
+        .agg(F.min("doc_id").alias("mind"), F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g", "mind")
+    )
+    cov = (
+        g.join(dup, "g")
+        .filter(F.col("doc_id") > F.col("mind"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = pos_tok.join(cov, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("ct"),
+    )
+    return (
+        toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+            F.md5(F.coalesce(F.col("ct"), F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def _old_truth_pairs(sh_raw):
+    st = sh_raw.select(
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("shingle")
+    )
+    x = st.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa"), "shingle")
+    y = st.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb"), "shingle")
+    tr = (
+        x.join(y, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return tr.select(
+        "id_a",
+        "id_b",
+        (F.col("i").cast("double") / (F.col("sa") + F.col("sb") - F.col("i"))).alias("j"),
+    )
+
+
+def old_neardup_eval_metrics(spark, sf_dir):
+    from convex_batch_processor_spark.llmops import dedup as D
+
+    _TAU = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    cands, sh_raw = D.minhash_md5_candidates(docs)
+    truth = _old_truth_pairs(sh_raw).filter(F.col("j") >= _TAU)
+    pairs = truth.select(
+        "id_a", "id_b", F.lit(1).alias("_t"), F.lit(0).alias("_c")
+    ).unionAll(
+        cands.select("id_a", "id_b", F.lit(0).alias("_t"), F.lit(1).alias("_c"))
+    )
+    per_pair = pairs.groupBy("id_a", "id_b").agg(
+        F.max("_t").alias("_t"), F.max("_c").alias("_c")
+    )
+    m = per_pair.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_c")), F.lit(0)).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_candidates",
+        "n_truth",
+        "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_candidates"))
+        .alias("lsh_precision"),
+        F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
+        .alias("lsh_recall"),
+    )
+
+
+OLD["tfidf_cosine_pairs"] = old_tfidf_cosine_pairs
+OLD["exact_substr_scrub"] = old_exact_substr_scrub
+OLD["neardup_eval_metrics"] = old_neardup_eval_metrics

@@ -29,53 +29,118 @@ k·dim model state.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves the stringified
+# type hints (future-annotations) against the function's module globals
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+def _l2_assign_rows(
+    embeddings: DataFrame, cent_rows: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, vec, cluster_id, dist2): nearest centroid per vector by squared
+    L2 — one Arrow-batched map-side projection (guide §4.2).
+
+    The model state (``cent_rows``: (cluster_id, centroid) pairs, k·dim
+    doubles) rides in the UDF closure; only the vector column crosses the
+    Python boundary. The numpy kernel replicates the former JVM HOF fold
+    BIT-FOR-BIT: float32 elements widen to float64 (exact), (x−c)² is one
+    IEEE multiply on identical operands, and the per-row accumulation runs
+    in INDEX ORDER (an explicit per-dimension loop — np.sum's pairwise
+    reduction would drift in the last ulp), so the assignment and dist2
+    hash-match the engine-portable oracle exactly as the interpreted
+    zip_with/aggregate fold did — at ~10× the throughput (the fold is
+    CodegenFallback: interpreted per element, k·dim Catalyst evals per
+    row; the r12 codegen-unroll attempt made it 4-20× SLOWER, see
+    OPTIMIZATION_r12.md).
+
+    Argmin tiebreak: centroids are sorted by cluster_id and np.argmin
+    takes the first minimum — identical to the former array_min over
+    (dist2, cluster_id) structs. NULL or dimension-mismatched vectors get
+    (lowest cluster_id, NULL dist2), matching the former NULL-fold path;
+    a NaN element yields NaN dist2 for every centroid and the lowest
+    cluster_id (np.inf masking), matching Spark's NaN-largest ordering.
+    (A NULL *element* inside a non-NULL vector arrives as NaN through
+    Arrow and is scored as NaN rather than the JVM's NULL — no input
+    class produces one: vectors are synthesized dense.)
+    """
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    cents = sorted(
+        ((int(c), [float(x) for x in v]) for c, v in cent_rows), key=lambda t: t[0]
+    )
+    ids = [c for c, _ in cents]
+    mat = [v for _, v in cents]
+
+    # scalar Series->DataFrame form (the struct-output pandas_udf shape;
+    # the iterator variant does not support struct returns). The k·dim
+    # centroid matrix rebuild per batch is noise next to the batch math.
+    @pandas_udf("struct<cluster_id: bigint, dist2: double>")
+    def _assign(s: pd.Series) -> pd.DataFrame:
+        import numpy as np  # noqa: PLC0415
+
+        C = np.asarray(mat, dtype=np.float64)
+        cid = np.asarray(ids, dtype=np.int64)
+        k, d = C.shape
+        vals = s.to_numpy()
+        n = len(vals)
+        valid = np.fromiter(
+            (v is not None and len(v) == d for v in vals), dtype=bool, count=n
+        )
+        out_c = np.full(n, cid[0], dtype=np.int64)
+        if valid.all():
+            X = np.concatenate(list(vals)).reshape(n, d).astype(np.float64)
+        elif valid.any():
+            X = (
+                np.concatenate([np.asarray(v) for v in vals[valid]])
+                .reshape(-1, d)
+                .astype(np.float64)
+            )
+        else:
+            return pd.DataFrame(
+                {"cluster_id": out_c, "dist2": np.full(n, None, dtype=object)}
+            )
+        D = np.empty((X.shape[0], k))
+        for j in range(k):
+            sq = X - C[j]
+            sq *= sq
+            acc = sq[:, 0].copy()
+            for t in range(1, d):  # index-order fold == the JVM aggregate
+                acc += sq[:, t]
+            D[:, j] = acc
+        am = np.where(np.isnan(D), np.inf, D).argmin(axis=1)
+        dv = D[np.arange(X.shape[0]), am]
+        out_c[valid] = cid[am]
+        if valid.all():
+            dist2 = dv
+        else:
+            dist2 = np.full(n, None, dtype=object)
+            dist2[valid] = [float(x) for x in dv]
+        return pd.DataFrame({"cluster_id": out_c, "dist2": dist2})
+
+    return (
+        embeddings.select(id_col, vec_col)
+        .withColumn("_b", _assign(F.col(vec_col)))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),  # carried through so the update step needs no re-join
+            F.col("_b.cluster_id").alias("cluster_id"),
+            F.col("_b.dist2").alias("dist2"),
+        )
+    )
+
 
 def _l2_assign(
     embeddings: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, cluster_id, dist2): nearest centroid per vector by squared L2 —
-    as a SINGLE map-side projection.
-
-    The centroid table collapses to one row holding an array of
-    (cluster_id, centroid) structs, cross-joined in (a 1-row broadcast);
-    per corpus row, a transform computes Σ(v_i−c_i)² per centroid and
-    ``array_min`` over (dist2, cluster_id) structs picks the argmin with a
-    deterministic tiebreak. No explode to n·k rows, no window sort, no
-    re-join to recover the vector — the corpus is never shuffled for an
-    assignment. The fold expression contains no per-iteration literals, so
-    whole-stage codegen is compiled once and cache-hits every round.
-    """
-    cents = centroids.groupBy().agg(
-        F.collect_list(F.struct("cluster_id", "centroid")).alias("_cents")
-    )
-    dist2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.col(vec_col),
-            c["centroid"],
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("_cents"),
-            lambda c: F.struct(dist2(c).alias("dist2"), c["cluster_id"].alias("cluster_id")),
-        )
-    )
-    return (
-        embeddings.select(id_col, vec_col)
-        .join(F.broadcast(cents))
-        .withColumn("_best", best)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),  # carried through so the update step needs no re-join
-            F.col("_best.cluster_id").alias("cluster_id"),
-            F.col("_best.dist2").alias("dist2"),
-        )
-    )
+    """DataFrame-centroids wrapper over :func:`_l2_assign_rows`: collects
+    the bounded (cluster_id, centroid) model state — k·dim doubles, the
+    kmeans-centroid collect pattern — and runs the Arrow-batched
+    assignment."""
+    cent_rows = [
+        (r["cluster_id"], list(r["centroid"])) for r in centroids.collect()
+    ]
+    return _l2_assign_rows(embeddings, cent_rows, id_col, vec_col)
 
 
 def kmeans_fit(
@@ -120,8 +185,9 @@ def kmeans_fit(
             raise ValueError("kmeans_fit: embeddings input is empty")
         cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
         for _ in range(n_iter):
-            centroids = spark.createDataFrame(cent_rows, schema)
-            assign = _l2_assign(data, centroids, id_col, vec_col)
+            # cent_rows IS the model state — feed it to the assignment
+            # directly (no literal-DataFrame round trip per iteration)
+            assign = _l2_assign_rows(data, cent_rows, id_col, vec_col)
             # MLlib-style bounded driver round-trip: k·dim partial means come
             # back to the driver each round (the centroid table IS the model
             # state — bytes, not corpus). One job per iteration: map-side

@@ -308,10 +308,30 @@ def bloom_bitmap(
     """Collect the Bloom filter as driver-side 32-bit words — the form a
     production job ships: the whole filter is ≤ m_bits/32 ints (8 KB at
     m=65536) whatever the key count, so this is bounded control-plane
-    state (the k-means-centroid collect pattern), not a corpus collect."""
+    state (the k-means-centroid collect pattern), not a corpus collect.
+
+    Built as ONE word-keyed bit_or aggregation (guide §2.3 "aggregate
+    before you shuffle"): bit-OR is idempotent, so no distinct pass over
+    bit positions is needed, partial aggregation collapses the position
+    stream map-side to ≤ m_bits/32 word rows per task, and the driver
+    materializes words — not one row per set bit, which at 100 TB bloom
+    sizings (billions of bits) would be a corpus-scale collect."""
+    word = F.floor(F.col("pos") / 32).cast("int").alias("w")
+    # SQL shiftleft: the DataFrame F.shiftleft only takes a LITERAL count
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+    rows = (
+        keys.select(
+            F.explode(
+                F.array(*[(md5_int(key_col, i) % m_bits) for i in range(k)])
+            ).alias("pos")
+        )
+        .groupBy(word)
+        .agg(F.bit_or(bit).alias("bits"))
+        .collect()
+    )
     words = [0] * ((m_bits + 31) // 32)
-    for r in bloom_bits(keys, key_col, m_bits, k).collect():
-        words[r.pos // 32] |= 1 << (r.pos % 32)
+    for r in rows:
+        words[r.w] = int(r.bits)
     return words
 
 

@@ -76,6 +76,12 @@ def connected_components(
         # sum('comp') checksum broke for every non-small-numeric id type:
         # ANSI CAST_INVALID_INPUT on string ids, long overflow on
         # hash-range ids, and NULL==NULL false convergence with ANSI off.)
+        # ONE action per round: the checkpoint is lazy and the FULL
+        # convergence count (no limit — every partition must compute so
+        # the checkpoint covers them all) materializes it — the former
+        # eager-checkpoint + count pair cost two scheduler round-trips
+        # per round for the same work (guide §1.2: per-round fixed costs
+        # dominate iterative operators on bounded label tables).
         stepped = (
             labels.join(neigh_min, labels.node == neigh_min.a, "left")
             .select(
@@ -83,9 +89,9 @@ def connected_components(
                 F.col("comp").alias("_prev"),
                 F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias("comp"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        changed = stepped.filter(F.col("comp") != F.col("_prev")).count()
         labels = stepped.select("node", "comp")
         if changed == 0:
             return labels.select("node", F.col("comp").alias("component_id"))

@@ -333,3 +333,212 @@ def old_neardup_eval_metrics(spark, sf_dir):
 OLD["tfidf_cosine_pairs"] = old_tfidf_cosine_pairs
 OLD["exact_substr_scrub"] = old_exact_substr_scrub
 OLD["neardup_eval_metrics"] = old_neardup_eval_metrics
+
+
+def _old_l2_assign(embeddings, centroids, id_col, vec_col):
+    cents = centroids.groupBy().agg(
+        F.collect_list(F.struct("cluster_id", "centroid")).alias("_cents")
+    )
+    dist2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            c["centroid"],
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(dist2(c).alias("dist2"), c["cluster_id"].alias("cluster_id")),
+        )
+    )
+    return (
+        embeddings.select(id_col, vec_col)
+        .join(F.broadcast(cents))
+        .withColumn("_best", best)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("_best.cluster_id").alias("cluster_id"),
+            F.col("_best.dist2").alias("dist2"),
+        )
+    )
+
+
+def _old_kmeans_fit(embeddings, k, n_iter, id_col, vec_col, round_dp):
+    spark = embeddings.sparkSession
+    schema = "cluster_id long, centroid array<double>"
+    data = embeddings.select(id_col, vec_col).filter(F.col(vec_col).isNotNull()).persist()
+    try:
+        init = data.orderBy(F.col(id_col).asc()).limit(k).collect()
+        cent_rows = [(i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)]
+        for _ in range(n_iter):
+            centroids = spark.createDataFrame(cent_rows, schema)
+            assign = _old_l2_assign(data, centroids, id_col, vec_col)
+            m_expr = F.avg(F.col("val").cast("double"))
+            if round_dp is not None:
+                m_expr = F.round(m_expr, round_dp)
+            dm = (
+                assign.select("cluster_id", F.posexplode(F.col(vec_col)).alias("dim", "val"))
+                .groupBy("cluster_id", "dim")
+                .agg(m_expr.alias("m"))
+                .collect()
+            )
+            by_cluster = {}
+            for r in dm:
+                by_cluster.setdefault(r["cluster_id"], {})[r["dim"]] = r["m"]
+            cent_rows = [
+                (
+                    cid,
+                    [by_cluster[cid][d] for d in range(len(prev))]
+                    if cid in by_cluster
+                    else prev,
+                )
+                for cid, prev in cent_rows
+            ]
+    finally:
+        data.unpersist()
+    return spark.createDataFrame(cent_rows, schema)
+
+
+def old_kmeans_clusters(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = _old_kmeans_fit(emb, 8, 4, "vec_id", "embedding", 6)
+    out = _old_l2_assign(emb, centroids, "vec_id", "embedding")
+    return out.select(
+        F.col("vec_id"), "cluster_id", F.round("dist2", 6).alias("dist2")
+    )
+
+
+OLD["kmeans_clusters"] = old_kmeans_clusters
+
+
+def new_eval_with_distinct(spark, sf_dir):
+    # r13 interim arm: identical to neardup_eval_metrics but with the
+    # candidate .distinct() retained (distinct_pairs=True)
+    from convex_batch_processor_spark.llmops import dedup as D
+    import convex_batch_processor_spark.queries.llm50 as q
+
+    _TAU = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    cands, sh_raw = D.minhash_md5_candidates(docs, distinct_pairs=True)
+    truth = q._truth_pairs(sh_raw).filter(F.col("j") >= _TAU)
+    pairs = truth.select(
+        "id_a", "id_b", F.lit(1).alias("_t"), F.lit(0).alias("_c")
+    ).unionAll(
+        cands.select("id_a", "id_b", F.lit(0).alias("_t"), F.lit(1).alias("_c"))
+    )
+    per_pair = pairs.groupBy("id_a", "id_b").agg(
+        F.max("_t").alias("_t"), F.max("_c").alias("_c")
+    )
+    m = per_pair.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_c")), F.lit(0)).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_candidates", "n_truth", "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_candidates"))
+        .alias("lsh_precision"),
+        F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
+        .alias("lsh_recall"),
+    )
+
+
+OLD["neardup_eval_metrics"] = new_eval_with_distinct
+
+
+def _old_connected_components(edges, src="src", dst="dst", max_iter=25):
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.localCheckpoint(eager=True)
+    labels = (
+        und.select(F.col("a").alias("node")).distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            und.join(labels, und.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        stepped = (
+            labels.join(neigh_min, labels.node == neigh_min.a, "left")
+            .select(
+                "node",
+                F.col("comp").alias("_prev"),
+                F.least(F.col("comp"), F.coalesce("neigh_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("comp") != F.col("_prev")).limit(1).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            return labels.select("node", F.col("comp").alias("component_id"))
+    raise RuntimeError("no converge")
+
+
+def old_dedup_keep_best(spark, sf_dir):
+    from convex_batch_processor_spark.queries.llm import _neardup_edges, X
+    docs = _t(spark, sf_dir, "documents")
+    comp = _old_connected_components(_neardup_edges(spark, sf_dir), "id_a", "id_b")
+    scored = (
+        docs.join(F.broadcast(comp), docs.doc_id == comp.node)
+        .select("component_id", "doc_id", X.token_count().alias("n_tokens"))
+    )
+    return (
+        scored.groupBy("component_id")
+        .agg(
+            F.max(
+                F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("_negid"))
+            ).alias("_best"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .select(
+            "component_id",
+            (-F.col("_best._negid")).alias("keep_doc_id"),
+            F.col("_best.n_tokens").alias("keep_n_tokens"),
+            "n_members",
+        )
+    )
+
+
+def old_bloom_decontamination_prefilter(spark, sf_dir):
+    from convex_batch_processor_spark.llmops import sketches as K
+    from convex_batch_processor_spark.llmops.dedup import exploded_shingles
+    _BLOOM_M, _BLOOM_K, _BLOOM_N = 65536, 3, 8
+    grams = exploded_shingles(_t(spark, sf_dir, "documents"), n=_BLOOM_N, out="gram")
+    eval_grams = (
+        grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct().persist()
+    )
+    corpus = grams.filter(F.col("doc_id") % 50 != 0)
+    words = [0] * ((_BLOOM_M + 31) // 32)
+    for r in K.bloom_bits(eval_grams, "gram", _BLOOM_M, _BLOOM_K).collect():
+        words[r.pos // 32] |= 1 << (r.pos % 32)
+    return (
+        corpus.withColumn(
+            "bloom_hit", K.bloom_hit_col("gram", words, _BLOOM_M, _BLOOM_K)
+        )
+        .join(
+            F.broadcast(eval_grams.withColumn("in_eval", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("in_eval"), F.lit(0)).cast("long")).alias("n_true_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+        .select("doc_id", "n_grams", "n_bloom_hits", "n_true_hits")
+    )
+
+
+OLD["dedup_keep_best"] = old_dedup_keep_best
+OLD["bloom_decontamination_prefilter"] = old_bloom_decontamination_prefilter

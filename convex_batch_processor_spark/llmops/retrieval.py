@@ -176,6 +176,12 @@ def bigram_logprob_scores(
             )
         ).alias("p"),
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    # persisted: big feeds the bigram counts, the prefix counts AND the
+    # scoring join-back — unpersisted, the corpus bigram explode executes
+    # THREE times per action (the ngram_novelty grams class). Deliberate
+    # session-lifetime cache: the plan is returned lazily, so the
+    # unpersist point is the caller's last action; LRU-evictable (ADVICE r8)
+    big = big.persist()
 
     c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
@@ -243,9 +249,12 @@ def trigram_logprob_scores(
             F.col(id_col), *[F.col(f"z.{i}").alias(f"w{i+1}") for i in range(n)]
         )
 
-    uni = positions(1)
+    # uni feeds its count table AND the corpus stats; tri feeds its count
+    # table AND the scoring join-back — persist both or the explodes run
+    # twice per action (same class as the bigram scorer's `big` persist)
+    uni = positions(1).persist()
     bi = positions(2)
-    tri = positions(3)
+    tri = positions(3).persist()
 
     u = uni.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
     b = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))

@@ -542,3 +542,213 @@ def old_bloom_decontamination_prefilter(spark, sf_dir):
 
 OLD["dedup_keep_best"] = old_dedup_keep_best
 OLD["bloom_decontamination_prefilter"] = old_bloom_decontamination_prefilter
+
+
+def old_cosine_neardup_bucketed(spark, sf_dir):
+    # r12 shape: JVM interpreted dot fold in the rerank
+    from convex_batch_processor_spark.llmops.similarity import (
+        banded_lsh_signatures, dot_col,
+    )
+    embeddings = _t(spark, sf_dir, "embeddings")
+    threshold, id_col, vec_col = 0.42, "vec_id", "embedding"
+    sig = banded_lsh_signatures(embeddings, 24, 4, 64, 42, id_col, vec_col).persist()
+    a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    _p = embeddings.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .repartition(_p, "vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    norm = embeddings.withColumn("_n", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
+    unit = norm.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col), lambda x: F.when(F.col("_n") > 0, x / F.col("_n")).otherwise(F.lit(0.0))
+        ).alias("unit"),
+    )
+    va = unit.select(F.col(id_col).alias("vec_id_a"), F.col("unit").alias("ua"))
+    vb = unit.select(F.col(id_col).alias("vec_id_b"), F.col("unit").alias("ub"))
+    sim = F.round(dot_col(F.col("ua"), F.col("ub")), 6)
+    return (
+        cand.join(va, "vec_id_a")
+        .join(vb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
+def old_cosine_lsh_portable(spark, sf_dir):
+    from convex_batch_processor_spark.llmops.similarity import (
+        hyperplane_lsh_buckets, dot_col,
+    )
+    embeddings = _t(spark, sf_dir, "embeddings")
+    threshold, id_col, vec_col = 0.42, "vec_id", "embedding"
+    n_bands, bits_per_band, dim, seed = 4, 4, 64, 42
+    sigs = []
+    for band in range(n_bands):
+        s = hyperplane_lsh_buckets(
+            embeddings, n_bits=bits_per_band, dim=dim, seed=seed + band,
+            id_col=id_col, vec_col=vec_col,
+        ).select(F.col(id_col), F.lit(band).alias("band"), "bucket")
+        sigs.append(s)
+    sig = sigs[0]
+    for s in sigs[1:]:
+        sig = sig.unionAll(s)
+    sig = sig.persist()
+    a = sig.select(F.col(id_col).alias("vec_id_a"), "band", "bucket")
+    b = sig.select(F.col(id_col).alias("vec_id_b"), "band", "bucket")
+    _p = embeddings.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b")
+        .repartition(_p, "vec_id_a", "vec_id_b")
+        .dropDuplicates(["vec_id_a", "vec_id_b"])
+    )
+    nv = embeddings.withColumn("_n", F.sqrt(dot_col(F.col(vec_col), F.col(vec_col))))
+    ea = nv.select(
+        F.col(id_col).alias("vec_id_a"), F.col(vec_col).alias("va"), F.col("_n").alias("na")
+    )
+    eb = nv.select(
+        F.col(id_col).alias("vec_id_b"), F.col(vec_col).alias("vb"), F.col("_n").alias("nb")
+    )
+    den = F.col("na") * F.col("nb")
+    sim = F.round(F.when(den > 0, dot_col(F.col("va"), F.col("vb")) / den), 6)
+    return (
+        cand.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select("vec_id_a", "vec_id_b", sim.alias("sim"))
+        .filter(F.col("sim") > threshold)
+    )
+
+
+def old_training_pipeline_v2(spark, sf_dir):
+    # r12 shape: bigram_logprob_scores WITHOUT the `big` persist
+    from pyspark.sql import Window
+    from convex_batch_processor_spark.llmops.retrieval import ngram_contamination
+    from convex_batch_processor_spark.queries.llm import X
+
+    docs = _t(spark, sf_dir, "documents")
+    id_col, text_col = "doc_id", "text"
+    toks = docs.select(F.col(id_col), tokens_col(text_col).alias("t"))
+    big = toks.filter(F.size("t") >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), F.concat_ws(" ", a, b).alias("bg")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg"))
+    c12 = big.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = toks.select(F.explode("t").alias("w")).agg(F.countDistinct("w").alias("v"))
+    scored = (
+        big.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.round(F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 9).alias("lp"),
+        )
+    )
+    lm = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum(F.col("lp").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1))).alias("avg_logp"),
+    )
+    scores = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id")
+        .join(lm.select("doc_id", "avg_logp"), "doc_id")
+    )
+    ranked = scores.withColumn(
+        "rn", F.row_number().over(Window.orderBy("avg_logp", "doc_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+    keep = ranked.filter(F.col("rn") > F.floor(F.lit(0.1) * F.col("n"))).select(
+        "doc_id", "avg_logp"
+    )
+    quality = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", "source", "text")
+        .join(keep, "doc_id")
+        .select("doc_id", "source", "text", "avg_logp")
+    )
+    contam_ids = ngram_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n=8,
+    ).select("doc_id")
+    clean = quality.join(contam_ids, "doc_id", "left_anti")
+    deduped = (
+        clean.withColumn(
+            "rd",
+            F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")),
+        )
+        .filter(F.col("rd") == 1)
+    )
+    sized = deduped.select(
+        "source", "doc_id", X.token_count().alias("n_tokens"), "avg_logp"
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w_cum)
+    return sized.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / 512).alias("bin_id"),
+        "avg_logp",
+    )
+
+
+OLD["cosine_neardup_bucketed"] = old_cosine_neardup_bucketed
+OLD["cosine_lsh_portable_neardup"] = old_cosine_lsh_portable
+OLD["training_pipeline_v2"] = old_training_pipeline_v2
+
+
+def new_eval_prematerialized(spark, sf_dir):
+    # r13 candidate arm: identical to neardup_eval_metrics but sh_raw is
+    # force-materialized before the union job, so the two independent
+    # branch stages cannot both compute the cold shingle pipeline
+    from convex_batch_processor_spark.llmops import dedup as D
+    import convex_batch_processor_spark.queries.llm50 as q
+
+    _TAU = 0.5
+    docs = _t(spark, sf_dir, "documents")
+    cands, sh_raw = D.minhash_md5_candidates(docs)
+    sh_raw.count()
+    truth = q._truth_pairs(sh_raw).filter(F.col("j") >= _TAU)
+    pairs = truth.select(
+        "id_a", "id_b", F.lit(1).alias("_t"), F.lit(0).alias("_c")
+    ).unionAll(
+        cands.select("id_a", "id_b", F.lit(0).alias("_t"), F.lit(1).alias("_c"))
+    )
+    per_pair = pairs.groupBy("id_a", "id_b").agg(
+        F.max("_t").alias("_t"), F.max("_c").alias("_c")
+    )
+    m = per_pair.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("n_candidates"),
+        F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.col("_t") * F.col("_c")), F.lit(0)).cast("long").alias("tp"),
+    )
+    return m.select(
+        "n_candidates", "n_truth", "tp",
+        (F.col("n_candidates") - F.col("tp")).alias("fp"),
+        (F.col("n_truth") - F.col("tp")).alias("fn"),
+        F.when(F.col("n_candidates") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_candidates"))
+        .alias("lsh_precision"),
+        F.when(F.col("n_truth") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("tp").cast("double") / F.col("n_truth"))
+        .alias("lsh_recall"),
+    )
+
+
+OLD["neardup_eval_metrics"] = new_eval_prematerialized

@@ -8,6 +8,9 @@ callback, audit history, failure retry."""
 from __future__ import annotations
 
 import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
 from pyspark.sql import types as T
 
 from convex_batch_processor_spark.sources.registry import HandleRegistry

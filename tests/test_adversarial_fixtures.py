@@ -13,6 +13,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
+
 from convex_batch_processor_spark.queries import QUERIES
 
 from .oracle_check import compare

@@ -5,6 +5,9 @@ accumulation + users migration iterator)."""
 from __future__ import annotations
 
 import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
 from pyspark.sql import types as T
 
 from convex_batch_processor_spark.catalog import load_table

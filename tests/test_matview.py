@@ -4,6 +4,11 @@ rewrites touched buckets, vacuum drops unreferenced versions."""
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
+
 import os
 
 from pyspark.sql import functions as F

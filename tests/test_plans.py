@@ -5,6 +5,11 @@ ReadSchema, or turns a top-k into a global sort, these fail."""
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
+
 from convex_batch_processor_spark.catalog import load_table
 from convex_batch_processor_spark.plans import explain as E
 from convex_batch_processor_spark.queries import QUERIES

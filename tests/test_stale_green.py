@@ -88,8 +88,11 @@ def test_verified_states_resolve_to_parent_commits():
 def test_latest_verdict_wins():
     """A name re-checked in a later round carries the later round."""
     verdicts = latest_verdicts()
-    # minhash_estimate_neardup: rows-only in r3, hash-green in r6
-    assert verdicts["minhash_estimate_neardup"] == 6
+    # minhash_estimate_neardup: rows-only in r3, hash-green in r6,
+    # re-verified hash-green in the r12 driver window (CORRECTNESS_r12,
+    # landed in the driver's round-close commit — this pin goes stale
+    # whenever a future rotation re-checks the name; bump it then)
+    assert verdicts["minhash_estimate_neardup"] == 12
 
 
 def test_stale_records_are_registered_and_explained():

@@ -3,6 +3,11 @@ micro-batches and final totals equal the batch aggregate."""
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
+
 import os
 
 from pyspark.sql import functions as F

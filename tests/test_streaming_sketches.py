@@ -5,6 +5,11 @@ arbitrary micro-batches cannot change the result."""
 
 from __future__ import annotations
 
+import pytest
+
+# slow tier: excluded from the default run (pytest.ini); run with -m ""
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
